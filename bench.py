@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed to completion via a cheap terminal action
+(count after a write-less materialization) — we time the full pipeline
+including scan, shuffle, and aggregation, not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship chi-square pipeline plus representative
+# relational / events / dedup / similarity workloads. Kept in sync with
+# the registry by name.
+HEADLINE = [
+    "chisq_top75",
+    "chisq_doc_frequency",
+]
+
+
+def main() -> None:
+    from dic_a1_spark.registry import all_queries
+    from dic_a1_spark.session import get_spark
+
+    spark = get_spark(app_name="dic_a1_spark-bench")
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        df = qs[name](spark, SF_DIR)
+        df.count()  # warm: plan + scan caches
+        t0 = time.perf_counter()
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Shared constants.
+
+``TOKEN_CHARS`` reproduces the reference tokenizer's translate table
+verbatim (reference: src/wordCountJob.py:51) — the characters mapped to a
+space before whitespace-splitting. Note ``<`` and ``>`` are deliberately
+absent (they survive tokenization in the reference; SURVEY.md P3).
+
+``STOPWORDS`` is this engine's deterministic stopword list. The reference
+ships a 596-line stopwords.txt side file (src/data/stopwords.txt) loaded
+into a set per mapper (src/wordCountJob.py:41-48); here the list is a
+broadcast-joined constant so the Spark query and the DuckDB oracle share
+one source of truth.
+"""
+
+from __future__ import annotations
+
+# Verbatim from reference src/wordCountJob.py:51 (punctuation, digits, tab,
+# apostrophe — all become spaces before tokenization).
+TOKEN_CHARS: str = '()[]{}.!?,;:+=-_"~#@&*%€$§/\\1234567890\t' + "'"
+
+# Deterministic engine stopword list (lowercase). Kept small and stable so
+# both the Spark plan and the SQL oracle embed the identical set.
+STOPWORDS: tuple[str, ...] = (
+    "a",
+    "an",
+    "and",
+    "in",
+    "is",
+    "it",
+    "of",
+    "or",
+    "the",
+    "to",
+)
+
+# Top-k cutoff for the chi-square ranking (reference: src/chiSquaredJob.py:105
+# takes the top 75 per category).
+CHI2_TOP_K: int = 75
+
+# Table names the driver materializes per scale factor (TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_token_char_class() -> str:
+    """The TOKEN_CHARS set as a DuckDB/RE2 regex character class."""
+    # Escape regex-significant characters inside a class: ] \ ^ - [
+    out = []
+    for ch in TOKEN_CHARS:
+        if ch in r"[]\^-":
+            out.append("\\" + ch)
+        elif ch == "\t":
+            out.append("\\t")
+        else:
+            out.append(ch)
+    return "[" + "".join(out) + "]"
+
+
+def sql_stopword_list() -> str:
+    """STOPWORDS rendered as a SQL IN-list body: 'a','an',..."""
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in STOPWORDS)

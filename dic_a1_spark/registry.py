@@ -1,0 +1,54 @@
+"""Merged query/oracle registry consumed by ``__spark_entry__.py``.
+
+Each operator module exposes ``QUERIES: dict[name, (spark, sf_dir) -> DataFrame]``
+and ``ORACLES: dict[name, sql]`` (DuckDB-runnable ANSI SQL over the driver's
+pre-registered views). Names are globally unique; a missing oracle entry is
+allowed only for genuinely non-SQL-expressible operators (the driver then
+records a weaker rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MODULES = (
+    "dic_a1_spark.operators.chisq",
+    "dic_a1_spark.operators.relational",
+    "dic_a1_spark.operators.events",
+    "dic_a1_spark.operators.dedup",
+    "dic_a1_spark.operators.similarity",
+    "dic_a1_spark.operators.textstats",
+    "dic_a1_spark.operators.multimodal",
+)
+
+
+def _load() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
+    import importlib
+
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    for modname in _MODULES:
+        try:
+            mod = importlib.import_module(modname)
+        except ModuleNotFoundError:
+            continue  # module not built yet (incremental rounds)
+        for name, fn in getattr(mod, "QUERIES", {}).items():
+            if name in queries:
+                raise ValueError(f"duplicate query name {name!r} in {modname}")
+            queries[name] = fn
+        for name, sql in getattr(mod, "ORACLES", {}).items():
+            oracles[name] = sql
+    unknown = set(oracles) - set(queries)
+    if unknown:
+        raise ValueError(f"oracles without queries: {sorted(unknown)}")
+    return queries, oracles
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _load()[0]
+
+
+def all_oracles() -> dict[str, str]:
+    return _load()[1]

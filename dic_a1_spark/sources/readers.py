@@ -1,0 +1,118 @@
+"""Readers: schema'd scans for the driver's parquet tables and for
+reviews-style line-delimited JSON.
+
+Reference mapping (SURVEY.md §2.1):
+  S1 JSON-lines scan      -> read_reviews_json (explicit StructType; Spark
+                             pushes column pruning into the JSON parser)
+  S2 malformed-line skip  -> PERMISSIVE mode + _corrupt_record filter, which
+                             reproduces the bare ``except: return`` of
+                             reference src/wordCountJob.py:70-72 while also
+                             making the number of skipped rows observable
+  S3 side-file distribution -> read_stopwords + broadcast anti-join (the
+                             reference ships stopwords.txt via Hadoop
+                             distributed cache, src/wordCountJob.py:22-25)
+  S4 intermediate re-scan -> unnecessary: one DataFrame DAG spans both
+                             reference jobs; load_table covers re-reads of
+                             materialized parquet
+
+Scale notes: ``spark.read.parquet`` scans are splittable and prune both
+columns and row-groups; at 100 TB the same call works unchanged — predicate
+pushdown and partition pruning come from expressing filters declaratively
+on the returned DataFrame, not from anything this module does.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from dic_a1_spark.config import TABLES
+
+# Amazon-review record shape (FIXTURES.md §1). Only ``category`` and
+# ``reviewText`` feed the pipeline; the rest is carried metadata the
+# reference ignores (reference src/wordCountJob.py:63-64). Declaring the
+# full schema up front lets Catalyst prune unread fields out of the JSON
+# parser entirely.
+REVIEW_SCHEMA = StructType(
+    [
+        StructField("category", StringType()),
+        StructField("reviewText", StringType()),
+        StructField("reviewerID", StringType()),
+        StructField("asin", StringType()),
+        StructField("reviewerName", StringType()),
+        StructField("helpful", ArrayType(IntegerType())),
+        StructField("overall", DoubleType()),
+        StructField("summary", StringType()),
+        StructField("unixReviewTime", LongType()),
+        StructField("reviewTime", StringType()),
+        StructField("_corrupt_record", StringType()),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver parquet table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Scan all driver tables; also registers each as a temp view so the
+    SQL surface (``spark.sql``) sees the same catalog the oracle does."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_reviews_json(
+    spark: SparkSession, path: str, keep_corrupt: bool = False
+) -> DataFrame:
+    """Read reviews-style line-delimited JSON with the reference's
+    tolerance semantics: malformed lines are dropped, not failed.
+
+    Matches reference src/wordCountJob.py:54-72 — ``json.loads`` with a
+    bare ``except: return`` — but as a PERMISSIVE scan whose corrupt rows
+    are filterable (and therefore countable, which the reference can't do).
+    Defaults are applied exactly as the reference does:
+    ``category -> 'Unknown'``, ``reviewText -> ''``.
+    """
+    df = (
+        spark.read.schema(REVIEW_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    if keep_corrupt:
+        return df
+    return (
+        df.where(F.col("_corrupt_record").isNull())
+        .drop("_corrupt_record")
+        .withColumn("category", F.coalesce(F.col("category"), F.lit("Unknown")))
+        .withColumn("reviewText", F.coalesce(F.col("reviewText"), F.lit("")))
+    )
+
+
+def read_stopwords(spark: SparkSession, path: str) -> DataFrame:
+    """Read a stopwords side file (one word per line; duplicate lines are
+    harmless — they collapse in the distinct). Reference loads this into a
+    per-mapper set (src/wordCountJob.py:41-48); here it becomes a tiny
+    DataFrame used as the build side of a broadcast anti-join."""
+    return (
+        spark.read.text(path)
+        .select(F.trim(F.col("value")).alias("stopword"))
+        .where(F.col("stopword") != "")
+        .distinct()
+    )

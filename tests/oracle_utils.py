@@ -1,0 +1,66 @@
+"""Local replica of the driver's correctness gate: run a registered Spark
+query and its DuckDB oracle SQL side-by-side on the same parquet tables and
+compare row count, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+
+from dic_a1_spark.config import TABLES
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(_norm(r[i]) for i in idx) for r in rows),
+        key=repr,
+    )
+
+
+def compare(spark, sql: str, query_fn, sf_dir: str, name: str = "?") -> None:
+    sdf = query_fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duck_con(sf_dir)
+    res = con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    con.close()
+
+    assert sorted(scols) == sorted(dcols), (
+        f"{name}: column mismatch spark={sorted(scols)} duck={sorted(dcols)}"
+    )
+    assert len(srows) == len(drows), (
+        f"{name}: row count mismatch spark={len(srows)} duck={len(drows)}"
+    )
+    sset, dset = _rowset(scols, srows), _rowset(dcols, drows)
+    mismatches = [
+        (a, b) for a, b in zip(sset, dset) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} value mismatches; first 3: {mismatches[:3]}"
+    )
