@@ -62,8 +62,24 @@ REVIEW_SCHEMA = StructType(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one driver parquet table (TESTDATA.md)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Scan one driver parquet table (TESTDATA.md).
+
+    The ``events`` table stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as raw
+    int64 (legacy conf, runtime-settable) and convert to microsecond
+    TIMESTAMP_NTZ via integer division — same truncation DuckDB applies
+    when coercing ns->us, so oracle comparisons line up exactly.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+            )
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
