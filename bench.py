@@ -29,6 +29,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "chisq_top75",
     "chisq_doc_frequency",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "join_sort_merge_facts",
+    "agg_rollup",
+    "window_running_total",
+    "events_session_windows",
+    "events_tumbling_hour",
+    "text_token_stats",
+    "dedup_exact_groups",
+    "dedup_minhash_pairs",
+    "knn_cosine_bruteforce",
 ]
 
 

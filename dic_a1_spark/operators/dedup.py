@@ -1,0 +1,369 @@
+"""Deduplication operators over `documents` — exact, shingle-Jaccard,
+MinHash-LSH, and SimHash. The core of a training-data pipeline at scale.
+
+Strategy ladder (cheapest first):
+  1. exact hash dedup            — one shuffle on md5(text)
+  2. token-set fingerprint dedup — catches word-order shuffles, same cost
+  3. shingle-Jaccard pairs       — exact near-dup; inverted-index self-join
+                                   (pairs sharing >= 1 shingle), never the
+                                   naive O(n^2) cross join
+  4. MinHash-LSH                 — the 100 TB path: fixed-size signatures +
+                                   band-bucket join; candidates then verified
+                                   with exact Jaccard (no false positives)
+  5. SimHash                     — 64-bit sketch + 16-bit-band blocking +
+                                   hamming check via xor/bit_count
+
+1-3 carry DuckDB oracles (deterministic, SQL-expressible). 4-5 rest on
+xxhash64, which DuckDB lacks — they get rows-only driver checks plus pytest
+recall tests against the exact-Jaccard ground truth (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dic_a1_spark.config import duckdb_token_char_class
+from dic_a1_spark.functions.text import tokenize
+from dic_a1_spark.sources.readers import load_table
+
+JACCARD_THRESHOLD = 0.5
+SHINGLE_WIDTH = 3  # word 3-grams
+
+# MinHash parameters: 16 hashes in 4 bands of 4 rows.
+# P(candidate | jaccard=s) = 1 - (1 - s^4)^4  ->  ~0.9 at s=0.7, ~0.04 at s=0.2.
+MINHASH_HASHES = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = MINHASH_HASHES // MINHASH_BANDS
+
+
+def _tokens(col: Column) -> Column:
+    return F.filter(tokenize(col), lambda w: w != "")
+
+
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    """doc_id + exploded DISTINCT word-3-gram shingles. Docs with fewer
+    than 3 tokens contribute no shingles (mirrors the oracle's subscript
+    bound). Guarded sequence: Spark's sequence(1, 0) counts DOWN, so the
+    short-doc case must short-circuit to an empty array."""
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    shingles = F.when(
+        F.size("toks") >= SHINGLE_WIDTH,
+        F.expr(
+            "array_distinct(transform(sequence(1, size(toks) - 2),"
+            " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1])))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups keyed by content hash: one shuffle on the
+    hash, constant-size state per group."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.encode("text", "UTF-8")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retained representative per exact-duplicate group (min doc_id),
+    i.e. dropDuplicates(['text']) with a deterministic survivor."""
+    d = load_table(spark, sf_dir, "documents")
+    w_min = (
+        d.groupBy(F.md5(F.encode("text", "UTF-8")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return w_min.select("doc_id").join(d, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def dedup_tokenset_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive near-dup groups: md5 over the sorted distinct
+    token set — catches duplicates that only shuffled word order."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.encode(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens(F.col("text"))))),
+            "UTF-8",
+        )
+    )
+    return d.groupBy(key.alias("tokenset_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs above JACCARD_THRESHOLD.
+
+    Inverted-index plan: self-join the (doc, shingle) index on shingle with
+    doc1 < doc2 — only pairs sharing at least one shingle are ever
+    materialized, then jaccard = |shared| / (|s1| + |s2| - |shared|) from
+    exact integer counts (single division, bit-exact vs the oracle).
+    At 100 TB you'd cap hot shingles (frequency ceiling) or go straight to
+    MinHash-LSH below; the plan shape is the same."""
+    sh = _with_shingles(load_table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc1")
+                    .withColumnRenamed("n_sh", "n1"), "doc1")
+        .join(sizes.withColumnRenamed("doc_id", "doc2")
+              .withColumnRenamed("n_sh", "n2"), "doc2")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_shared")).cast("double"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH (rows-only: xxhash64 has no DuckDB twin; verified in pytest
+# against dedup_jaccard_pairs ground truth)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — MINHASH_HASHES independent min-hashes.
+    Hash family: xxhash64(seed-prefixed shingle); one explode + one groupBy,
+    signature state is fixed-size per doc regardless of doc length."""
+    sh = _with_shingles(docs)
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(MINHASH_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(MINHASH_HASHES)]).alias("sig")
+    )
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """LSH banding: equal band-hash in any of MINHASH_BANDS bands makes a
+    candidate pair. Join key is (band_id, band_hash) — a plain shuffle
+    join on a compact key, no cross join anywhere."""
+    sig = minhash_signatures(docs)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[b * MINHASH_ROWS + r]
+                                for r in range(MINHASH_ROWS)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard — LSH prunes the
+    pair space; verification removes false positives, so output precision
+    is exact and only recall depends on the banding parameters.
+
+    Verification is computed ONLY over candidate pairs (shingle join
+    restricted to the candidate set) — the whole point of LSH at scale is
+    never materializing the full pair space."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(docs)
+    sh = _with_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    shared = (
+        cand.join(sh.alias("s1"), cand.doc1 == F.col("s1.doc_id"))
+        .join(
+            sh.alias("s2"),
+            (cand.doc2 == F.col("s2.doc_id"))
+            & (F.col("s1.shingle") == F.col("s2.shingle")),
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc1")
+                    .withColumnRenamed("n_sh", "n1"), "doc1")
+        .join(sizes.withColumnRenamed("doc_id", "doc2")
+              .withColumnRenamed("n_sh", "n2"), "doc2")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_shared")).cast("double"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (rows-only; properties verified in pytest)
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash: bigint) — 64-bit SimHash over distinct tokens.
+    Per bit j: sign of sum over tokens of (+1 if bit j of xxhash64(token)
+    else -1); all 64 bit-sums run in ONE hash aggregate over the exploded
+    tokens, then the signature reassembles as a single projection."""
+    tok = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("word"))
+        .distinct()
+        .withColumn("h", F.xxhash64("word"))
+    )
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    sig = None
+    for j in range(64):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ) * F.lit(2 ** j if j < 63 else -(2 ** 63)).cast("bigint")
+        sig = term if sig is None else sig + term
+    return bit_sums.select("doc_id", sig.alias("simhash"))
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: block on four 16-bit bands (a pair within
+    hamming distance 3 must agree on at least one band), then verify
+    hamming <= 3 via bit_count(xor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash_signatures(docs)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_id"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * k)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= 3)
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact_groups": dedup_exact_groups,
+    "dedup_exact_keep": dedup_exact_keep,
+    "dedup_tokenset_groups": dedup_tokenset_groups,
+    "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_minhash_pairs": dedup_minhash_pairs,  # rows-only (xxhash64)
+    "dedup_simhash_pairs": dedup_simhash_pairs,  # rows-only (xxhash64)
+}
+
+_CC = duckdb_token_char_class().replace("'", "''")
+_TOKS = (
+    f"list_filter(regexp_split_to_array(regexp_replace(lower(text), '{_CC}', ' ', 'g'),"
+    " '\\s+'), w -> w <> '')"
+)
+
+_SHINGLE_CTE = f"""
+toks AS (SELECT doc_id, {_TOKS} AS a FROM documents),
+pos AS (SELECT doc_id, a, generate_subscripts(a, 1) AS i FROM toks),
+sh AS (
+    SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS shingle
+    FROM pos WHERE i + 2 <= len(a)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT s1.doc_id AS doc1, s2.doc_id AS doc2, count(*) AS n_shared
+    FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+    GROUP BY s1.doc_id, s2.doc_id
+),
+jac AS (
+    SELECT doc1, doc2,
+           CAST(n_shared AS DOUBLE) / CAST(z1.n_sh + z2.n_sh - n_shared AS DOUBLE)
+               AS jaccard
+    FROM shared
+    JOIN sizes z1 ON z1.doc_id = doc1
+    JOIN sizes z2 ON z2.doc_id = doc2
+)
+"""
+
+ORACLES: dict[str, str] = {
+    "dedup_exact_groups": """
+        SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+               count(*) AS n_docs
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_exact_keep": """
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d
+        JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+          ON d.doc_id = k.doc_id
+    """,
+    "dedup_tokenset_groups": f"""
+        SELECT md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+                   AS tokenset_hash,
+               min(doc_id) AS keep_doc_id, count(*) AS n_docs
+        FROM documents GROUP BY 1
+    """,
+    "dedup_jaccard_pairs": f"""
+        WITH {_SHINGLE_CTE}
+        SELECT doc1, doc2, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+}

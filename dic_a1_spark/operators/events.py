@@ -1,0 +1,200 @@
+"""Windowed analytics over the `events` stream table (batch semantics).
+
+The reference is batch-only (SURVEY.md §2.8) — this module is the engine's
+event-time window surface, expressed so that the SAME aggregations run
+unchanged under Structured Streaming (see dic_a1_spark.streaming.jobs,
+which reuses these groupings behind readStream + watermark). Checked in
+batch mode so the DuckDB oracle applies.
+
+Scale notes: tumbling/sliding windows group on (window, type) — high
+cardinality, shuffles fine. Session windows partition by user_id before
+island detection; state per key is bounded by the gap, which is exactly
+what applyInPandasWithState / session_window need at 100 TB of events.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dic_a1_spark.sources.readers import load_table
+
+_TS = "yyyy-MM-dd HH:mm:ss"
+
+
+def _tstr(col):
+    return F.date_format(col, _TS)
+
+
+def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type: F.window == the canonical
+    Structured Streaming tumbling aggregation, run on a static frame."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            _tstr(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): every event lands in
+    exactly two windows; Spark materializes that via F.window, the oracle
+    via an explicit 2-offset expansion."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            _tstr(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 10-minute inactivity gap.
+    F.session_window merges events whose gap is strictly less than 10 min;
+    window end = last event + gap. The oracle reproduces this with
+    gaps-and-islands (lag + running flag sum) — the classic SQL encoding
+    of the same state machine."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            _tstr(F.col("w.start")).alias("session_start"),
+            _tstr(F.col("w.end")).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_hour_of_day_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x type activity matrix (time-dimension extraction)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.hour("ts").alias("hour_of_day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def events_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest event per (user, type) — the keep-first dedup pattern
+    (streaming twin: dropDuplicatesWithinWatermark on the key)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        _tstr(F.min("ts")).alias("first_ts"),
+        F.min("event_id").alias("first_event_id"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (percentile_disc picks an actual element,
+    so cross-engine float parity is exact — no interpolation arithmetic)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
+            "median_value"
+        ),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_tumbling_hour": events_tumbling_hour,
+    "events_sliding_window": events_sliding_window,
+    "events_session_windows": events_session_windows,
+    "events_hour_of_day_matrix": events_hour_of_day_matrix,
+    "events_first_per_user_type": events_first_per_user_type,
+    "events_value_percentiles": events_value_percentiles,
+}
+
+ORACLES: dict[str, str] = {
+    "events_tumbling_hour": """
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sliding_window": """
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+               count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM (
+            SELECT time_bucket(INTERVAL '30 minutes', ts)
+                       - k * INTERVAL '30 minutes' AS ws,
+                   value
+            FROM events CROSS JOIN (VALUES (0), (1)) offs(k)
+        )
+        GROUP BY ws
+    """,
+    "events_session_windows": """
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        islands AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts) + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S')
+                   AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM islands GROUP BY user_id, session_id
+    """,
+    "events_hour_of_day_matrix": """
+        SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day, event_type,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    """,
+    "events_first_per_user_type": """
+        SELECT user_id, event_type,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+               min(event_id) AS first_event_id,
+               count(*) AS n_events
+        FROM events GROUP BY user_id, event_type
+    """,
+    "events_value_percentiles": """
+        SELECT event_type,
+               min(value) AS min_value,
+               max(value) AS max_value,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS median_value
+        FROM events GROUP BY event_type
+    """,
+}

@@ -1,0 +1,228 @@
+"""Text analysis over the `documents` table — the training-data-pipeline
+operators (language ID, quality scoring, token counting, fingerprinting)
+layered on the same tokenizer the chi-square pipeline uses.
+
+Everything is built-in Column expressions (JVM-side, codegen'd); no Python
+UDFs anywhere. At 100 TB these are embarrassingly parallel map-only plans —
+no shuffle except the final aggregates, so they scale linearly with input
+splits.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dic_a1_spark.config import sql_stopword_list
+from dic_a1_spark.functions.text import tokenize
+from dic_a1_spark.sources.readers import load_table
+
+# Marker words for the n-gram-free language-ID heuristic. Deterministic and
+# engine-neutral: score = how many marker words of each language appear;
+# argmax with a fixed precedence order breaks ties. (Real corpora would use
+# char n-gram profiles — same plan shape, bigger marker table.)
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "nicht"),
+    "es": ("el", "la", "que", "los"),
+    "fr": ("le", "les", "des", "est"),
+    "zh": ("de", "shi", "le", "bu"),
+}
+
+_STOPLIST = sql_stopword_list()
+
+
+def _tokens(col: Column) -> Column:
+    return F.filter(tokenize(col), lambda w: w != "")
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token accounting: counts, distinct counts, lengths."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("text_len"),
+        F.length(F.regexp_replace("text", r"\s+", "")).alias("n_nonspace_chars"),
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features: stopword ratio, mean token length,
+    distinct ratio, and a composite score. All ratios are a single division
+    of exact integers, so cross-engine floats match bit-exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda w: w.isin(*_stop_list()))
+    ).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    total_len = F.length(F.regexp_replace("text", r"\s+", "")).cast("double")
+    return d.select(
+        "doc_id",
+        F.when(n > 0, n_stop / n).otherwise(F.lit(0.0)).alias("stopword_ratio"),
+        F.when(n > 0, n_distinct / n).otherwise(F.lit(0.0)).alias("distinct_ratio"),
+        F.when(n > 0, total_len / n).otherwise(F.lit(0.0)).alias("mean_token_len"),
+        (n >= 20).cast("int").alias("len_ok"),
+    )
+
+
+def _stop_list():
+    from dic_a1_spark.config import STOPWORDS
+
+    return [F.lit(w) for w in STOPWORDS]
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: per-language hit counts over the token set,
+    argmax with fixed precedence (en > de > es > fr > zh, then 'und' for
+    no hits). Compared against the table's labeled lang column."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(_tokens(F.col("text")))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # reversed precedence: later when() wins earlier in the chain, so build
+    # from lowest precedence up and let the first match take it.
+    for lang in reversed(list(_LANG_MARKERS)):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        best.alias("marker_hits"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 + sha256 of the raw text, and an order-
+    insensitive token-set fingerprint (md5 of the sorted distinct tokens) —
+    the cheap exact-dedup key for shuffled-word duplicates."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_sort(F.array_distinct(_tokens(F.col("text"))))
+    return d.select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("md5_text"),
+        F.sha2(F.encode("text", "UTF-8"), 256).alias("sha256_text"),
+        F.md5(F.encode(F.concat_ws(" ", toks), "UTF-8")).alias("md5_tokenset"),
+    )
+
+
+def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling per source: doc counts, token totals, vocabulary
+    size (exact distinct across the source)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    per_doc = d.select("source", F.explode(F.array_distinct(toks)).alias("word"))
+    return (
+        per_doc.groupBy("source")
+        .agg(F.countDistinct("word").alias("vocab_size"))
+        .join(
+            d.groupBy("source").agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.size(toks)).alias("total_tokens"),
+            ),
+            "source",
+        )
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_lang_id": text_lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "text_source_profile": text_source_profile,
+}
+
+from dic_a1_spark.config import duckdb_token_char_class  # noqa: E402
+
+_CC = duckdb_token_char_class().replace("'", "''")
+
+# Engine-neutral tokenization for the oracles: identical normalize chain.
+_TOKS = (
+    f"list_filter(regexp_split_to_array(regexp_replace(lower(text), '{_CC}', ' ', 'g'),"
+    " '\\s+'), w -> w <> '')"
+)
+
+_MARKER_SQL = {
+    lang: "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    for lang, markers in _LANG_MARKERS.items()
+}
+
+_SCORE_SQL = {
+    lang: f"len(list_intersect(list_distinct({_TOKS}), {arr}))"
+    for lang, arr in _MARKER_SQL.items()
+}
+
+_BEST_SQL = "greatest(" + ", ".join(_SCORE_SQL.values()) + ")"
+
+_PRED_SQL = "'und'"
+for _lang in reversed(list(_LANG_MARKERS)):
+    _PRED_SQL = (
+        f"CASE WHEN {_SCORE_SQL[_lang]} = {_BEST_SQL} THEN '{_lang}' ELSE {_PRED_SQL} END"
+    )
+_PRED_SQL = f"CASE WHEN {_BEST_SQL} = 0 THEN 'und' ELSE {_PRED_SQL} END"
+
+ORACLES: dict[str, str] = {
+    "text_token_stats": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_distinct_tokens,
+               CAST(length(text) AS INTEGER) AS text_len,
+               CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS INTEGER)
+                   AS n_nonspace_chars
+        FROM documents
+    """,
+    "text_quality_score": f"""
+        SELECT doc_id,
+               CASE WHEN len({_TOKS}) > 0
+                    THEN CAST(len(list_filter({_TOKS}, w -> w IN ({_STOPLIST}))) AS DOUBLE)
+                         / CAST(len({_TOKS}) AS DOUBLE)
+                    ELSE 0.0 END AS stopword_ratio,
+               CASE WHEN len({_TOKS}) > 0
+                    THEN CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                         / CAST(len({_TOKS}) AS DOUBLE)
+                    ELSE 0.0 END AS distinct_ratio,
+               CASE WHEN len({_TOKS}) > 0
+                    THEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                         / CAST(len({_TOKS}) AS DOUBLE)
+                    ELSE 0.0 END AS mean_token_len,
+               CAST(len({_TOKS}) >= 20 AS INTEGER) AS len_ok
+        FROM documents
+    """,
+    "text_lang_id": f"""
+        SELECT doc_id, lang AS labeled_lang,
+               {_PRED_SQL} AS predicted_lang,
+               CAST({_BEST_SQL} AS INTEGER) AS marker_hits
+        FROM documents
+    """,
+    "doc_fingerprint": f"""
+        SELECT doc_id,
+               md5(text) AS md5_text,
+               sha256(text) AS sha256_text,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+                   AS md5_tokenset
+        FROM documents
+    """,
+    "text_source_profile": f"""
+        WITH per_doc AS (
+            SELECT source, unnest(list_distinct({_TOKS})) AS word FROM documents
+        )
+        SELECT d.source,
+               (SELECT CAST(count(DISTINCT word) AS BIGINT) FROM per_doc p
+                 WHERE p.source = d.source) AS vocab_size,
+               count(*) AS n_docs,
+               CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens
+        FROM documents d GROUP BY d.source
+    """,
+}

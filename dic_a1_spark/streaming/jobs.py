@@ -1,0 +1,158 @@
+"""Structured Streaming surface over the events stream.
+
+The reference is batch-only (SURVEY.md §2.8); this is the engine's
+streaming veneer: readStream -> event-time transformations -> writeStream,
+with watermarks for late data, windowed/session aggregations, streaming
+dedup, and a custom stateful operator via applyInPandasWithState.
+
+Batch/stream parity: the aggregations REUSE the same groupings as
+operators/events.py, so the DuckDB-oracle-checked batch results are the
+ground truth for the streaming results (asserted in tests/test_streaming.py
+by running the stream with trigger availableNow over the same files).
+
+Scale notes: state stores are keyed by (window/session, key) — watermarks
+bound state growth; availableNow backfills replay history with the same
+query that serves the live stream.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Raw parquet schema of events: ts is TIMESTAMP(NANOS) on disk, which
+# Spark only reads as int64 via the legacy conf (see sources/readers.py).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file per sf dir;
+    in production this is a directory the ingest keeps appending to, or a
+    Kafka source — the downstream query is identical)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source requires a DIRECTORY; scope it to the events
+    # table with pathGlobFilter rather than pointing at the file.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp)")
+    )
+
+
+def tumbling_counts(stream: DataFrame) -> DataFrame:
+    """1-hour tumbling windows per type with a 2-hour watermark — the
+    streaming twin of operators.events.events_tumbling_hour."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(stream: DataFrame) -> DataFrame:
+    """Per-user session windows (10 min gap) — streaming twin of
+    operators.events.events_session_windows."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(stream: DataFrame) -> DataFrame:
+    """Streaming dedup: first event per (user_id, event_type) with state
+    expiry driven by the watermark."""
+    return stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("max_value", DoubleType())]
+)
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+def running_user_stats(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count and max value, state carried across micro-batches.
+    This is the escape hatch for semantics F.window can't express."""
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):  # noqa: F821
+        import pandas as pd
+
+        (user_id,) = key
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "max_value": [mx]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    result: DataFrame, table_name: str, output_mode: str = "complete"
+) -> None:
+    """Drain the stream into an in-memory sink with trigger availableNow
+    (process-everything-then-stop) — the backfill/test execution mode."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

