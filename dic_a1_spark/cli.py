@@ -1,0 +1,80 @@
+"""CLI entry point — the Spark-native replacement for the reference's
+main.sh orchestration (env-var runner switching, path plumbing, timing;
+reference src/main.sh:18-50,84-86).
+
+Usage:
+    python -m dic_a1_spark.cli chisq --input reviews.json --output outdir \
+        [--stopwords stopwords.txt] [--top-k 75] [--master local[32]]
+    python -m dic_a1_spark.cli bench [--sf-dir /root/testdata/sf0.1]
+
+Local vs cluster is config-only (same code): pass --master, or omit it and
+submit via spark-submit with the cluster master.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _cmd_chisq(args: argparse.Namespace) -> int:
+    from dic_a1_spark.operators.reviews import run_pipeline
+    from dic_a1_spark.session import get_spark
+
+    spark = get_spark(app_name="dic_a1_spark-chisq", master=args.master)
+    t0 = time.perf_counter()
+    lines = run_pipeline(
+        spark,
+        reviews_path=args.input,
+        output_dir=args.output,
+        stopwords_path=args.stopwords,
+        k=args.top_k,
+    )
+    elapsed = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "output_lines": len(lines),
+                "output_dir": args.output,
+                "elapsed_sec": round(elapsed, 3),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+def _cmd_bench(args: argparse.Namespace) -> int:
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    if args.sf_dir:
+        env["SPARK_GRAFT_SF_DIR"] = args.sf_dir
+    return subprocess.call([sys.executable, "bench.py"], env=env)
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="dic_a1_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_chisq = sub.add_parser("chisq", help="reviews chi-square pipeline")
+    p_chisq.add_argument("--input", required=True, help="reviews JSON path/glob")
+    p_chisq.add_argument("--output", required=True, help="output directory")
+    p_chisq.add_argument("--stopwords", default=None, help="stopwords file")
+    p_chisq.add_argument("--top-k", type=int, default=75)
+    p_chisq.add_argument("--master", default=None, help="Spark master override")
+    p_chisq.set_defaults(fn=_cmd_chisq)
+
+    p_bench = sub.add_parser("bench", help="run the benchmark harness")
+    p_bench.add_argument("--sf-dir", default=None)
+    p_bench.set_defaults(fn=_cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -105,16 +105,26 @@ def read_reviews_json(
     Defaults are applied exactly as the reference does:
     ``category -> 'Unknown'``, ``reviewText -> ''``.
     """
-    df = (
-        spark.read.schema(REVIEW_SCHEMA)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(path)
+    # text + from_json rather than spark.read.json: Spark forbids plans
+    # that reference only the scan-level _corrupt_record pseudo-column
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN), which our counters aggregate
+    # (a bare count over valid rows) would trigger. As a from_json struct
+    # field the corrupt marker is an ordinary column with no restrictions,
+    # and the skip semantics are identical.
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.from_json(
+            "value",
+            REVIEW_SCHEMA,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("r"),
+        F.col("value"),
     )
     if keep_corrupt:
-        return df
+        return parsed.select("r.*", "value")
     return (
-        df.where(F.col("_corrupt_record").isNull())
+        parsed.where(F.col("r").isNotNull() & F.col("r._corrupt_record").isNull())
+        .select("r.*")
         .drop("_corrupt_record")
         .withColumn("category", F.coalesce(F.col("category"), F.lit("Unknown")))
         .withColumn("reviewText", F.coalesce(F.col("reviewText"), F.lit("")))

@@ -1,0 +1,58 @@
+"""Physical-plan regression tests: pin the scale-critical properties
+(pushdown, pruning, broadcast, shuffle counts) so they can't silently rot.
+A failure here means a 100 TB plan regressed, even if results stay right."""
+
+from __future__ import annotations
+
+from dic_a1_spark.plans.explain import plan_audit, wholestage_codegen
+from dic_a1_spark.registry import all_queries
+from tests.conftest import SF_CORRECT
+
+
+def _audit(spark, name):
+    return plan_audit(all_queries()[name](spark, SF_CORRECT))
+
+
+def test_q1_scan_is_pruned_and_pushed(spark):
+    a = _audit(spark, "q1_pricing_summary")
+    assert a["exchanges"] == 1  # single agg shuffle, nothing else
+    assert any("l_shipdate" in f for f in a["pushed_filters"])
+    schema = a["read_schemas"][0]
+    assert "l_orderkey" not in schema and "l_partkey" not in schema, (
+        "q1 must scan only the six referenced columns"
+    )
+
+
+def test_broadcast_dims_stay_broadcast(spark):
+    a = _audit(spark, "join_broadcast_dims")
+    assert a["broadcast_join"]
+    assert a["exchanges"] <= 1  # only the final aggregate shuffles
+    # dimension scans are column-pruned
+    assert any(s == "struct<n_nationkey:int,n_regionkey:int>" for s in a["read_schemas"])
+
+
+def test_q5_multiway_join_broadcasts_dims(spark):
+    a = _audit(spark, "q5_local_supplier_volume")
+    assert a["broadcast_join"]
+    assert a["exchanges"] <= 3
+
+
+def test_chisq_flagship_plan_shape(spark):
+    a = _audit(spark, "chisq_top75")
+    assert a["broadcast_join"], "category/global totals must broadcast"
+    # data-proportional shuffles: groupBy(word,category) + word window +
+    # category top-k window; dimension-sized: category totals + global count
+    assert a["exchanges"] <= 5
+    # scan reads only (text, lang)
+    assert "struct<text:string,lang:string>" in a["read_schemas"]
+
+
+def test_window_running_total_single_shuffle(spark):
+    a = _audit(spark, "window_running_total")
+    assert a["exchanges"] == 1  # partition by custkey, sort within
+
+
+def test_codegen_everywhere(spark):
+    for name in ["q1_pricing_summary", "join_sort_merge_facts", "chisq_top75"]:
+        df = all_queries()[name](spark, SF_CORRECT)
+        assert wholestage_codegen(df), name
