@@ -1,0 +1,81 @@
+"""Golden parity against the reference's checked-in devset outputs.
+
+The strongest correctness evidence available: run our Spark stage-2 over
+the reference's own stage-1 artifacts and require the reference's final
+answer file to the last float bit. Skipped cleanly if the reference
+checkout isn't present.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+
+import pytest
+
+from dic_a1_spark.operators.chisq import format_golden_lines
+from dic_a1_spark.operators.goldens import (
+    DEVSET_CATEGORY_COUNTS,
+    DEVSET_TOTAL,
+    golden_topk,
+    read_wordcount_kv,
+)
+
+REF = "/root/reference/src/output/amazon_reviews_chiotp"
+WORDCOUNT_GLOB = os.path.join(REF, "wordcount", "part-*")
+GOLDEN = os.path.join(REF, "chisq", "part-00000")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(GOLDEN), reason="reference goldens not available"
+)
+
+
+def _load_golden():
+    cats: dict[str, dict[str, float]] = {}
+    vocab: list[str] | None = None
+    for line in open(GOLDEN):
+        line = line.rstrip("\n")
+        if "\t" in line:
+            cat, d = line.split("\t", 1)
+            cats[cat] = ast.literal_eval(d)
+        elif line:
+            vocab = ast.literal_eval(line)
+    return cats, vocab
+
+
+@pytest.fixture(scope="module")
+def topk_rows(spark):
+    hist = read_wordcount_kv(spark, WORDCOUNT_GLOB)
+    return golden_topk(hist, DEVSET_TOTAL, DEVSET_CATEGORY_COUNTS).collect()
+
+
+def test_topk_matches_golden_bit_for_bit(topk_rows):
+    golden_cats, _ = _load_golden()
+    ours: dict[str, dict[str, float]] = {}
+    for r in topk_rows:
+        ours.setdefault(r["category"], {})[r["word"]] = r["chi2"]
+    assert set(ours) == set(golden_cats)
+    for cat, gd in golden_cats.items():
+        # dict equality: same words, same EXACT float chi2 values
+        assert ours[cat] == gd, f"chi2 mismatch in {cat}"
+
+
+def test_vocab_union_matches_golden(topk_rows):
+    _, golden_vocab = _load_golden()
+    ours = sorted({r["word"] for r in topk_rows})
+    assert ours == golden_vocab
+
+
+def test_formatted_lines_parse_back_to_golden(topk_rows):
+    """The raw-text output format (category\\tstr(dict) + vocab line)
+    round-trips to the golden values. Byte identity is not asserted for the
+    dict lines: the reference's within-category ordering on chi2 ties came
+    from Python's stable sort over nondeterministic reducer input order."""
+    golden_cats, golden_vocab = _load_golden()
+    vocab = sorted({r["word"] for r in topk_rows})
+    lines = format_golden_lines(topk_rows, vocab)
+    assert len(lines) == len(golden_cats) + 1
+    for line in lines[:-1]:
+        cat, d = line.split("\t", 1)
+        assert ast.literal_eval(d) == golden_cats[cat]
+    assert ast.literal_eval(lines[-1]) == golden_vocab
