@@ -21,6 +21,7 @@ _MODULES = (
     "dic_a1_spark.operators.similarity",
     "dic_a1_spark.operators.textstats",
     "dic_a1_spark.operators.multimodal",
+    "dic_a1_spark.operators.sql_surface",
 )
 
 

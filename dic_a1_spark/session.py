@@ -49,6 +49,12 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Managed-table location for bucketed tables (sources.sinks): keep
+        # it out of the repo/cwd; override for real deployments.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/dic_a1_spark-warehouse"),
+        )
     )
     if master is not None:
         builder = builder.master(master)

@@ -45,6 +45,41 @@ def write_json_kv(df: DataFrame, key: str, value_cols: list[str], path: str) -> 
     df.select(line).write.mode("overwrite").text(path)
 
 
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet layout (``col=value/`` directories).
+
+    The 100 TB ingest pattern: partition on the dominant pruning dimension
+    (date, category, language) so downstream filters skip whole directories
+    — the scan's PartitionFilters, verified in tests/test_scale.py. Don't
+    over-partition: each partition should hold >= one full parquet
+    row-group (~128 MB), or small-file overhead dominates."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) managed table.
+
+    Pre-shuffles ONCE at write time: rows are hash-distributed into
+    ``n_buckets`` files on ``bucket_cols``. Two tables bucketed the same
+    way join with ZERO exchanges (verified in tests/test_scale.py) — the
+    scale answer for repeated fact-fact joins on the same key, where
+    re-shuffling 100 TB per query would dominate. ``sort_cols`` adds
+    within-bucket ordering so the join can also skip its sort."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def format_counters_line(total: int, per_category: dict[str, int]) -> str:
     """Render the reference's counters.txt line: ``<int> <dict-repr>`` with
     single-quoted keys (src/data/counters.txt:1)."""
