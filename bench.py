@@ -39,7 +39,11 @@ HEADLINE = [
     "text_token_stats",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
     "knn_cosine_bruteforce",
+    "sql_top_returned_customers",
+    "events_asof_click_before_purchase",
+    "events_range_join_error_clicks",
 ]
 
 

@@ -142,11 +142,11 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against dedup_jaccard_pairs ground truth)
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
     """(doc_id, sig: array<bigint>) — MINHASH_HASHES independent min-hashes.
     Hash family: xxhash64(seed-prefixed shingle); one explode + one groupBy,
     signature state is fixed-size per doc regardless of doc length."""
-    sh = _with_shingles(docs)
+    sh = _with_shingles(docs) if shingles is None else shingles
     aggs = [
         F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(MINHASH_HASHES)
@@ -157,11 +157,13 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+def minhash_candidate_pairs(
+    docs: DataFrame, shingles: DataFrame | None = None
+) -> DataFrame:
     """LSH banding: equal band-hash in any of MINHASH_BANDS bands makes a
     candidate pair. Join key is (band_id, band_hash) — a plain shuffle
     join on a compact key, no cross join anywhere."""
-    sig = minhash_signatures(docs)
+    sig = minhash_signatures(docs, shingles=shingles)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -201,10 +203,18 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Verification is computed ONLY over candidate pairs (shingle join
     restricted to the candidate set) — the whole point of LSH at scale is
-    never materializing the full pair space."""
+    never materializing the full pair space.
+
+    The shingle index feeds three consumers (signatures, sizes, shared
+    counts); without a persist Spark recomputes the tokenize+explode scan
+    for each. MEMORY_AND_DISK persist makes it compute-once — at 100 TB
+    this is the classic checkpoint point (materialize the index once,
+    reuse across the LSH and verification stages)."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_candidate_pairs(docs)
-    sh = _with_shingles(docs)
+    sh = _with_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = minhash_candidate_pairs(docs, shingles=sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     shared = (
         cand.join(sh.alias("s1"), cand.doc1 == F.col("s1.doc_id"))

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dic_a1_spark.sources.readers import load_table
@@ -125,7 +125,115 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the user's most recent STRICTLY
+    PRIOR click (an operator Spark lacks as a primitive; the reference has
+    no joins at all beyond a broadcast lookup).
+
+    Composition: one window over (user_id, ordered by ts, event_id) with a
+    ROWS ... 1 PRECEDING frame; ``last(CASE WHEN click ...) IGNORE NULLS``
+    picks the as-of match. One shuffle on user_id total — no self-join, no
+    inequality join, and the frame makes tie behavior explicit where the
+    classic sort-merge as-of implementations leave it to the engine.
+    """
+    e = load_table(spark, sf_dir, "events")
+    both = e.where(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        both.withColumn("last_click_ts", click_ts)
+        .withColumn("last_click_id", click_id)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            _tstr("ts").alias("purchase_ts"),
+            "last_click_id",
+            _tstr("last_click_ts").alias("last_click_ts"),
+        )
+    )
+
+
+def events_range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per error event, how many clicks the same user made in
+    the preceding 5 minutes.
+
+    Spark has no range-join optimizer, and a naive inequality self-join
+    plans as a nested-loop cross product. The scalable encoding: bucketize
+    time into interval-width buckets, explode the probe side into the two
+    buckets it can answer from, equi-join on (user, bucket) — candidate
+    space is bounded by true temporal locality — then apply the exact
+    range predicate. Same result as the oracle's inequality join, but the
+    plan is a plain shuffled equi-join at any scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    width = 300  # = the 5-minute range; one bucket behind covers the rest
+
+    errors = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+        (sec / width).cast("long").alias("bucket"),
+    )
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.explode(
+                F.array(
+                    (sec / width).cast("long"),
+                    (sec / width).cast("long") + 1,
+                )
+            ).alias("bucket"),
+        )
+    )
+    in_range = (
+        (F.col("click_ts") < F.col("error_ts"))
+        & (F.col("click_ts") >= F.col("error_ts") - F.expr("INTERVAL 5 MINUTES"))
+    )
+    return (
+        errors.join(clicks, ["user_id", "bucket"], "left")
+        .groupBy("error_id", "user_id", "error_ts")
+        .agg(
+            F.count(F.when(in_range, 1)).alias("n_clicks_5min"),
+        )
+        .select(
+            "error_id",
+            "user_id",
+            _tstr("error_ts").alias("error_ts"),
+            "n_clicks_5min",
+        )
+    )
+
+
+def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB substitutes for exact distinct
+    counts and exact percentiles (HLL++ and GK-sketch: mergeable, bounded
+    memory). Rows-only driver check (sketches are engine-specific);
+    tests/test_events.py asserts the estimates against exact values."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
+        F.count("*").alias("n_events"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_asof_click_before_purchase": events_asof_click_before_purchase,
+    "events_range_join_error_clicks": events_range_join_error_clicks,
+    "events_approx_stats": events_approx_stats,  # rows-only (sketches)
     "events_tumbling_hour": events_tumbling_hour,
     "events_sliding_window": events_sliding_window,
     "events_session_windows": events_session_windows,
@@ -135,6 +243,37 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "events_asof_click_before_purchase": """
+        WITH both_t AS (
+            SELECT * FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        matched AS (
+            SELECT event_id, user_id, ts, event_type,
+                   last_value(CASE WHEN event_type = 'click' THEN ts END
+                              IGNORE NULLS) OVER w AS last_click_ts,
+                   last_value(CASE WHEN event_type = 'click' THEN event_id END
+                              IGNORE NULLS) OVER w AS last_click_id
+            FROM both_t
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id AS purchase_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               last_click_id,
+               strftime(last_click_ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+        FROM matched WHERE event_type = 'purchase'
+    """,
+    "events_range_join_error_clicks": """
+        SELECT e.event_id AS error_id, e.user_id,
+               strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+               count(c.ts) AS n_clicks_5min
+        FROM events e
+        LEFT JOIN events c
+          ON c.user_id = e.user_id AND c.event_type = 'click'
+         AND c.ts < e.ts AND c.ts >= e.ts - INTERVAL '5 minutes'
+        WHERE e.event_type = 'error'
+        GROUP BY e.event_id, e.user_id, e.ts
+    """,
     "events_tumbling_hour": """
         SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
                    AS window_start,

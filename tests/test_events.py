@@ -7,6 +7,34 @@ from tests.conftest import SF_CORRECT
 from tests.oracle_utils import compare
 
 
-@pytest.mark.parametrize("name", sorted(events.QUERIES))
+@pytest.mark.parametrize("name", sorted(events.ORACLES))
 def test_events_oracle(spark, name):
     compare(spark, events.ORACLES[name], events.QUERIES[name], SF_CORRECT, name)
+
+
+def test_approx_stats_within_bounds(spark):
+    """approx_count_distinct (HLL++, rsd=2%) and percentile_approx
+    (accuracy=10000) must land near the exact answers."""
+    from pyspark.sql import functions as F
+
+    from dic_a1_spark.sources.readers import load_table
+
+    approx = {
+        r["event_type"]: r
+        for r in events.events_approx_stats(spark, SF_CORRECT).collect()
+    }
+    e = load_table(spark, SF_CORRECT, "events")
+    exact = {
+        r["event_type"]: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("median"),
+        )
+        .collect()
+    }
+    for etype, ex in exact.items():
+        ap = approx[etype]
+        assert abs(ap["approx_users"] - ex["users"]) <= max(3, 0.1 * ex["users"])
+        spread = abs(ex["median"]) + 1.0
+        assert abs(ap["approx_median_value"] - ex["median"]) <= 0.1 * spread
