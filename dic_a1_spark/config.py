@@ -52,6 +52,17 @@ TABLES: tuple[str, ...] = (
 )
 
 
+# Whitespace-splitting regexes matching Python's str.split() semantics
+# (the reference tokenizer, src/wordCountJob.py:75): Python splits on every
+# character where str.isspace() is true = Unicode White_Space plus the
+# \x1C-\x1F separators. Java's bare \s and RE2's \s are ASCII-only, so both
+# engines need the explicit class.
+SPARK_WS_REGEX: str = r"[\s\p{IsWhite_Space}\x1C-\x1F]+"
+DUCKDB_WS_REGEX: str = (
+    r"[\s\x0B\x1C-\x1F\x{0085}\x{00A0}\p{Zs}\x{2028}\x{2029}]+"
+)
+
+
 def duckdb_token_char_class() -> str:
     """The TOKEN_CHARS set as a DuckDB/RE2 regex character class."""
     # Escape regex-significant characters inside a class: ] \ ^ - [

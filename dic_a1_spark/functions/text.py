@@ -20,7 +20,7 @@ from collections.abc import Iterable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dic_a1_spark.config import STOPWORDS, TOKEN_CHARS
+from dic_a1_spark.config import SPARK_WS_REGEX, STOPWORDS, TOKEN_CHARS
 
 
 def normalize_text(col: Column) -> Column:
@@ -30,8 +30,11 @@ def normalize_text(col: Column) -> Column:
 
 def tokenize(col: Column) -> Column:
     """Normalized whitespace tokenization -> array<string> (may contain
-    empty strings from leading/trailing separators; callers filter)."""
-    return F.split(normalize_text(col), r"\s+")
+    empty strings from leading/trailing separators; callers filter).
+    Splits on Python's str.split() whitespace set (unicode), not Java's
+    ASCII ``\\s`` — verified against the plain-Python reference tokenizer
+    on an adversarial corpus in tests/test_tokenizer_fuzz.py."""
+    return F.split(normalize_text(col), SPARK_WS_REGEX)
 
 
 def tokens_distinct(col: Column) -> Column:

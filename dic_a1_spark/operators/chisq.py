@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from dic_a1_spark.config import (
     CHI2_TOP_K,
+    DUCKDB_WS_REGEX,
     duckdb_token_char_class,
     sql_stopword_list,
 )
@@ -185,7 +186,7 @@ tok AS (
         SELECT doc_id, lang,
                unnest(regexp_split_to_array(
                    regexp_replace(lower(text), '{_CHARCLASS}', ' ', 'g'),
-                   '\\s+')) AS word
+                   '{DUCKDB_WS_REGEX}')) AS word
         FROM documents
     )
     WHERE word <> '' AND word NOT IN ({_STOPLIST})

@@ -25,7 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dic_a1_spark.config import duckdb_token_char_class
+from dic_a1_spark.config import DUCKDB_WS_REGEX, duckdb_token_char_class
 from dic_a1_spark.functions.text import tokenize
 from dic_a1_spark.sources.readers import load_table
 
@@ -328,7 +328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _CC = duckdb_token_char_class().replace("'", "''")
 _TOKS = (
     f"list_filter(regexp_split_to_array(regexp_replace(lower(text), '{_CC}', ' ', 'g'),"
-    " '\\s+'), w -> w <> '')"
+    f" '{DUCKDB_WS_REGEX}'), w -> w <> '')"
 )
 
 _SHINGLE_CTE = f"""

@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dic_a1_spark.config import sql_stopword_list
+from dic_a1_spark.config import SPARK_WS_REGEX, sql_stopword_list
 from dic_a1_spark.functions.text import tokenize
 from dic_a1_spark.sources.readers import load_table
 
@@ -47,7 +47,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         F.length("text").alias("text_len"),
-        F.length(F.regexp_replace("text", r"\s+", "")).alias("n_nonspace_chars"),
+        F.length(F.regexp_replace("text", SPARK_WS_REGEX, "")).alias(
+            "n_nonspace_chars"
+        ),
     )
 
 
@@ -62,7 +64,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(toks, lambda w: w.isin(*_stop_list()))
     ).cast("double")
     n_distinct = F.size(F.array_distinct(toks)).cast("double")
-    total_len = F.length(F.regexp_replace("text", r"\s+", "")).cast("double")
+    total_len = F.length(F.regexp_replace("text", SPARK_WS_REGEX, "")).cast("double")
     return d.select(
         "doc_id",
         F.when(n > 0, n_stop / n).otherwise(F.lit(0.0)).alias("stopword_ratio"),
@@ -144,14 +146,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_source_profile": text_source_profile,
 }
 
-from dic_a1_spark.config import duckdb_token_char_class  # noqa: E402
+from dic_a1_spark.config import DUCKDB_WS_REGEX, duckdb_token_char_class  # noqa: E402
 
 _CC = duckdb_token_char_class().replace("'", "''")
 
 # Engine-neutral tokenization for the oracles: identical normalize chain.
 _TOKS = (
     f"list_filter(regexp_split_to_array(regexp_replace(lower(text), '{_CC}', ' ', 'g'),"
-    " '\\s+'), w -> w <> '')"
+    f" '{DUCKDB_WS_REGEX}'), w -> w <> '')"
 )
 
 _MARKER_SQL = {
@@ -179,8 +181,8 @@ ORACLES: dict[str, str] = {
                CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
                CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_distinct_tokens,
                CAST(length(text) AS INTEGER) AS text_len,
-               CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS INTEGER)
-                   AS n_nonspace_chars
+               CAST(length(regexp_replace(text, '{DUCKDB_WS_REGEX}', '', 'g'))
+                   AS INTEGER) AS n_nonspace_chars
         FROM documents
     """,
     "text_quality_score": f"""
@@ -194,7 +196,7 @@ ORACLES: dict[str, str] = {
                          / CAST(len({_TOKS}) AS DOUBLE)
                     ELSE 0.0 END AS distinct_ratio,
                CASE WHEN len({_TOKS}) > 0
-                    THEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                    THEN CAST(length(regexp_replace(text, '{DUCKDB_WS_REGEX}', '', 'g')) AS DOUBLE)
                          / CAST(len({_TOKS}) AS DOUBLE)
                     ELSE 0.0 END AS mean_token_len,
                CAST(len({_TOKS}) >= 20 AS INTEGER) AS len_ok
