@@ -207,6 +207,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_assignments": ivf_assignments,
     "knn_cosine_ivf": knn_cosine_ivf,  # rows-only; recall asserted in pytest
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    # rows-only: the per-dimension mean -> reassemble -> cosine chain has no
+    # tractably-identical SQL twin; shape checked by the driver, cohesion
+    # property (own-label centroid closest on average) in pytest.
+    "label_centroid_sim": label_centroid_sim,
 }
 
 # Engine-neutral cosine for the oracle: identical sequential fold via

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dic_a1_spark.config import SPARK_WS_REGEX, sql_stopword_list
@@ -138,7 +138,42 @@ def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF: top 10 terms per source by group document frequency x
+    inverse corpus document frequency.
+
+    tf(word, source) = docs in source containing word; idf(word) =
+    ln(N / df(word)). The same tidy (word, group, n) frame the chi-square
+    pipeline aggregates — one explode-groupBy shuffle plus a per-word
+    window sum; the global N broadcasts. ln is computed on exact integer
+    ratios in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("word")
+    ).where(F.col("word") != "")
+    tf = tok.groupBy("word", "source").agg(F.count("*").alias("tf"))
+    word_win = Window.partitionBy("word")
+    n_docs = d.count()  # tiny driver-side scalar; exact
+    scored = tf.withColumn("df", F.sum("tf").over(word_win)).select(
+        "word",
+        "source",
+        "tf",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("source", "word", "tf", "tfidf", "rank")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
@@ -176,6 +211,33 @@ for _lang in reversed(list(_LANG_MARKERS)):
 _PRED_SQL = f"CASE WHEN {_BEST_SQL} = 0 THEN 'und' ELSE {_PRED_SQL} END"
 
 ORACLES: dict[str, str] = {
+    "text_tfidf_top_terms": f"""
+        WITH tok AS (
+            SELECT doc_id, source, unnest(list_distinct({_TOKS})) AS word
+            FROM documents
+        ),
+        tf AS (
+            SELECT word, source, count(*) AS tf
+            FROM tok WHERE word <> '' GROUP BY 1, 2
+        ),
+        tot AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+            SELECT word, source, tf,
+                   round(CAST(tf AS DOUBLE)
+                         * ln(CAST(n AS DOUBLE)
+                              / CAST(sum(tf) OVER (PARTITION BY word) AS DOUBLE)),
+                         6) AS tfidf
+            FROM tf CROSS JOIN tot
+        ),
+        ranked AS (
+            SELECT source, word, tf, tfidf,
+                   CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY tfidf DESC, word ASC
+                   ) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT source, word, tf, tfidf, rank FROM ranked WHERE rank <= 10
+    """,
     "text_token_stats": f"""
         SELECT doc_id,
                CAST(len({_TOKS}) AS INTEGER) AS n_tokens,

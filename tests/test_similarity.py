@@ -26,3 +26,13 @@ def test_ivf_recall_vs_bruteforce(spark):
     # every IVF result must be a real vector pair with sane sim
     for r in ivf:
         assert -1.0001 <= r["sim"] <= 1.0001
+
+
+def test_label_centroid_cohesion(spark):
+    """Vectors should on average sit closer to their own label's centroid
+    than to the global average similarity — a sanity property of the
+    vector-aggregation chain (posexplode -> per-dim mean -> cosine)."""
+    rows = similarity.QUERIES["label_centroid_sim"](spark, SF_SMOKE).collect()
+    assert rows and all(-1.0001 <= r["centroid_sim"] <= 1.0001 for r in rows)
+    mean_sim = sum(r["centroid_sim"] for r in rows) / len(rows)
+    assert mean_sim > 0, "own-centroid similarity should be positive on average"
