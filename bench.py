@@ -63,6 +63,14 @@ def main() -> None:
         df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # Reference-comparable throughput: documents/second through the full
+    # chi-square pipeline (the reference reports ~55K reviews/s end-to-end
+    # on its 56 GB cluster run — BASELINE.md).
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    docs_per_sec = (
+        round(n_docs / timings["chisq_top75"], 1) if timings.get("chisq_top75") else None
+    )
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -72,6 +80,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "chisq_docs_per_sec": docs_per_sec,
             }
         )
     )

@@ -250,11 +250,12 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     Per bit j: sign of sum over tokens of (+1 if bit j of xxhash64(token)
     else -1); all 64 bit-sums run in ONE hash aggregate over the exploded
     tokens, then the signature reassembles as a single projection."""
-    tok = (
-        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("word"))
-        .distinct()
-        .withColumn("h", F.xxhash64("word"))
-    )
+    # array_distinct BEFORE the explode: per-doc dedup without a shuffle
+    # (a post-explode .distinct() would add a full exchange on (doc, word)).
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_tokens(F.col("text")))).alias("word"),
+    ).withColumn("h", F.xxhash64("word"))
     bit_sums = tok.groupBy("doc_id").agg(
         *[
             F.sum(

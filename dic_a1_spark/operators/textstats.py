@@ -138,6 +138,30 @@ def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop decision per document — the C4-style cleaning
+    gate a training-data pipeline runs before dedup. Each signal is its own
+    flag column (auditable: you can aggregate drop reasons), `keep` is
+    their conjunction. Map-only plan: scales with input splits, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*_stop_list()))).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    flag_len = (F.size(toks) >= 10).cast("int")
+    flag_stop = ((n > 0) & (n_stop / n <= 0.6)).cast("int")
+    flag_distinct = ((n > 0) & (n_distinct / n >= 0.3)).cast("int")
+    flag_chars = (F.length("text") >= 50).cast("int")
+    return d.select(
+        "doc_id",
+        flag_len.alias("flag_min_tokens"),
+        flag_stop.alias("flag_stopword_ratio"),
+        flag_distinct.alias("flag_distinct_ratio"),
+        flag_chars.alias("flag_min_chars"),
+        (flag_len * flag_stop * flag_distinct * flag_chars).alias("keep"),
+    )
+
+
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus TF-IDF: top 10 terms per source by group document frequency x
     inverse corpus document frequency.
@@ -173,6 +197,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_quality_filter": text_quality_filter,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -211,6 +236,31 @@ for _lang in reversed(list(_LANG_MARKERS)):
 _PRED_SQL = f"CASE WHEN {_BEST_SQL} = 0 THEN 'und' ELSE {_PRED_SQL} END"
 
 ORACLES: dict[str, str] = {
+    "text_quality_filter": f"""
+        WITH feat AS (
+            SELECT doc_id,
+                   len({_TOKS}) AS n,
+                   len(list_filter({_TOKS}, w -> w IN ({_STOPLIST}))) AS n_stop,
+                   len(list_distinct({_TOKS})) AS n_distinct,
+                   length(text) AS n_chars
+            FROM documents
+        ),
+        flags AS (
+            SELECT doc_id,
+                   CAST(n >= 10 AS INTEGER) AS flag_min_tokens,
+                   CAST(n > 0 AND CAST(n_stop AS DOUBLE) / CAST(n AS DOUBLE) <= 0.6
+                        AS INTEGER) AS flag_stopword_ratio,
+                   CAST(n > 0 AND CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE) >= 0.3
+                        AS INTEGER) AS flag_distinct_ratio,
+                   CAST(n_chars >= 50 AS INTEGER) AS flag_min_chars
+            FROM feat
+        )
+        SELECT doc_id, flag_min_tokens, flag_stopword_ratio,
+               flag_distinct_ratio, flag_min_chars,
+               flag_min_tokens * flag_stopword_ratio
+                   * flag_distinct_ratio * flag_min_chars AS keep
+        FROM flags
+    """,
     "text_tfidf_top_terms": f"""
         WITH tok AS (
             SELECT doc_id, source, unnest(list_distinct({_TOKS})) AS word
