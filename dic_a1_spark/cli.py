@@ -46,6 +46,36 @@ def _cmd_chisq(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_query(args: argparse.Namespace) -> int:
+    from dic_a1_spark.registry import all_queries
+    from dic_a1_spark.session import get_spark
+
+    qs = all_queries()
+    if args.name == "list" or args.name not in qs:
+        for name in sorted(qs):
+            print(name)
+        return 0 if args.name == "list" else 2
+
+    spark = get_spark(app_name=f"dic_a1_spark-{args.name}", master=args.master)
+    t0 = time.perf_counter()
+    df = qs[args.name](spark, args.sf_dir)
+    rows = df.limit(args.limit).collect() if args.limit else df.collect()
+    n = df.count()
+    print(
+        json.dumps(
+            {
+                "query": args.name,
+                "rows": n,
+                "elapsed_sec": round(time.perf_counter() - t0, 3),
+                "sample": [r.asDict() for r in rows[:10]],
+            },
+            default=str,
+        )
+    )
+    spark.stop()
+    return 0
+
+
 def _cmd_bench(args: argparse.Namespace) -> int:
     import os
     import subprocess
@@ -71,6 +101,13 @@ def main(argv: list[str] | None = None) -> int:
     p_bench = sub.add_parser("bench", help="run the benchmark harness")
     p_bench.add_argument("--sf-dir", default=None)
     p_bench.set_defaults(fn=_cmd_bench)
+
+    p_query = sub.add_parser("query", help="run a registered query by name")
+    p_query.add_argument("name", help="query name, or 'list' to enumerate")
+    p_query.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_query.add_argument("--limit", type=int, default=10, help="sample row cap")
+    p_query.add_argument("--master", default=None)
+    p_query.set_defaults(fn=_cmd_query)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -138,6 +138,45 @@ def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_grouped_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language n_chars quartiles via grouped applyInPandas — the
+    engine's 'custom reducer' escape hatch (SURVEY.md §2.9: the analogue of
+    an mrjob reducer), exercised where built-ins could also do the job so
+    the Arrow grouped-map path itself is oracle-gated.
+
+    The quartile rule is percentile_disc (smallest element with cumulative
+    distribution >= p), implemented index-exactly in pandas so DuckDB's
+    percentile_disc is a bit-identical twin. State per group = one sorted
+    column — fine for dimension-bounded groups; for heavy groups prefer the
+    built-in percentile_approx (see events_approx_stats)."""
+    import math
+
+    import pandas as pd
+
+    def quartiles(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = pdf["n_chars"].sort_values().to_numpy()
+        n = len(xs)
+
+        def disc(p: float):
+            return xs[max(0, math.ceil(p * n) - 1)]
+
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [n],
+                "q1_chars": [disc(0.25)],
+                "median_chars": [disc(0.5)],
+                "q3_chars": [disc(0.75)],
+            }
+        )
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return d.groupBy("lang").applyInPandas(
+        quartiles,
+        "lang string, n_docs long, q1_chars long, median_chars long, q3_chars long",
+    )
+
+
 def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite keep/drop decision per document — the C4-style cleaning
     gate a training-data pipeline runs before dedup. Each signal is its own
@@ -197,6 +236,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "docs_grouped_quartiles": docs_grouped_quartiles,
     "text_quality_filter": text_quality_filter,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_token_stats": text_token_stats,
@@ -236,6 +276,13 @@ for _lang in reversed(list(_LANG_MARKERS)):
 _PRED_SQL = f"CASE WHEN {_BEST_SQL} = 0 THEN 'und' ELSE {_PRED_SQL} END"
 
 ORACLES: dict[str, str] = {
+    "docs_grouped_quartiles": """
+        SELECT lang, count(*) AS n_docs,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS q1_chars,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS median_chars,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS q3_chars
+        FROM documents GROUP BY lang
+    """,
     "text_quality_filter": f"""
         WITH feat AS (
             SELECT doc_id,

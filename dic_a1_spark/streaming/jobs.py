@@ -143,6 +143,47 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
     )
 
 
+def clicks_before_purchases(stream: DataFrame) -> DataFrame:
+    """Stream-stream interval self-join: purchases matched to the same
+    user's clicks from the preceding 30 minutes.
+
+    Both sides are filtered branches of one source stream, each with its
+    own watermark; the event-time range condition lets Spark expire join
+    state (a click older than purchase-watermark - 30 min can never match
+    again). This is the streaming twin of the batch bucketized range join
+    (operators.events.events_range_join_error_clicks' shape) — asserted
+    equal to a static join in tests/test_streaming.py."""
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            """
+            c_user_id = user_id AND
+            click_ts < purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL 30 MINUTES
+            """
+        ),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+
 def run_to_memory(
     result: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> None:

@@ -45,6 +45,38 @@ def test_stream_dedup_within_watermark(spark):
         _rows(want_keys, ["user_id", "event_type"])
 
 
+def test_stream_stream_interval_join_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from dic_a1_spark.sources.readers import load_table
+
+    stream = jobs.read_events_stream(spark, SF_SMOKE)
+    jobs.run_to_memory(
+        jobs.clicks_before_purchases(stream), "t_ssjoin", output_mode="append"
+    )
+    got = spark.table("t_ssjoin").select("purchase_id", "click_id")
+
+    e = load_table(spark, SF_SMOKE, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = purchases.join(
+        clicks,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select("purchase_id", "click_id")
+    cols = ["purchase_id", "click_id"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
 def test_stream_stateful_running_stats(spark):
     from pyspark.sql import functions as F
 
