@@ -35,11 +35,18 @@ def write_raw_text(df: DataFrame, path: str, single_file: bool = True) -> None:
 
 
 def write_json_kv(df: DataFrame, key: str, value_cols: list[str], path: str) -> None:
-    """Stage-1-style sink: ``to_json(key)\\tto_json(struct(values))`` lines,
-    parallel part files (reference stage 1 wrote 32 parts)."""
+    """Stage-1-style sink: ``json(key)\\tjson({values})`` lines, parallel
+    part files (reference stage 1 wrote 32 parts; format re-parsed by
+    operators.goldens.read_wordcount_kv — round-trip tested).
+
+    to_json can't encode a bare STRING, so the key is encoded via a
+    one-element array with the brackets stripped — this preserves JSON
+    escaping (quotes, non-ASCII) exactly as json.dumps does."""
+    arr_json = F.to_json(F.array(F.col(key)))
+    key_json = arr_json.substr(F.lit(2), F.length(arr_json) - F.lit(2))
     line = F.concat_ws(
         "\t",
-        F.to_json(F.col(key)),
+        key_json,
         F.to_json(F.struct(*[F.col(c) for c in value_cols])),
     ).alias("value")
     df.select(line).write.mode("overwrite").text(path)

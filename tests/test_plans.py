@@ -52,6 +52,15 @@ def test_window_running_total_single_shuffle(spark):
     assert a["exchanges"] == 1  # partition by custkey, sort within
 
 
+def test_every_registered_query_analyzes(spark):
+    """Catalyst analysis (schema resolution) must succeed for all
+    registered queries — catches registry entries broken by refactors
+    without paying for execution."""
+    for name, fn in all_queries().items():
+        cols = fn(spark, SF_CORRECT).columns
+        assert cols, f"{name} resolved to an empty schema"
+
+
 def test_codegen_everywhere(spark):
     for name in ["q1_pricing_summary", "join_sort_merge_facts", "chisq_top75"]:
         df = all_queries()[name](spark, SF_CORRECT)
