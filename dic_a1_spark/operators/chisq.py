@@ -89,7 +89,11 @@ def chi2_scores(
     """
     wc = doc_frequency(docs, id_col, category_col, text_col)
     cat = category_totals(docs, category_col)
-    total = docs.agg(F.count("*").alias("n_total"))
+    # Derive the global total from the category totals (sum of 22-ish rows)
+    # instead of a third scan of docs — at 100 TB that's one fewer pass
+    # over the corpus; the remaining two scans are column-pruned to
+    # (text, category) and (category) respectively.
+    total = cat.agg(F.sum("cat_n").alias("n_total"))
 
     word_win = Window.partitionBy("word")
     scored = (

@@ -41,8 +41,10 @@ def test_chisq_flagship_plan_shape(spark):
     a = _audit(spark, "chisq_top75")
     assert a["broadcast_join"], "category/global totals must broadcast"
     # data-proportional shuffles: groupBy(word,category) + word window +
-    # category top-k window; dimension-sized: category totals + global count
-    assert a["exchanges"] <= 5
+    # category top-k window; dimension-sized: category totals + the
+    # derived global total (an agg over the ~22-row category frame, which
+    # costs one tiny exchange but saves a third full corpus scan)
+    assert a["exchanges"] <= 6
     # scan reads only (text, lang)
     assert "struct<text:string,lang:string>" in a["read_schemas"]
 
