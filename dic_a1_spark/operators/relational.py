@@ -464,7 +464,75 @@ def scalar_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile bucket, percent_rank, and
+    cume_dist over customer balances per market segment. All three are
+    exact rationals of rank/count — identical division both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL: multiplicities subtract instead of the
+    distinct EXCEPT — order lines per partkey minus one occurrence per
+    order in 'F' status. Exercises the multiset path Spark implements via
+    a count-and-replicate aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    all_parts = li.select("l_partkey")
+    f_parts = (
+        li.join(o.where(F.col("o_orderstatus") == "F"),
+                li.l_orderkey == o.o_orderkey)
+        .select("l_partkey")
+    )
+    return all_parts.exceptAll(f_parts).groupBy("l_partkey").agg(
+        F.count("*").alias("n_remaining")
+    )
+
+
+def agg_pivot_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrame pivot API (groupBy().pivot() with an explicit value
+    list — never the implicit distinct-scan form at scale): order counts
+    per priority x status."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): rows with a
+    NULL key match each other instead of vanishing — the semantics
+    difference every SQL engine must get right. Keys are made partially
+    NULL via nullif to exercise both paths."""
+    c = load_table(spark, sf_dir, "customer")
+    left = c.select(
+        "c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    ).alias("l")
+    seg_stats = (
+        left.groupBy("seg").agg(F.count("*").alias("n_in_seg")).alias("s")
+    )
+    joined = left.join(
+        seg_stats, F.col("l.seg").eqNullSafe(F.col("s.seg"))
+    )
+    return joined.select("c_custkey", F.col("l.seg").alias("seg"), "n_in_seg")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "window_ntile_cume": window_ntile_cume,
+    "set_except_all": set_except_all,
+    "agg_pivot_api": agg_pivot_api,
+    "join_null_safe": join_null_safe,
     "q1_pricing_summary": q1_pricing_summary,
     "q6_forecast_revenue": q6_forecast_revenue,
     "agg_distinct": agg_distinct,
@@ -496,6 +564,41 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "window_ntile_cume": """
+        SELECT c_custkey, c_mktsegment,
+               CAST(ntile(4) OVER w AS INTEGER) AS balance_quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    "set_except_all": """
+        WITH all_parts AS (SELECT l_partkey FROM lineitem),
+        f_parts AS (
+            SELECT l_partkey FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        ),
+        remaining AS (SELECT l_partkey FROM all_parts EXCEPT ALL
+                      SELECT l_partkey FROM f_parts)
+        SELECT l_partkey, count(*) AS n_remaining FROM remaining GROUP BY l_partkey
+    """,
+    "agg_pivot_api": """
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "join_null_safe": """
+        WITH lhs AS (
+            SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+            FROM customer
+        ),
+        stats AS (SELECT seg, count(*) AS n_in_seg FROM lhs GROUP BY seg)
+        SELECT l.c_custkey, l.seg, s.n_in_seg
+        FROM lhs l JOIN stats s ON l.seg IS NOT DISTINCT FROM s.seg
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
