@@ -76,6 +76,25 @@ def _cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_explain(args: argparse.Namespace) -> int:
+    from dic_a1_spark.plans.explain import formatted_plan, plan_audit
+    from dic_a1_spark.registry import all_queries
+    from dic_a1_spark.session import get_spark
+
+    qs = all_queries()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; try: python -m dic_a1_spark.cli query list")
+        return 2
+    spark = get_spark(app_name=f"dic_a1_spark-explain-{args.name}")
+    df = qs[args.name](spark, args.sf_dir)
+    audit = plan_audit(df)
+    if args.full:
+        print(formatted_plan(df))
+    print(json.dumps({"query": args.name, **audit}))
+    spark.stop()
+    return 0
+
+
 def _cmd_bench(args: argparse.Namespace) -> int:
     import os
     import subprocess
@@ -108,6 +127,14 @@ def main(argv: list[str] | None = None) -> int:
     p_query.add_argument("--limit", type=int, default=10, help="sample row cap")
     p_query.add_argument("--master", default=None)
     p_query.set_defaults(fn=_cmd_query)
+
+    p_explain = sub.add_parser(
+        "explain", help="plan audit (pushdown/broadcast/exchanges) for a query"
+    )
+    p_explain.add_argument("name")
+    p_explain.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_explain.add_argument("--full", action="store_true", help="print full plan")
+    p_explain.set_defaults(fn=_cmd_explain)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -138,6 +138,17 @@ def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling — the reproducible way to sample at
+    scale (rand()-based sampling changes under retries and repartitioning;
+    a content-keyed hash never does). Keeps docs whose md5(doc_id) starts
+    with a fixed nibble: an exact, engine-neutral 1/16 systematic sample."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "a"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def docs_grouped_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language n_chars quartiles via grouped applyInPandas — the
     engine's 'custom reducer' escape hatch (SURVEY.md §2.9: the analogue of
@@ -236,6 +247,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "docs_hash_sample": docs_hash_sample,
     "docs_grouped_quartiles": docs_grouped_quartiles,
     "text_quality_filter": text_quality_filter,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -276,6 +288,11 @@ for _lang in reversed(list(_LANG_MARKERS)):
 _PRED_SQL = f"CASE WHEN {_BEST_SQL} = 0 THEN 'und' ELSE {_PRED_SQL} END"
 
 ORACLES: dict[str, str] = {
+    "docs_hash_sample": """
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'a'
+    """,
     "docs_grouped_quartiles": """
         SELECT lang, count(*) AS n_docs,
                percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS q1_chars,

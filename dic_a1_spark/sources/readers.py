@@ -131,6 +131,27 @@ def read_reviews_json(
     )
 
 
+def write_read_format(
+    df: DataFrame, path: str, fmt: str, schema: StructType | None = None
+) -> DataFrame:
+    """Round-trip helper covering the engine's source/sink format breadth:
+    parquet, orc, csv (header + explicit schema on read — never inference
+    at scale), and json. Columnar formats keep pushdown and pruning; the
+    text formats exist for interchange and always need the schema supplied
+    (tests/test_formats.py asserts value-identical round-trips)."""
+    spark = df.sparkSession
+    writer = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(path)
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def read_stopwords(spark: SparkSession, path: str) -> DataFrame:
     """Read a stopwords side file (one word per line; duplicate lines are
     harmless — they collapse in the distinct). Reference loads this into a
