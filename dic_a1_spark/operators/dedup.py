@@ -241,6 +241,90 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_band_buckets(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
+    """(doc_id, bucket): one row per (doc, LSH band) with the bucket key
+    collapsed to a single hash — the bipartite doc-bucket graph."""
+    sig = minhash_signatures(docs, shingles=shingles)
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col("sig")[b * MINHASH_ROWS + r] for r in range(MINHASH_ROWS)],
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bucket"),
+    )
+
+
+def minhash_label_groups(docs: DataFrame, n_iter: int = 3) -> DataFrame:
+    """(doc_id, group_id): near-dup GROUP assignment without pairwise
+    candidate enumeration.
+
+    Why this exists: tools/scale_smoke.py shows that with realistic
+    duplicate clusters, emitting candidate *pairs* is quadratic in cluster
+    size (20 copies -> 190 pairs each). For dedup you don't need pairs —
+    you need a representative per cluster. This runs label propagation on
+    the bipartite doc<->LSH-bucket graph: alternately push the min label
+    doc->bucket and bucket->doc. Cost per iteration is two shuffles LINEAR
+    in |doc-bucket edges| (4 per doc), independent of cluster sizes; exact
+    duplicates share every bucket and collapse in one iteration, chains of
+    near-dups converge within graph diameter (n_iter bounds it; components
+    with larger diameter may keep >1 label - conservative, never wrong-
+    merges). The 100 TB shape of MinHash dedup."""
+    from pyspark import StorageLevel
+    # Persist the doc-bucket graph: every iteration joins against it, and
+    # without the persist each join would recompute the whole
+    # tokenize->shingle->signature chain (iterative algorithms are THE
+    # case for explicit materialization in Spark).
+    edges = minhash_band_buckets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    for _ in range(n_iter):
+        bucket_min = (
+            edges.join(labels, "doc_id")
+            .groupBy("bucket")
+            .agg(F.min("label").alias("bucket_label"))
+        )
+        propagated = (
+            edges.join(bucket_min, "bucket")
+            .groupBy("doc_id")
+            .agg(F.min("bucket_label").alias("new_label"))
+        )
+        new_labels = (
+            labels.join(propagated, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("new_label", "label")).alias(
+                    "label"
+                ),
+                F.col("label").alias("_old"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # Convergence check: exact duplicates collapse in one pass (they
+        # share every bucket), so most corpora stop after iteration 1+check
+        # instead of running the full n_iter budget. One cheap action per
+        # iteration buys skipping whole shuffle rounds.
+        changed = new_labels.where(F.col("label") != F.col("_old")).count()
+        old = labels
+        labels = new_labels.drop("_old")
+        old.unpersist()
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("group_id"))
+
+
+def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_label_groups(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash (rows-only; properties verified in pytest)
 # ---------------------------------------------------------------------------
@@ -323,6 +407,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_tokenset_groups": dedup_tokenset_groups,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_minhash_pairs": dedup_minhash_pairs,  # rows-only (xxhash64)
+    "dedup_minhash_groups": dedup_minhash_groups,  # rows-only (xxhash64)
     "dedup_simhash_pairs": dedup_simhash_pairs,  # rows-only (xxhash64)
 }
 

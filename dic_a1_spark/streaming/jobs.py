@@ -184,6 +184,28 @@ def clicks_before_purchases(stream: DataFrame) -> DataFrame:
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
 
 
+def run_to_files(
+    result: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Drain the stream to parquet files with a checkpoint — the
+    production sink shape. The checkpoint records source offsets and sink
+    commits, so a restart resumes exactly where the last run stopped and
+    never re-emits processed data (exactly-once for file sinks; asserted
+    by the restart test in tests/test_streaming.py)."""
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(
     result: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> None:

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from dic_a1_spark.operators import dedup
@@ -46,3 +48,30 @@ def test_exact_dedup_consistency(spark):
     keep = dedup.QUERIES["dedup_exact_keep"](spark, SF_SMOKE).count()
     assert keep == len(groups)
     assert sum(g["n_docs"] for g in groups) == 500
+
+
+def test_minhash_groups_cover_pairs_without_enumeration(spark):
+    """Group assignment must (a) put every reported near-dup pair in one
+    group, (b) put exact-duplicate texts in one group, (c) assign every
+    doc exactly one group."""
+    labels = {
+        r["doc_id"]: r["group_id"]
+        for r in dedup.QUERIES["dedup_minhash_groups"](spark, SF_SMOKE).collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert len(labels) == docs.count()
+
+    # (a) every LSH near-dup pair shares a group after propagation
+    for r in dedup.QUERIES["dedup_minhash_pairs"](spark, SF_SMOKE).collect():
+        assert labels[r["doc1"]] == labels[r["doc2"]], (r["doc1"], r["doc2"])
+
+    # (b) identical texts (with >= 3 tokens -> nonempty signature) collapse
+    dup_groups = (
+        docs.groupBy("text")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") > 1)
+        .collect()
+    )
+    for g in dup_groups:
+        grp = {labels[i] for i in g["ids"]}
+        assert len(grp) == 1, f"exact duplicates split across groups: {g['ids']}"

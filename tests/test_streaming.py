@@ -45,6 +45,27 @@ def test_stream_dedup_within_watermark(spark):
         _rows(want_keys, ["user_id", "event_type"])
 
 
+def test_checkpointed_file_sink_is_exactly_once(spark, tmp_path):
+    """Restarting a checkpointed query against an unchanged source must
+    process nothing new — the offset log prevents re-emission."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = jobs.read_events_stream(spark, SF_SMOKE)
+    flat = stream.select("event_id", "user_id", "event_type")
+    jobs.run_to_files(flat, out, ckpt)
+    first = spark.read.parquet(out).count()
+
+    # restart: same source, same checkpoint -> no duplicates
+    stream2 = jobs.read_events_stream(spark, SF_SMOKE)
+    jobs.run_to_files(
+        stream2.select("event_id", "user_id", "event_type"), out, ckpt
+    )
+    again = spark.read.parquet(out)
+    assert again.count() == first
+    assert again.select("event_id").distinct().count() == first
+
+
 def test_stream_stream_interval_join_matches_batch(spark):
     from pyspark.sql import functions as F
 
