@@ -1,0 +1,89 @@
+"""Spark ML integration: the library path for clustering and LSH.
+
+The hand-rolled operators elsewhere (operators/similarity.py IVF,
+operators/dedup.py MinHash) show the algorithms as explicit DataFrame
+plans; this module shows the same capabilities through spark.ml — the
+route a production pipeline usually takes (Pipeline persistence,
+mergeable models, distributed fit). Rows-only driver checks (model
+internals aren't SQL-reproducible); determinism and quality properties
+are asserted in tests/test_ml_ops.py.
+
+Scale notes: KMeans fit is iterative map-reduce over cached features
+(linear per iteration); MinHashLSH transform is a map-only signature
+computation with approxSimilarityJoin doing the same band-bucket
+equi-join our hand-rolled LSH does.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dic_a1_spark.sources.readers import load_table
+
+KMEANS_K = 8
+SEED = 42
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+
+
+def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans coarse quantizer fit with a fixed seed — the trained
+    codebook the IVF index would use in production (vs the deterministic
+    first-K codebook in operators/similarity.py)."""
+    from pyspark.ml.clustering import KMeans
+
+    feats = _features(spark, sf_dir)
+    model = KMeans(k=KMEANS_K, seed=SEED, maxIter=10).fit(feats)
+    return model.transform(feats).select(
+        "vec_id", "label", F.col("prediction").alias("cluster")
+    )
+
+
+def ml_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.ml MinHashLSH near-dup pairs over binarized token features —
+    approxSimilarityJoin on Jaccard distance. The library twin of
+    operators/dedup.py's hand-rolled banding."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    from dic_a1_spark.functions.text import tokens_distinct
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.filter(tokens_distinct(F.col("text")), lambda w: w != "").alias("toks")
+    ).where(F.size("toks") > 0)
+    cv = CountVectorizer(
+        inputCol="toks", outputCol="features", binary=True, minDF=1.0
+    ).fit(toks)
+    feats = cv.transform(toks).select("doc_id", "features")
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=4, seed=SEED
+    ).fit(feats)
+    pairs = lsh.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc1"),
+            F.col("datasetB.doc_id").alias("doc2"),
+            F.round(F.lit(1.0) - F.col("jaccard_dist"), 4).alias("jaccard"),
+        )
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ml_kmeans_clusters": ml_kmeans_clusters,   # rows-only (iterative fit)
+    "ml_minhash_neardups": ml_minhash_neardups,  # rows-only (model hashes)
+}
+
+ORACLES: dict[str, str] = {}
