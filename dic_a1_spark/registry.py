@@ -25,6 +25,8 @@ _MODULES = (
     "dic_a1_spark.operators.tpch_extra",
     "dic_a1_spark.operators.udxf",
     "dic_a1_spark.operators.ml_ops",
+    "dic_a1_spark.operators.ngrams",
+    "dic_a1_spark.operators.sketches",
 )
 
 
