@@ -163,12 +163,14 @@ def minhash_signatures(
     shingles (fewer than SHINGLE_WIDTH tokens) are excluded, matching the
     previous grouped form."""
     arrs = _with_shingle_arrays(docs) if shingle_arrays is None else shingle_arrays
+    # SQL-text lambdas, NOT F.transform(col, python_lambda): with multiple
+    # Python-lambda HOFs in one projection, PySpark 4.1 cross-wires the
+    # lambda variables (h0 silently returns another column's hash, and the
+    # wiring varies run to run). SQL-parsed lambdas scope their variables
+    # correctly. Regression-pinned by test_minhash_signatures_deterministic.
     hashes = [
-        F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s)),
-            )
+        F.expr(
+            f"array_min(transform(shingles, s -> xxhash64(concat('mh{i}:', s))))"
         ).alias(f"h{i}")
         for i in range(MINHASH_HASHES)
     ]
@@ -226,44 +228,39 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair space; verification removes false positives, so output precision
     is exact and only recall depends on the banding parameters.
 
-    Verification is computed ONLY over candidate pairs (shingle join
-    restricted to the candidate set) — the whole point of LSH at scale is
-    never materializing the full pair space.
+    Verification is computed ONLY over candidate pairs — the whole point
+    of LSH at scale is never materializing the full pair space. It runs
+    as two equi-joins on doc_id that pull each side's (distinct) shingle
+    array onto the candidate row, then `size(array_intersect(...))` gives
+    the shared count map-side. This replaces an exploded inverted-index
+    double-join + per-pair groupBy: candidates are a vanishing fraction
+    of the corpus, so shipping two compact arrays per candidate beats
+    re-shuffling every (doc, shingle) row of the corpus through a join.
 
-    The per-doc shingle ARRAYS feed three consumers (map-only signatures,
-    map-only sizes, and the exploded index for shared counts); without a
-    persist Spark recomputes the tokenize+shingle scan for each.
-    MEMORY_AND_DISK persist makes it compute-once — at 100 TB this is the
-    classic checkpoint point (materialize once, reuse across the LSH and
-    verification stages)."""
+    The per-doc shingle ARRAYS feed both consumers (map-only signatures
+    and verification); without a persist Spark recomputes the
+    tokenize+shingle scan for each. MEMORY_AND_DISK persist makes it
+    compute-once — at 100 TB this is the classic checkpoint point
+    (materialize once, reuse across the LSH and verification stages)."""
     from pyspark import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
     arrs = _with_shingle_arrays(docs).persist(StorageLevel.MEMORY_AND_DISK)
     cand = minhash_candidate_pairs(docs, shingle_arrays=arrs)
-    sizes = arrs.where(F.size("shingles") > 0).select(
-        "doc_id", F.size("shingles").alias("n_sh")
-    )
-    sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
-    shared = (
-        cand.join(sh.alias("s1"), cand.doc1 == F.col("s1.doc_id"))
-        .join(
-            sh.alias("s2"),
-            (cand.doc2 == F.col("s2.doc_id"))
-            & (F.col("s1.shingle") == F.col("s2.shingle")),
-        )
-        .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("n_shared"))
-    )
     return (
-        shared.join(sizes.withColumnRenamed("doc_id", "doc1")
-                    .withColumnRenamed("n_sh", "n1"), "doc1")
-        .join(sizes.withColumnRenamed("doc_id", "doc2")
-              .withColumnRenamed("n_sh", "n2"), "doc2")
+        cand.join(
+            arrs.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1")),
+            "doc1",
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("sh2")),
+            "doc2",
+        )
+        .withColumn("n_shared", F.size(F.array_intersect("sh1", "sh2")))
         .withColumn(
             "jaccard",
             F.col("n_shared").cast("double")
-            / (F.col("n1") + F.col("n2") - F.col("n_shared")).cast("double"),
+            / (F.size("sh1") + F.size("sh2") - F.col("n_shared")).cast("double"),
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc1", "doc2", "jaccard")

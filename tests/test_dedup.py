@@ -75,3 +75,28 @@ def test_minhash_groups_cover_pairs_without_enumeration(spark):
     for g in dup_groups:
         grp = {labels[i] for i in g["ids"]}
         assert len(grp) == 1, f"exact duplicates split across groups: {g['ids']}"
+
+
+def test_minhash_signatures_deterministic(spark):
+    """Regression: with multiple Python-lambda higher-order functions in
+    one projection, PySpark 4.1 cross-wires the lambda variables — h0
+    silently returned another hash column's value and the wiring varied
+    run to run (signatures differed on every doc across two invocations
+    of the same query). minhash_signatures therefore builds its 16 hash
+    columns from SQL-text lambdas. Pin (a) run-to-run stability and
+    (b) h0 against an independently computed min-hash."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    sig1 = {r["doc_id"]: tuple(r["sig"]) for r in dedup.minhash_signatures(docs).collect()}
+    sig2 = {r["doc_id"]: tuple(r["sig"]) for r in dedup.minhash_signatures(docs).collect()}
+    assert sig1 == sig2
+
+    # independent ground truth for one doc: explode + plain xxhash64 + min
+    some_id = next(iter(sig1))
+    arr = (
+        dedup._with_shingle_arrays(docs)
+        .where(F.col("doc_id") == some_id)
+        .select(F.explode("shingles").alias("s"))
+        .select(F.min(F.xxhash64(F.concat(F.lit("mh0:"), F.col("s")))).alias("h0"))
+        .collect()[0]["h0"]
+    )
+    assert sig1[some_id][0] == arr
