@@ -383,9 +383,12 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _urgent_custkeys(spark, sf_dir).exceptAll(
+    # subtract() is distinct-EXCEPT (SQL EXCEPT): a key present on both sides
+    # is removed regardless of multiplicities. exceptAll().distinct() would
+    # instead keep keys whose left multiplicity exceeds the right's.
+    return _urgent_custkeys(spark, sf_dir).subtract(
         _bigspender_custkeys(spark, sf_dir)
-    ).distinct()
+    )
 
 
 # --------------------------------------------------------------------------
