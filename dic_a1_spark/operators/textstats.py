@@ -227,16 +227,23 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("word") != "")
     tf = tok.groupBy("word", "source").agg(F.count("*").alias("tf"))
     word_win = Window.partitionBy("word")
-    n_docs = d.count()  # tiny driver-side scalar; exact
-    scored = tf.withColumn("df", F.sum("tf").over(word_win)).select(
-        "word",
-        "source",
-        "tf",
-        F.round(
-            F.col("tf").cast("double")
-            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
-            6,
-        ).alias("tfidf"),
+    # Global N stays in the DAG as a 1-row aggregate broadcast into the
+    # scored frame (the chisq total pattern) — no driver-side action, no
+    # extra eager pass over documents, and the query composes lazily.
+    n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.withColumn("df", F.sum("tf").over(word_win))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "word",
+            "source",
+            "tf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("word"))
     return (
