@@ -109,16 +109,37 @@ def dedup_tokenset_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact shingle-Jaccard near-dup pairs above JACCARD_THRESHOLD.
+def _drop_hot_shingles(sh: DataFrame, max_shingle_df: int) -> DataFrame:
+    """Frequency ceiling for the inverted index: remove shingles appearing
+    in more than `max_shingle_df` documents BEFORE the self-join. One viral
+    shingle with document frequency f contributes O(f^2) join rows; by Zipf
+    the hot set itself is tiny, so it broadcasts and the prune is a cheap
+    broadcast anti-join. Jaccard downstream is then exact over the FILTERED
+    shingle universe (both numerator and denominators post-filter) — a
+    well-defined semantics, not a silent undercount."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("sh_df"))
+        .where(F.col("sh_df") > max_shingle_df)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
-    Inverted-index plan: self-join the (doc, shingle) index on shingle with
-    doc1 < doc2 — only pairs sharing at least one shingle are ever
-    materialized, then jaccard = |shared| / (|s1| + |s2| - |shared|) from
-    exact integer counts (single division, bit-exact vs the oracle).
-    At 100 TB you'd cap hot shingles (frequency ceiling) or go straight to
-    MinHash-LSH below; the plan shape is the same."""
-    sh = _with_shingles(load_table(spark, sf_dir, "documents"))
+
+def jaccard_pairs_from_index(
+    sh: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard pairs from a (doc_id, shingle) inverted index.
+
+    Self-join on shingle with doc1 < doc2 — only pairs sharing at least one
+    shingle are ever materialized, then jaccard = |shared| / (|s1| + |s2| -
+    |shared|) from exact integer counts (single division, bit-exact vs the
+    oracle). `max_shingle_df` is the 100 TB guard (SCALING.md): cap hot
+    shingles so no single key can contribute O(f^2) join rows."""
+    if max_shingle_df is not None:
+        sh = _drop_hot_shingles(sh, max_shingle_df)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -140,9 +161,20 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_shared").cast("double")
             / (F.col("n1") + F.col("n2") - F.col("n_shared")).cast("double"),
         )
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .where(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
     )
+
+
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs above JACCARD_THRESHOLD.
+
+    Registered (oracle-matched) form runs with the hot-shingle ceiling OFF
+    so the result is exact over the full shingle universe; at 100 TB pass
+    `max_shingle_df` (see jaccard_pairs_from_index) or go straight to
+    MinHash-LSH below; the plan shape is the same."""
+    sh = _with_shingles(load_table(spark, sf_dir, "documents"))
+    return jaccard_pairs_from_index(sh)
 
 
 # ---------------------------------------------------------------------------

@@ -100,3 +100,44 @@ def test_minhash_signatures_deterministic(spark):
         .collect()[0]["h0"]
     )
     assert sig1[some_id][0] == arr
+
+
+def test_hot_shingle_ceiling_bounds_pairs(spark):
+    """One viral shingle shared by N otherwise-unrelated docs explodes the
+    inverted-index self-join into N*(N-1)/2 candidate rows. The frequency
+    ceiling must prune it BEFORE the join, and must leave genuinely similar
+    pairs (which share many non-viral shingles) intact."""
+    # NOTE: the tokenizer strips digits (reference parity), so synthetic
+    # tokens must be alphabetic-unique or they collapse to one word.
+    def alpha(i):
+        return "".join(chr(ord("a") + int(ch)) for ch in str(i))
+
+    n = 60
+    viral = "spam spam spam"  # one 3-token shingle present in every doc
+    rows = []
+    for i in range(n):
+        # each doc: the viral shingle + a unique tail -> no real near-dups
+        rows.append((i, f"{viral} uniq{alpha(i)} tail{alpha(i)} very{alpha(i)} much{alpha(i)}"))
+    # plus one genuine near-dup pair sharing a long non-viral body
+    body = " ".join(f"common{alpha(j)}" for j in range(30))
+    rows.append((1000, body + " endone"))
+    rows.append((1001, body + " endtwo"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sh = dedup._with_shingles(docs)
+
+    # without the ceiling the viral shingle alone materializes n*(n-1)/2 rows
+    unbounded = dedup.jaccard_pairs_from_index(sh, threshold=0.0)
+    assert unbounded.count() >= n * (n - 1) // 2
+
+    # with the ceiling: viral shingle (df=n+? > 10) pruned, so the spam docs
+    # pair with nobody; the genuine near-dup pair survives on its body
+    bounded = dedup.jaccard_pairs_from_index(sh, threshold=0.5, max_shingle_df=10)
+    got = {(r["doc1"], r["doc2"]) for r in bounded.collect()}
+    assert got == {(1000, 1001)}
+
+    # and the registered (ceiling-off) query semantics are unchanged:
+    # same pairs at the default threshold as before the refactor
+    base = dedup.jaccard_pairs_from_index(sh, threshold=0.5)
+    base_pairs = {(r["doc1"], r["doc2"]) for r in base.collect()}
+    assert (1000, 1001) in base_pairs
