@@ -36,3 +36,27 @@ def test_label_centroid_cohesion(spark):
     assert rows and all(-1.0001 <= r["centroid_sim"] <= 1.0001 for r in rows)
     mean_sim = sum(r["centroid_sim"] for r in rows) / len(rows)
     assert mean_sim > 0, "own-centroid similarity should be positive on average"
+
+
+def test_neardup_blocked_recall(spark):
+    """The registered IVF-blocked near-dup query must recover >= 0.9 of the
+    exact all-pairs ground truth at the same threshold (multi-probe
+    nprobe=3 of 8 lists; random 64-dim vectors are the adversarial case
+    for IVF, so this bound is meaningful)."""
+    exact = {
+        (r["id1"], r["id2"])
+        for r in similarity.embedding_neardup_pairs(
+            spark, SF_SMOKE, threshold=similarity.NEARDUP_SIM, id_bound=1 << 30
+        ).collect()
+    }
+    blocked = {
+        (r["id1"], r["id2"])
+        for r in similarity.QUERIES["embedding_neardup_blocked"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert exact, "ground truth unexpectedly empty — threshold too high for testdata"
+    # no false positives: blocked pairs are verified with the same exact cosine
+    assert blocked <= exact
+    recall = len(blocked & exact) / len(exact)
+    assert recall >= 0.9, f"blocked near-dup recall too low: {recall}"
