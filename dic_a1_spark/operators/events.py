@@ -217,11 +217,11 @@ def events_range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates — the 100 TB substitutes for exact distinct
-    counts and exact percentiles (HLL++ and GK-sketch: mergeable, bounded
-    memory). Rows-only driver check (sketches are engine-specific);
-    tests/test_events.py asserts the estimates against exact values."""
+def events_approx_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw approximate aggregates — the 100 TB substitutes for exact
+    distinct counts and exact percentiles (HLL++ and GK-sketch: mergeable,
+    bounded memory). Unregistered helper; the registered, oracle-checkable
+    form is events_approx_stats below."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
@@ -230,10 +230,44 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-error check for the approximate aggregates, expressed as the
+    query's own output so the driver can hash-match it.
+
+    The sketch values themselves are engine-specific, so instead of
+    emitting them we emit per-group booleans asserting the error bands —
+    HLL++ (rsd=2%) within 3 sigma (6%) of the exact distinct count, and
+    percentile_approx (accuracy=10000) landing inside the exact p45..p55
+    rank corridor — both computed in the same aggregation pass. The DuckDB
+    oracle emits TRUE for each band, so a hash match certifies the sketch
+    error bounds instead of the old no_oracle rows-only check."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, 0.45)").alias("p45"),
+        F.expr("percentile(value, 0.55)").alias("p55"),
+        F.count("*").alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.col("exact_users").cast("double") * 0.06
+        ).alias("users_in_band"),
+        (
+            (F.col("approx_median") >= F.col("p45"))
+            & (F.col("approx_median") <= F.col("p55"))
+        ).alias("median_in_band"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_click_before_purchase": events_asof_click_before_purchase,
     "events_range_join_error_clicks": events_range_join_error_clicks,
-    "events_approx_stats": events_approx_stats,  # rows-only (sketches)
+    "events_approx_stats": events_approx_stats,  # boolean error-band oracle
     "events_tumbling_hour": events_tumbling_hour,
     "events_sliding_window": events_sliding_window,
     "events_session_windows": events_session_windows,
@@ -243,6 +277,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    # The approx sketches are engine-specific; the query emits boolean
+    # error-band verdicts computed against exact values in the same pass,
+    # so the oracle's job is just the exact group counts + TRUE bands.
+    "events_approx_stats": """
+        SELECT event_type,
+               count(*) AS n_events,
+               TRUE AS users_in_band,
+               TRUE AS median_in_band
+        FROM events
+        GROUP BY event_type
+    """,
     "events_asof_click_before_purchase": """
         WITH both_t AS (
             SELECT * FROM events WHERE event_type IN ('click', 'purchase')

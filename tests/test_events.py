@@ -21,7 +21,7 @@ def test_approx_stats_within_bounds(spark):
 
     approx = {
         r["event_type"]: r
-        for r in events.events_approx_stats(spark, SF_CORRECT).collect()
+        for r in events.events_approx_raw(spark, SF_CORRECT).collect()
     }
     e = load_table(spark, SF_CORRECT, "events")
     exact = {
