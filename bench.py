@@ -55,13 +55,20 @@ def main() -> None:
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
 
+    # One untimed pipeline run up front absorbs JVM class-loading/codegen
+    # warmup; after that every query is timed on its FIRST materialization
+    # with the cache cleared, so persisted frames and shuffle reuse inside
+    # a query are PAID INSIDE its measured run. Timings are cold-cache,
+    # warm-JVM — comparable to the reference's end-to-end numbers.
+    qs[names[0]](spark, SF_DIR).count()
     timings: dict[str, float] = {}
     for name in names:
+        spark.catalog.clearCache()
         df = qs[name](spark, SF_DIR)
-        df.count()  # warm: plan + scan caches
         t0 = time.perf_counter()
         df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
+    spark.catalog.clearCache()
 
     # Reference-comparable throughput: documents/second through the full
     # chi-square pipeline (the reference reports ~55K reviews/s end-to-end

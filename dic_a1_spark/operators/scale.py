@@ -77,22 +77,30 @@ def salted_broadcast_left(
     fact: DataFrame,
     dim: DataFrame,
     key: str,
+    salt_src: str | Column | None = None,
     n_salts: int = 8,
 ) -> DataFrame:
     """Skew-proof equi-join of a skewed fact against a small dim.
 
     The dim side is exploded ``n_salts``-fold with an explicit salt column;
-    the fact side gets a deterministic salt in [0, n_salts). Joining on
-    (key, salt) splits each hot key's probe work across ``n_salts`` tasks.
-    With a broadcastable dim this matches plain ``broadcast(dim)`` —
-    exposed mainly for the shuffled-join case where dim exceeds the
-    broadcast threshold but skew still needs splitting (AQE's skew-join
-    handles most of this automatically; this is the manual override).
+    the fact side gets a deterministic salt in [0, n_salts) derived from
+    ``salt_src`` — a stable fact column/expression (defaults to hashing ALL
+    fact columns), never ``monotonically_increasing_id()``, which changes
+    across task retries and repartitioning and would make salt placement
+    irreproducible. Joining on (key, salt) splits each hot key's probe work
+    across ``n_salts`` tasks. With a broadcastable dim this matches plain
+    ``broadcast(dim)`` — exposed mainly for the shuffled-join case where
+    dim exceeds the broadcast threshold but skew still needs splitting
+    (AQE's skew-join handles most of this automatically; this is the
+    manual override).
     """
+    if salt_src is None:
+        src_cols = [F.col(c) for c in fact.columns]
+        salt = F.pmod(F.xxhash64(*src_cols), F.lit(n_salts))
+    else:
+        salt = F.pmod(F.xxhash64(salt_src), F.lit(n_salts))
     dim_salted = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    fact_salted = fact.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
-    )
+    fact_salted = fact.withColumn("_salt", salt)
     return fact_salted.join(dim_salted, [key, "_salt"]).drop("_salt")

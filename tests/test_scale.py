@@ -77,3 +77,37 @@ def test_salted_groupby_matches_unsalted(spark):
     p = {r["l_returnflag"]: (round(r["sum_l_quantity"], 6), r["count_l_quantity"])
          for r in plain.collect()}
     assert s == p
+
+
+def test_salted_broadcast_left_deterministic_and_correct(spark):
+    """Join result must equal the plain join, and salt placement must be a
+    pure function of row content — stable across repartitioning (the
+    monotonically_increasing_id form violated this)."""
+    from pyspark.sql import functions as F
+
+    from dic_a1_spark.operators.scale import salted_broadcast_left
+
+    fact = spark.createDataFrame(
+        [("hot", i) for i in range(200)] + [("cold", i) for i in range(5)],
+        ["k", "v"],
+    )
+    dim = spark.createDataFrame([("hot", "H"), ("cold", "C")], ["k", "tag"])
+
+    got = sorted(
+        (r["k"], r["v"], r["tag"])
+        for r in salted_broadcast_left(fact, dim, "k").collect()
+    )
+    want = sorted(
+        (r["k"], r["v"], r["tag"]) for r in fact.join(dim, "k").collect()
+    )
+    assert got == want
+
+    # salt placement is content-derived: identical per row no matter how
+    # the fact side is partitioned
+    salt = F.pmod(F.xxhash64(F.col("k"), F.col("v")), F.lit(8)).alias("s")
+    s1 = {(r["k"], r["v"]): r["s"] for r in fact.select("k", "v", salt).collect()}
+    s2 = {
+        (r["k"], r["v"]): r["s"]
+        for r in fact.repartition(7).select("k", "v", salt).collect()
+    }
+    assert s1 == s2
