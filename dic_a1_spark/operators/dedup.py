@@ -346,7 +346,7 @@ def minhash_label_groups(docs: DataFrame, n_iter: int = 3) -> DataFrame:
     labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    for _ in range(n_iter):
+    for it in range(n_iter):
         bucket_min = (
             edges.join(labels, "doc_id")
             .groupBy("bucket")
@@ -370,9 +370,15 @@ def minhash_label_groups(docs: DataFrame, n_iter: int = 3) -> DataFrame:
         )
         # Convergence check: exact duplicates collapse in one pass (they
         # share every bucket), so most corpora stop after iteration 1+check
-        # instead of running the full n_iter budget. One cheap action per
-        # iteration buys skipping whole shuffle rounds.
-        changed = new_labels.where(F.col("label") != F.col("_old")).count()
+        # instead of running the full n_iter budget. The check is itself a
+        # Spark ACTION (it materializes the persisted label frame — one
+        # extra job per iteration), so it pays for itself only when it can
+        # still skip a remaining round: skip it on the final scheduled
+        # iteration (and so entirely when n_iter == 1).
+        if it < n_iter - 1:
+            changed = new_labels.where(F.col("label") != F.col("_old")).count()
+        else:
+            changed = -1  # final round: no action, result is returned lazily
         old = labels
         labels = new_labels.drop("_old")
         old.unpersist()
