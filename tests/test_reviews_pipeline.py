@@ -110,3 +110,57 @@ def test_cli_end_to_end(fixture_paths, tmp_path):
 
     total, per_cat = parse_counters_line((out / "counters.txt").read_text())
     assert total > 0 and set(per_cat) >= {"Book", "Electronic", "Unknown"}
+
+
+REFERENCE_STOPWORDS = "/root/reference/src/data/stopwords.txt"
+
+
+def test_full_reference_stopword_file_parity(spark, tmp_path):
+    """Closes the stopword-fidelity gap: run the pipeline with the actual
+    596-line reference stopwords.txt (duplicates in file, set lookup —
+    reference src/wordCountJob.py:41-48 semantics) and assert parity with
+    the plain-Python reimplementation using the same file."""
+    import os
+
+    if not os.path.isfile(REFERENCE_STOPWORDS):
+        pytest.skip("reference stopwords.txt not available")
+
+    with open(REFERENCE_STOPWORDS) as fh:
+        stopset = {line.strip() for line in fh if line.strip()}
+    assert len(stopset) >= 500  # the real list, not a surrogate
+
+    # corpus salted with real reference stopwords ('about', 'able',
+    # 'zero', ...) so the filter provably uses the full file
+    rng = random.Random(13)
+    stop_sample = sorted(stopset)[::37]  # ~16 words spread across the file
+    lines = []
+    for i in range(90):
+        cat = CATS[i % 3]
+        words = rng.sample(VOCAB, rng.randint(3, 6)) + rng.sample(stop_sample, 4)
+        rec = {"category": cat, "reviewText": " ".join(words)}
+        lines.append(json.dumps(rec))
+    reviews = tmp_path / "reviews_refstop.json"
+    reviews.write_text("\n".join(lines) + "\n")
+
+    from dic_a1_spark.operators.reviews import reviews_chisq
+
+    expected, exp_total, exp_cats = reference_impl.pipeline(lines, stopset, k=75)
+    topk, vocab, counters = reviews_chisq(
+        spark, str(reviews), REFERENCE_STOPWORDS, k=75
+    )
+    got: dict[str, dict[str, float]] = {}
+    for r in topk.collect():
+        got.setdefault(r["category"], {})[r["word"]] = r["chi2"]
+
+    assert set(got) == set(expected)
+    for cat in expected:
+        assert set(got[cat]) == set(expected[cat]), f"word set mismatch in {cat}"
+        for w, chi in expected[cat].items():
+            assert math.isclose(got[cat][w], chi, rel_tol=1e-12), (cat, w)
+    # none of the planted stopwords may survive into any top-k list
+    surviving = {w for cat in got for w in got[cat]} & stopset
+    assert not surviving, f"stopwords leaked through: {surviving}"
+
+    crow = counters.collect()
+    assert crow[0]["n_total"] == exp_total
+    assert {r["category"]: r["cat_n"] for r in crow} == exp_cats
