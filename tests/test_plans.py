@@ -67,3 +67,46 @@ def test_codegen_everywhere(spark):
     for name in ["q1_pricing_summary", "join_sort_merge_facts", "chisq_top75"]:
         df = all_queries()[name](spark, SF_CORRECT)
         assert wholestage_codegen(df), name
+
+
+def test_q4_semi_join_residual_and_pushdown(spark):
+    """Q4: the EXISTS becomes a left-semi join whose non-equi residual
+    (l_shipdate > o_orderdate) stays in the join condition — NOT a
+    post-join filter that would need the whole join materialized — and the
+    quarter envelope is pushed to the orders scan."""
+    from dic_a1_spark.plans.explain import formatted_plan
+
+    df = all_queries()["q4_late_shipment_priority"](spark, SF_CORRECT)
+    a = plan_audit(df)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert any("o_orderdate" in f for f in a["pushed_filters"]), (
+        "quarter envelope must reach the orders scan"
+    )
+    # the lineitem scan reads only the join + residual columns
+    assert any(
+        s == "struct<l_orderkey:bigint,l_shipdate:timestamp_ntz>"
+        or s == "struct<l_orderkey:bigint,l_shipdate:timestamp>"
+        for s in a["read_schemas"]
+    ), a["read_schemas"]
+
+
+def test_q13_join_side_predicate_preserves_customers(spark):
+    """Q13: the priority predicate lives in the LEFT OUTER join condition,
+    so customers with zero qualifying orders survive with count 0. For the
+    RIGHT (orders) side of a left join that predicate only restricts which
+    rows can match — Catalyst is free to push it into the orders scan, and
+    must, while the join itself stays LeftOuter (never converted to inner,
+    which would drop zero-order customers)."""
+    from dic_a1_spark.plans.explain import formatted_plan
+
+    df = all_queries()["q13_order_count_distribution"](spark, SF_CORRECT)
+    a = plan_audit(df)
+    plan = formatted_plan(df)
+    assert "LeftOuter" in plan, "join must not degrade to inner"
+    assert any("o_orderpriority" in f for f in a["pushed_filters"]), (
+        "the ON-clause predicate on the non-preserved side should reach"
+        " the orders scan"
+    )
+    # both scans pruned to the referenced columns
+    assert any("c_custkey" in s and "c_name" not in s for s in a["read_schemas"])
