@@ -41,9 +41,15 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "knn_cosine_bruteforce",
+    "embedding_neardup_blocked",
     "sql_top_returned_customers",
     "events_asof_click_before_purchase",
     "events_range_join_error_clicks",
+    "q4_late_shipment_priority",
+    "q13_order_count_distribution",
+    "q19_bracketed_revenue",
+    "text_bigram_topk",
+    "text_tfidf_top_terms",
 ]
 
 
