@@ -467,6 +467,24 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_id", "band.band_val")
     a, b = bands.alias("a"), bands.alias("b")
+
+    def _band(col: Column, k: int) -> Column:
+        return F.shiftrightunsigned(col, 16 * k).bitwiseAND(F.lit(0xFFFF))
+
+    # A pair agreeing on m bands is emitted m times by the join. Dedup
+    # WITHOUT a shuffle: keep the row only when no LOWER band also
+    # matches — each pair survives exactly once, from its first matching
+    # band. (The previous .distinct() shuffled the entire join output —
+    # at 250K amplified docs, ~1B rows — before the hamming filter.)
+    earlier_band_matches = None
+    for j in range(3):
+        m = (F.col("a.band_id") > j) & (
+            _band(F.col("a.simhash"), j) == _band(F.col("b.simhash"), j)
+        )
+        earlier_band_matches = m if earlier_band_matches is None else (
+            earlier_band_matches | m
+        )
+
     return (
         a.join(
             b,
@@ -474,6 +492,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .where(~earlier_band_matches)
         .select(
             F.col("a.doc_id").alias("doc1"),
             F.col("b.doc_id").alias("doc2"),
@@ -481,7 +500,6 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
         .where(F.col("hamming") <= 3)
     )
 
