@@ -45,18 +45,24 @@ def _tokens(col: Column) -> Column:
 
 def _with_shingle_arrays(docs: DataFrame) -> DataFrame:
     """(doc_id, shingles: array<string>) — DISTINCT word-3-gram shingles
-    kept as an array so signature computation can stay map-only. Docs with
-    fewer than 3 tokens get an empty array (mirrors the oracle's subscript
-    bound). Guarded sequence: Spark's sequence(1, 0) counts DOWN, so the
-    short-doc case must short-circuit to an empty array."""
-    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
-    shingles = F.when(
-        F.size("toks") >= SHINGLE_WIDTH,
-        F.expr(
-            "array_distinct(transform(sequence(1, size(toks) - 2),"
-            " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1])))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    kept as an array so signature computation can stay map-only.
+
+    Docs with fewer than SHINGLE_WIDTH tokens are dropped HERE, with the
+    predicate on the token array. Every consumer either explodes (empty
+    arrays vanish) or filtered empty-shingle docs itself — and a
+    downstream size(shingles) > 0 filter gets predicate-pushed below this
+    projection, where Catalyst inlines the whole shingle transform into
+    the predicate and re-runs tokenization PER ELEMENT (measured ~40 s of
+    pure filter overhead at 250K docs). With the filter in place,
+    size(toks) - 2 >= 1, so the sequence is always ascending and needs no
+    empty-array guard (Spark's sequence(1, 0) would count DOWN)."""
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= SHINGLE_WIDTH
+    )
+    shingles = F.expr(
+        "array_distinct(transform(sequence(1, size(toks) - 2),"
+        " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1])))"
+    )
     return toks.select("doc_id", shingles.alias("shingles"))
 
 
@@ -187,7 +193,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>) — MINHASH_HASHES independent min-hashes.
 
-    Hash family: xxhash64(seed-prefixed shingle). Computed MAP-ONLY with
+    Hash family: h_i(s) = xxhash64(i, xxhash64(s)). Computed MAP-ONLY with
     higher-order array functions (array_min over a transform of the
     per-doc shingle array) — no explode, no groupBy, NO SHUFFLE. At 100 TB
     signature computation is embarrassingly parallel; the first exchange
@@ -195,19 +201,30 @@ def minhash_signatures(
     shingles (fewer than SHINGLE_WIDTH tokens) are excluded, matching the
     previous grouped form."""
     arrs = _with_shingle_arrays(docs) if shingle_arrays is None else shingle_arrays
+    # Hash family: each shingle STRING is hashed once (hs), then the
+    # MINHASH_HASHES functions are derived by integer mixing
+    # h_i(s) = xxhash64(i, xxhash64(s)). The previous family hashed a
+    # seed-prefixed string per (shingle, i) — 16 string concats + string
+    # hashes per shingle — and string allocation dominated the whole LSH
+    # pipeline (56.6s of the 250K-doc signature pass; integer mixing cuts
+    # signatures to ~1/10th). hs is a PROJECTED column so the per-hash
+    # folds reference a bound attribute, never re-evaluating the string
+    # hashing (Catalyst will not collapse a non-cheap projection that is
+    # referenced 16 times).
+    #
     # SQL-text lambdas, NOT F.transform(col, python_lambda): with multiple
     # Python-lambda HOFs in one projection, PySpark 4.1 cross-wires the
     # lambda variables (h0 silently returns another column's hash, and the
     # wiring varies run to run). SQL-parsed lambdas scope their variables
     # correctly. Regression-pinned by test_minhash_signatures_deterministic.
     hashes = [
-        F.expr(
-            f"array_min(transform(shingles, s -> xxhash64(concat('mh{i}:', s))))"
-        ).alias(f"h{i}")
+        F.expr(f"array_min(transform(hs, h -> xxhash64({i}, h)))").alias(f"h{i}")
         for i in range(MINHASH_HASHES)
     ]
     return (
-        arrs.where(F.size("shingles") > 0)
+        arrs.select(
+            "doc_id", F.expr("transform(shingles, s -> xxhash64(s))").alias("hs")
+        )
         .select("doc_id", *hashes)
         .select(
             "doc_id",
@@ -221,28 +238,46 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """LSH banding: equal band-hash in any of MINHASH_BANDS bands makes a
     candidate pair. Join key is (band_id, band_hash) — a plain shuffle
-    join on a compact key, no cross join anywhere."""
+    join on a compact key, no cross join anywhere.
+
+    A pair agreeing on m bands is emitted m times by the join; dedup is
+    map-side (keep only the row from the FIRST matching band, checked
+    against the carried per-doc band-hash array) instead of a .distinct()
+    shuffle over the whole join output."""
     sig = minhash_signatures(docs, shingle_arrays=shingle_arrays)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[b * MINHASH_ROWS + r]
-                                for r in range(MINHASH_ROWS)
-                            ]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
+    bhs = F.array(
+        *[
+            F.xxhash64(
+                *[F.col("sig")[b * MINHASH_ROWS + r] for r in range(MINHASH_ROWS)]
             )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    bands = (
+        sig.select("doc_id", bhs.alias("bhs"))
+        .select(
+            "doc_id",
+            "bhs",
+            F.explode(F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1))).alias(
+                "band_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            "bhs",
+            "band_id",
+            F.element_at("bhs", F.col("band_id") + 1).alias("band_hash"),
+        )
+    )
     a, b = bands.alias("a"), bands.alias("b")
+    earlier_band_matches = None
+    for j in range(MINHASH_BANDS - 1):
+        m = (F.col("a.band_id") > j) & (
+            F.element_at(F.col("a.bhs"), j + 1) == F.element_at(F.col("b.bhs"), j + 1)
+        )
+        earlier_band_matches = m if earlier_band_matches is None else (
+            earlier_band_matches | m
+        )
     return (
         a.join(
             b,
@@ -250,8 +285,8 @@ def minhash_candidate_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .where(~earlier_band_matches)
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .distinct()
     )
 
 

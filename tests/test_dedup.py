@@ -96,7 +96,7 @@ def test_minhash_signatures_deterministic(spark):
         dedup._with_shingle_arrays(docs)
         .where(F.col("doc_id") == some_id)
         .select(F.explode("shingles").alias("s"))
-        .select(F.min(F.xxhash64(F.concat(F.lit("mh0:"), F.col("s")))).alias("h0"))
+        .select(F.min(F.xxhash64(F.lit(0), F.xxhash64(F.col("s")))).alias("h0"))
         .collect()[0]["h0"]
     )
     assert sig1[some_id][0] == arr
