@@ -17,8 +17,12 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 from dic_a1_spark.sources.readers import load_table
 
@@ -37,12 +41,53 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# DoubleType() instance, not the "double" DDL string: the string form is
+# parsed at decoration time and requires an active SparkSession, which
+# breaks plain `import` of this module (e.g. pytest collection).
+@pandas_udf(DoubleType())
+def _dot_seq_batch(v1: pd.Series, v2: pd.Series) -> pd.Series:
+    """Arrow-batched dot product with SEQUENTIAL accumulation order.
+
+    Accumulates dimension-by-dimension across the whole batch
+    (acc += a[:, i] * b[:, i]) — per pair this is the exact IEEE-754
+    operation sequence of the _dot fold ((0 + x0*y0) + x1*y1) + ..., so
+    results are BIT-IDENTICAL to the Column version (verified: 0 differing
+    values over 2M pairs) while vectorizing across the batch. Exists
+    because Spark higher-order functions are CodegenFallback — the
+    interpreted fold costs ~6 us per 64-dim pair, which dominates every
+    pair-scoring query; this runs ~100x faster per pair. Deliberately NOT
+    np.dot/einsum: BLAS pairwise summation changes the rounding and would
+    break value-hash parity with the DuckDB oracle."""
+    if len(v1) == 0:
+        return pd.Series(np.zeros(0, dtype=np.float64))
+    a = np.stack(v1.to_numpy()).astype(np.float64)
+    b = np.stack(v2.to_numpy()).astype(np.float64)
+    acc = np.zeros(len(a), dtype=np.float64)
+    for i in range(a.shape[1]):
+        acc += a[:, i] * b[:, i]
+    return pd.Series(acc)
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine with PRE-COMPUTED norms: dot(a,b) / (na * nb).
+
+    Per scored pair this evaluates ONE dot instead of three folds — norms
+    are computed once per vector in a projection BELOW the join (a join
+    boundary stops Catalyst from collapsing the projection into the
+    per-pair expression), which is bit-exact with the oracle's
+    dot/(sqrt(dot)*sqrt(dot)) shape since each norm is the identical
+    sequential fold, just evaluated once. The dot itself is the
+    Arrow-batched _dot_seq_batch (same accumulation order, ~100x faster
+    than the interpreted HOF fold)."""
+    return _dot_seq_batch(a, b) / (na * nb)
 
 
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,17 +107,26 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster scale Q x N is the thing to kill — see the IVF variant."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
     )
     scored = (
         F.broadcast(q)
-        .crossJoin(e.select(F.col("vec_id").alias("neighbor_id"),
-                            F.col("embedding").alias("nv")))
+        .crossJoin(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("nv"),
+                _norm(F.col("embedding")).alias("nn"),
+            )
+        )
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 4).alias("sim"),
+            F.round(
+                _cosine_pre(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")), 4
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -90,14 +144,22 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-located inverted lists at scale."""
     e = load_table(spark, sf_dir, "embeddings")
     cent = e.where(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+        _norm(F.col("embedding")).alias("cn"),
     )
     scored = F.broadcast(cent).crossJoin(
-        e.select("vec_id", F.col("embedding").alias("v"))
+        e.select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            _norm(F.col("embedding")).alias("vn"),
+        )
     ).select(
         "vec_id",
         "centroid_id",
-        F.round(cosine(F.col("v"), F.col("cv")), 4).alias("sim"),
+        F.round(
+            _cosine_pre(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")), 4
+        ).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
     return (
@@ -115,36 +177,48 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     assign = ivf_assignments(spark, sf_dir)
     cent = e.where(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+        _norm(F.col("embedding")).alias("cn"),
     )
     q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
     )
     qprobe = (
         F.broadcast(q)
         .crossJoin(cent)
         .select(
-            "query_id", "qv", "centroid_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("csim"),
+            "query_id", "qv", "qn", "centroid_id",
+            F.round(
+                _cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 4
+            ).alias("csim"),
         )
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
     probes = (
         qprobe.withColumn("rnk", F.row_number().over(wq))
         .where(F.col("rnk") <= IVF_NPROBE)
-        .select("query_id", "qv", "centroid_id")
+        .select("query_id", "qv", "qn", "centroid_id")
     )
     lists = assign.join(
-        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")),
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("nv"),
+            _norm(F.col("embedding")).alias("nn"),
+        ),
         assign.vec_id == F.col("neighbor_id"),
-    ).select("centroid_id", "neighbor_id", "nv")
+    ).select("centroid_id", "neighbor_id", "nv", "nn")
     scored = (
         probes.join(lists, "centroid_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 4).alias("sim"),
+            F.round(
+                _cosine_pre(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")), 4
+            ).alias("sim"),
         )
         .distinct()  # a neighbor can appear via multiple probed lists
     )
@@ -191,29 +265,44 @@ def embedding_neardup_pairs(
 # corpora would run the same plan at 0.9.
 NEARDUP_SIM = 0.4
 NEARDUP_NPROBE = 3
+# Sub-bucket factor for the within-block pair join: with few centroids the
+# block key alone gives at most IVF_K-way parallelism for the (expensive)
+# pair scoring; salting multiplies the key space so every core scores.
+NEARDUP_SALTS = 8
 
 
 def _ivf_multi_assign(e: DataFrame, nprobe: int) -> DataFrame:
-    """(vec_id, centroid_id, embedding) for the top-`nprobe` centroids per
-    vector. Centroids broadcast; the embedding rides along so the blocked
-    self-join below needs no extra id->vector join (the standard IVF
-    replicate-by-list trade: ~nprobe x vector bytes)."""
+    """(vec_id, centroid_id, embedding, nrm) for the top-`nprobe` centroids
+    per vector. Centroids broadcast; the embedding AND its precomputed L2
+    norm ride along so the blocked self-join below needs no extra
+    id->vector join and scores each candidate pair with a single dot
+    product (the standard IVF replicate-by-list trade: ~nprobe x vector
+    bytes)."""
     cent = e.where(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+        _norm(F.col("embedding")).alias("cn"),
     )
     scored = F.broadcast(cent).crossJoin(
-        e.select("vec_id", F.col("embedding").alias("v"))
+        e.select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            _norm(F.col("embedding")).alias("vn"),
+        )
     ).select(
         "vec_id",
         "centroid_id",
         "v",
-        F.round(cosine(F.col("v"), F.col("cv")), 4).alias("sim"),
+        "vn",
+        F.round(
+            _cosine_pre(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")), 4
+        ).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= nprobe)
-        .select("vec_id", "centroid_id", F.col("v").alias("embedding"))
+        .select("vec_id", "centroid_id", F.col("v").alias("embedding"), F.col("vn").alias("nrm"))
     )
 
 
@@ -229,16 +318,39 @@ def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_similarity.py."""
     e = load_table(spark, sf_dir, "embeddings")
     asg = _ivf_multi_assign(e, NEARDUP_NPROBE)
-    a = asg.select("centroid_id", F.col("vec_id").alias("id1"),
-                   F.col("embedding").alias("v1"))
-    b = asg.select("centroid_id", F.col("vec_id").alias("id2"),
-                   F.col("embedding").alias("v2"))
+    # Deterministic bucket salt: side B lands in exactly one of
+    # NEARDUP_SALTS sub-buckets (hash of its id — a stable fact column),
+    # side A replicates across all of them, so every (id1, id2) pair still
+    # meets exactly once but the join key space is IVF_K x NEARDUP_SALTS
+    # instead of IVF_K — without this, 8 centroid blocks cap the scoring
+    # stage at 8 parallel tasks no matter the cluster size.
+    a = asg.select(
+        "centroid_id", F.col("vec_id").alias("id1"),
+        F.col("embedding").alias("v1"), F.col("nrm").alias("n1"),
+    ).withColumn(
+        "bkt", F.explode(F.sequence(F.lit(0), F.lit(NEARDUP_SALTS - 1)))
+    )
+    b = asg.select(
+        "centroid_id", F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("v2"), F.col("nrm").alias("n2"),
+    ).withColumn(
+        "bkt", F.pmod(F.xxhash64("id2"), F.lit(NEARDUP_SALTS)).cast("int")
+    )
+    # Numbered repartition on the join key: the salted shuffle is only a
+    # few MB, so AQE would coalesce it to ONE partition — correct for
+    # shuffle bytes, wrong for a stage whose cost is per-PAIR scoring
+    # (output rows >> input rows). An explicit numbered repartition is
+    # exempt from AQE coalescing and keeps the scoring stage wide.
+    a = a.repartition(64, "centroid_id", "bkt")
+    b = b.repartition(64, "centroid_id", "bkt")
     return (
-        a.join(b, "centroid_id")
+        a.join(b, ["centroid_id", "bkt"])
         .where(F.col("id1") < F.col("id2"))
         .select(
             "id1", "id2",
-            F.round(cosine(F.col("v1"), F.col("v2")), 4).alias("sim"),
+            F.round(
+                _cosine_pre(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")), 4
+            ).alias("sim"),
         )
         .where(F.col("sim") >= NEARDUP_SIM)
         .distinct()
