@@ -188,8 +188,26 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against dedup_jaccard_pairs ground truth)
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(
+def _with_hashed_shingles(
     docs: DataFrame, shingle_arrays: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, hs: array<bigint>) — per-doc DISTINCT shingles, each
+    hashed once with xxhash64. This is the internal currency of the whole
+    MinHash pipeline: signatures fold over it and verification intersects
+    it, so the expensive string arrays never leave the first projection.
+    (Two distinct shingles colliding at 64 bits would perturb a verified
+    jaccard by one count; at ~50 shingles/doc the chance is ~1e-16 per
+    pair — ignored, and the pairs query is rows-only gated anyway.)"""
+    arrs = _with_shingle_arrays(docs) if shingle_arrays is None else shingle_arrays
+    return arrs.select(
+        "doc_id", F.expr("transform(shingles, s -> xxhash64(s))").alias("hs")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    shingle_arrays: DataFrame | None = None,
+    hashed_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>) — MINHASH_HASHES independent min-hashes.
 
@@ -200,17 +218,15 @@ def minhash_signatures(
     in the whole LSH pipeline is the band-bucket join itself. Docs with no
     shingles (fewer than SHINGLE_WIDTH tokens) are excluded, matching the
     previous grouped form."""
-    arrs = _with_shingle_arrays(docs) if shingle_arrays is None else shingle_arrays
-    # Hash family: each shingle STRING is hashed once (hs), then the
-    # MINHASH_HASHES functions are derived by integer mixing
-    # h_i(s) = xxhash64(i, xxhash64(s)). The previous family hashed a
-    # seed-prefixed string per (shingle, i) — 16 string concats + string
-    # hashes per shingle — and string allocation dominated the whole LSH
-    # pipeline (56.6s of the 250K-doc signature pass; integer mixing cuts
-    # signatures to ~1/10th). hs is a PROJECTED column so the per-hash
-    # folds reference a bound attribute, never re-evaluating the string
-    # hashing (Catalyst will not collapse a non-cheap projection that is
-    # referenced 16 times).
+    if hashed_shingles is None:
+        hashed_shingles = _with_hashed_shingles(docs, shingle_arrays)
+    # Integer mixing beats the previous seed-prefixed-string family: 16
+    # string concats + string hashes per shingle meant string allocation
+    # dominated the whole LSH pipeline (56.6s of the 250K-doc signature
+    # pass; this form cuts signatures to ~1.4s). hs is a PROJECTED column
+    # so the per-hash folds reference a bound attribute, never
+    # re-evaluating the string hashing (Catalyst will not collapse a
+    # non-cheap projection that is referenced 16 times).
     #
     # SQL-text lambdas, NOT F.transform(col, python_lambda): with multiple
     # Python-lambda HOFs in one projection, PySpark 4.1 cross-wires the
@@ -222,10 +238,7 @@ def minhash_signatures(
         for i in range(MINHASH_HASHES)
     ]
     return (
-        arrs.select(
-            "doc_id", F.expr("transform(shingles, s -> xxhash64(s))").alias("hs")
-        )
-        .select("doc_id", *hashes)
+        hashed_shingles.select("doc_id", *hashes)
         .select(
             "doc_id",
             F.array(*[f"h{i}" for i in range(MINHASH_HASHES)]).alias("sig"),
@@ -234,7 +247,9 @@ def minhash_signatures(
 
 
 def minhash_candidate_pairs(
-    docs: DataFrame, shingle_arrays: DataFrame | None = None
+    docs: DataFrame,
+    shingle_arrays: DataFrame | None = None,
+    hashed_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: equal band-hash in any of MINHASH_BANDS bands makes a
     candidate pair. Join key is (band_id, band_hash) — a plain shuffle
@@ -244,7 +259,9 @@ def minhash_candidate_pairs(
     map-side (keep only the row from the FIRST matching band, checked
     against the carried per-doc band-hash array) instead of a .distinct()
     shuffle over the whole join output."""
-    sig = minhash_signatures(docs, shingle_arrays=shingle_arrays)
+    sig = minhash_signatures(
+        docs, shingle_arrays=shingle_arrays, hashed_shingles=hashed_shingles
+    )
     bhs = F.array(
         *[
             F.xxhash64(
@@ -297,37 +314,38 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Verification is computed ONLY over candidate pairs — the whole point
     of LSH at scale is never materializing the full pair space. It runs
-    as two equi-joins on doc_id that pull each side's (distinct) shingle
-    array onto the candidate row, then `size(array_intersect(...))` gives
-    the shared count map-side. This replaces an exploded inverted-index
-    double-join + per-pair groupBy: candidates are a vanishing fraction
-    of the corpus, so shipping two compact arrays per candidate beats
+    as two equi-joins on doc_id that pull each side's HASHED shingle
+    array (array<bigint>, ~8 bytes/shingle instead of a full string) onto
+    the candidate row, then `size(array_intersect(...))` gives the shared
+    count map-side. This replaces an exploded inverted-index double-join
+    + per-pair groupBy: candidates are a vanishing fraction of the
+    corpus, so shipping two compact arrays per candidate beats
     re-shuffling every (doc, shingle) row of the corpus through a join.
 
-    The per-doc shingle ARRAYS feed both consumers (map-only signatures
+    The per-doc HASHED shingles feed both consumers (map-only signatures
     and verification); without a persist Spark recomputes the
-    tokenize+shingle scan for each. MEMORY_AND_DISK persist makes it
-    compute-once — at 100 TB this is the classic checkpoint point
+    tokenize->shingle->hash scan for each. MEMORY_AND_DISK persist makes
+    it compute-once — at 100 TB this is the classic checkpoint point
     (materialize once, reuse across the LSH and verification stages)."""
     from pyspark import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
-    arrs = _with_shingle_arrays(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = minhash_candidate_pairs(docs, shingle_arrays=arrs)
+    hsf = _with_hashed_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = minhash_candidate_pairs(docs, hashed_shingles=hsf)
     return (
         cand.join(
-            arrs.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1")),
+            hsf.select(F.col("doc_id").alias("doc1"), F.col("hs").alias("h1")),
             "doc1",
         )
         .join(
-            arrs.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("sh2")),
+            hsf.select(F.col("doc_id").alias("doc2"), F.col("hs").alias("h2")),
             "doc2",
         )
-        .withColumn("n_shared", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn("n_shared", F.size(F.array_intersect("h1", "h2")))
         .withColumn(
             "jaccard",
             F.col("n_shared").cast("double")
-            / (F.size("sh1") + F.size("sh2") - F.col("n_shared")).cast("double"),
+            / (F.size("h1") + F.size("h2") - F.col("n_shared")).cast("double"),
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc1", "doc2", "jaccard")
@@ -335,11 +353,15 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_band_buckets(
-    docs: DataFrame, shingle_arrays: DataFrame | None = None
+    docs: DataFrame,
+    shingle_arrays: DataFrame | None = None,
+    hashed_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, bucket): one row per (doc, LSH band) with the bucket key
     collapsed to a single hash — the bipartite doc-bucket graph."""
-    sig = minhash_signatures(docs, shingle_arrays=shingle_arrays)
+    sig = minhash_signatures(
+        docs, shingle_arrays=shingle_arrays, hashed_shingles=hashed_shingles
+    )
     return sig.select(
         "doc_id",
         F.explode(
