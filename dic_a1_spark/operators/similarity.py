@@ -271,14 +271,17 @@ NEARDUP_NPROBE = 3
 NEARDUP_SALTS = 8
 
 
-def _ivf_multi_assign(e: DataFrame, nprobe: int) -> DataFrame:
-    """(vec_id, centroid_id, embedding, nrm) for the top-`nprobe` centroids
-    per vector. Centroids broadcast; the embedding AND its precomputed L2
-    norm ride along so the blocked self-join below needs no extra
-    id->vector join and scores each candidate pair with a single dot
+def _ivf_multi_assign(e: DataFrame, nprobe: int, ivf_k: int = IVF_K) -> DataFrame:
+    """(vec_id, centroid_id, cids, embedding, nrm) for the top-`nprobe`
+    centroids per vector. Centroids broadcast; the embedding AND its
+    precomputed L2 norm ride along so the blocked self-join below needs no
+    extra id->vector join and scores each candidate pair with a single dot
     product (the standard IVF replicate-by-list trade: ~nprobe x vector
-    bytes)."""
-    cent = e.where(F.col("vec_id") < IVF_K).select(
+    bytes). `cids` is the vector's FULL sorted assignment set — the pair
+    join uses it to keep each pair only in its lowest shared block, so no
+    post-join distinct is needed. The collect_list window runs on the same
+    vec_id partitioning as the rank window: no extra exchange."""
+    cent = e.where(F.col("vec_id") < ivf_k).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("cv"),
         _norm(F.col("embedding")).alias("cn"),
@@ -299,25 +302,43 @@ def _ivf_multi_assign(e: DataFrame, nprobe: int) -> DataFrame:
         ).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    wv = Window.partitionBy("vec_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= nprobe)
-        .select("vec_id", "centroid_id", F.col("v").alias("embedding"), F.col("vn").alias("nrm"))
+        .withColumn("cids", F.array_sort(F.collect_list("centroid_id").over(wv)))
+        .select(
+            "vec_id",
+            "centroid_id",
+            "cids",
+            F.col("v").alias("embedding"),
+            F.col("vn").alias("nrm"),
+        )
     )
 
 
-def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_neardup_blocked(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    ivf_k: int = IVF_K,
+    nprobe: int = NEARDUP_NPROBE,
+    threshold: float = NEARDUP_SIM,
+) -> DataFrame:
     """Scale-safe semantic dedup: IVF-blocked near-duplicate pairs.
 
     Pairs are enumerated ONLY within shared centroid blocks (equi-join on
-    centroid_id), then verified with exact cosine >= NEARDUP_SIM. A pair
-    sharing several blocks is deduplicated by distinct on the (id1, id2,
-    rounded sim) output. At cluster scale the block key is the shuffle
-    partition key, centroid count grows ~sqrt(N), and per-block work stays
-    bounded; recall vs the exact all-pairs ground truth is pinned >= 0.9
-    in tests/test_similarity.py."""
+    centroid_id), then verified with exact cosine >= threshold. A pair
+    sharing several blocks is kept only in its LOWEST shared block
+    (checked map-side against the carried assignment sets) — exactly-once
+    output with no post-join distinct shuffle. At cluster scale the block
+    key is the shuffle partition key and per-block work stays bounded by
+    growing `ivf_k` with the corpus (tools/scale_bench.py sizes it for a
+    target block size; the registered query keeps the IVF_K codebook the
+    oracle states). Recall vs the exact all-pairs ground truth is pinned
+    >= 0.9 in tests/test_similarity.py."""
     e = load_table(spark, sf_dir, "embeddings")
-    asg = _ivf_multi_assign(e, NEARDUP_NPROBE)
+    asg = _ivf_multi_assign(e, nprobe, ivf_k=ivf_k)
     # Deterministic bucket salt: side B lands in exactly one of
     # NEARDUP_SALTS sub-buckets (hash of its id — a stable fact column),
     # side A replicates across all of them, so every (id1, id2) pair still
@@ -325,13 +346,13 @@ def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of IVF_K — without this, 8 centroid blocks cap the scoring
     # stage at 8 parallel tasks no matter the cluster size.
     a = asg.select(
-        "centroid_id", F.col("vec_id").alias("id1"),
+        "centroid_id", F.col("vec_id").alias("id1"), F.col("cids").alias("cids1"),
         F.col("embedding").alias("v1"), F.col("nrm").alias("n1"),
     ).withColumn(
         "bkt", F.explode(F.sequence(F.lit(0), F.lit(NEARDUP_SALTS - 1)))
     )
     b = asg.select(
-        "centroid_id", F.col("vec_id").alias("id2"),
+        "centroid_id", F.col("vec_id").alias("id2"), F.col("cids").alias("cids2"),
         F.col("embedding").alias("v2"), F.col("nrm").alias("n2"),
     ).withColumn(
         "bkt", F.pmod(F.xxhash64("id2"), F.lit(NEARDUP_SALTS)).cast("int")
@@ -346,14 +367,133 @@ def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["centroid_id", "bkt"])
         .where(F.col("id1") < F.col("id2"))
+        # lowest-shared-block dedup: this (pair, block) row survives only
+        # if the current block is min(cids1 ∩ cids2) — each pair scored
+        # and emitted exactly once, no distinct
+        .where(
+            F.col("centroid_id")
+            == F.array_min(F.array_intersect(F.col("cids1"), F.col("cids2")))
+        )
         .select(
             "id1", "id2",
             F.round(
                 _cosine_pre(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")), 4
             ).alias("sim"),
         )
-        .where(F.col("sim") >= NEARDUP_SIM)
-        .distinct()
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def embedding_neardup_blocked_fast(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    ivf_k: int,
+    nprobe: int = NEARDUP_NPROBE,
+    threshold: float = NEARDUP_SIM,
+) -> DataFrame:
+    """Large-codebook IVF-blocked near-dup pairs — the 100 TB execution
+    shape for semantic dedup.
+
+    The registered embedding_neardup_blocked scores assignment and
+    verification one pair per row (bit-exact with its DuckDB oracle, the
+    right thing at its fixed IVF_K=8). With a scale-sized codebook that
+    shape ships BOTH vectors for every (vector, centroid) and every
+    candidate pair through Arrow — measured 516 s at 100K vectors /
+    K=1500, ~77 GB of transfer for assignment alone. This variant moves
+    the two dense-math stages to batch linear algebra:
+
+      1. assignment: mapInPandas with the normalized centroid matrix on
+         the driver-broadcast closure; each Arrow batch does ONE
+         (B x dim) @ (dim x K) matmul and a stable top-nprobe argsort —
+         data shipped per vector, not per (vector, centroid);
+      2. block scoring: applyInPandas per centroid block; one
+         (B x dim) @ (dim x B) matmul emits the i<j pairs >= threshold —
+         data shipped per block MEMBER, not per candidate pair.
+
+    BLAS accumulation differs from the sequential fold in the last ULPs,
+    so sims are rounded to 4dp and the cross-block duplicate emissions
+    dedup with a distinct over SURVIVING pairs only. Rows-only gating;
+    pair-set equality vs the exact path is pinned in pytest."""
+    import pyspark.sql.types as T
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        e.where(F.col("vec_id") < ivf_k)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    order = np.argsort(cent_ids)  # stable tie-break: lowest centroid id wins
+    cent_ids, Cn = cent_ids[order], Cn[order]
+    bc = spark.sparkContext.broadcast((cent_ids, Cn))
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def assign_batches(batches):
+        ids_c, cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            sims = Vn @ cn.T  # (B, K)
+            # top-nprobe, ties to the lowest centroid id: argsort on -sim is
+            # stable, and centroids are already in ascending-id order
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            n = len(pdf)
+            out = pd.DataFrame(
+                {
+                    "centroid_id": ids_c[top].reshape(-1),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                    "embedding": [
+                        pdf["embedding"].iat[i] for i in np.repeat(np.arange(n), nprobe)
+                    ],
+                }
+            )
+            yield out
+
+    asg = e.select("vec_id", "embedding").mapInPandas(assign_batches, assign_schema)
+    # one shuffle on the block key; numbered repartition so AQE cannot
+    # narrow the scoring stage (cost is per-pair, invisible to byte stats)
+    asg = asg.repartition(max(64, ivf_k // 8), "centroid_id")
+
+    pair_schema = T.StructType(
+        [
+            T.StructField("id1", T.LongType()),
+            T.StructField("id2", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id1": [], "id2": [], "sim": []}).astype(
+                {"id1": "int64", "id2": "int64", "sim": "float64"}
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        S = np.round(Vn @ Vn.T, 4)
+        i, j = np.triu_indices(len(ids), k=1)
+        keep = S[i, j] >= threshold
+        return pd.DataFrame(
+            {"id1": ids[i[keep]], "id2": ids[j[keep]], "sim": S[i[keep], j[keep]]}
+        )
+
+    return (
+        asg.groupBy("centroid_id")
+        .applyInPandas(score_block, pair_schema)
+        .distinct()  # a pair surfaces once per SHARED block; sims match (4dp)
     )
 
 

@@ -60,3 +60,26 @@ def test_neardup_blocked_recall(spark):
     assert blocked <= exact
     recall = len(blocked & exact) / len(exact)
     assert recall >= 0.9, f"blocked near-dup recall too low: {recall}"
+
+
+def test_neardup_blocked_fast_matches_exact_path(spark):
+    """The batch-linear-algebra scale variant must emit the same pair set
+    as the registered pair-at-a-time query when run with the same codebook
+    (K=IVF_K): identical blocking decisions, identical >= threshold
+    verdicts (sims differ only in BLAS-vs-fold ULPs, rounded away at
+    4dp)."""
+    slow = {
+        (r["id1"], r["id2"]): r["sim"]
+        for r in similarity.QUERIES["embedding_neardup_blocked"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    fast = {
+        (r["id1"], r["id2"]): r["sim"]
+        for r in similarity.embedding_neardup_blocked_fast(
+            spark, SF_SMOKE, ivf_k=similarity.IVF_K
+        ).collect()
+    }
+    assert set(fast) == set(slow)
+    for p, s in fast.items():
+        assert abs(s - slow[p]) <= 1e-4, (p, s, slow[p])

@@ -56,16 +56,16 @@ HEADLINE_DOC_QUERIES = [
 ]
 
 
-def amplified_documents(spark, sf_dir: str, factor: int):
+def amplified_table(spark, sf_dir: str, table: str, id_col: str, factor: int):
     from pyspark.sql import functions as F
 
     from dic_a1_spark.sources.readers import load_table
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, table)
     n = d.count()
-    return (
+    return n, (
         d.crossJoin(F.broadcast(spark.range(factor).withColumnRenamed("id", "rep")))
-        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(n * 10))
+        .withColumn(id_col, F.col(id_col) + F.col("rep") * F.lit(n * 10))
         .drop("rep")
     )
 
@@ -84,6 +84,12 @@ def main() -> None:
     # mode — unit-tested in tests/test_dedup.py). Group-level dedup
     # (dedup_minhash_groups) is the linear-cost path benchmarked instead.
     ap.add_argument("--jaccard-ceiling", type=int, default=0)
+    # Embeddings amplification factor. Embedding queries are timed over
+    # n_base x embed_factor vectors; the blocked near-dup runs with a
+    # SCALE-SIZED codebook (target ~200 vectors per block) — growing the
+    # centroid count with the corpus is the documented scale path, while
+    # the registered query keeps the fixed IVF_K its oracle states.
+    ap.add_argument("--embed-factor", type=int, default=50)
     args = ap.parse_args()
 
     from dic_a1_spark.registry import all_queries
@@ -97,10 +103,16 @@ def main() -> None:
     # partition, and one parquet file under maxPartitionBytes would make
     # every timed scan single-threaded.
     docs_path = os.path.join(args.work_dir, "documents.parquet")
-    amplified_documents(spark, args.sf_dir, args.factor).repartition(64).write.mode(
-        "overwrite"
-    ).parquet(docs_path)
+    _, docs_amp = amplified_table(spark, args.sf_dir, "documents", "doc_id", args.factor)
+    docs_amp.repartition(64).write.mode("overwrite").parquet(docs_path)
     n_docs = spark.read.parquet(docs_path).count()
+
+    emb_path = os.path.join(args.work_dir, "embeddings.parquet")
+    n_vec_base, emb_amp = amplified_table(
+        spark, args.sf_dir, "embeddings", "vec_id", args.embed_factor
+    )
+    emb_amp.repartition(64).write.mode("overwrite").parquet(emb_path)
+    n_vecs = spark.read.parquet(emb_path).count()
 
     qs = all_queries()
     names = [n for n in HEADLINE_DOC_QUERIES if n in qs]
@@ -148,15 +160,61 @@ def main() -> None:
         }
         print(f"# {name}: {sec}s, {rows_out} rows", file=sys.stderr, flush=True)
 
+    # Embedding queries over the amplified vector corpus. The registered
+    # fixed-K blocked near-dup is OMITTED on purpose: with K=8 blocks its
+    # pair count is quadratic in corpus size (the whole reason the scale
+    # path grows K); the scale-sized run below is the honest number.
+    from dic_a1_spark.operators.similarity import (
+        NEARDUP_NPROBE,
+        embedding_neardup_blocked_fast,
+    )
+
+    emb_queries: dict[str, dict] = {}
+    for name in ["ivf_assignments", "knn_cosine_bruteforce", "knn_cosine_ivf"]:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        rows_out = qs[name](spark, args.work_dir).count()
+        sec = round(time.perf_counter() - t0, 3)
+        emb_queries[name] = {
+            "sec": sec,
+            "rows_out": rows_out,
+            "vecs_per_sec": round(n_vecs / sec, 1) if sec > 0 else None,
+        }
+        print(f"# {name}: {sec}s, {rows_out} rows", file=sys.stderr, flush=True)
+
+    scaled_k = max(8, min(n_vec_base, n_vecs * NEARDUP_NPROBE // 200))
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    rows_out = embedding_neardup_blocked_fast(
+        spark, args.work_dir, ivf_k=scaled_k
+    ).count()
+    sec = round(time.perf_counter() - t0, 3)
+    emb_queries[f"embedding_neardup_blocked_k{scaled_k}"] = {
+        "sec": sec,
+        "rows_out": rows_out,
+        "vecs_per_sec": round(n_vecs / sec, 1) if sec > 0 else None,
+    }
+    print(
+        f"# embedding_neardup_blocked_k{scaled_k}: {sec}s, {rows_out} rows",
+        file=sys.stderr,
+        flush=True,
+    )
+
     result = {
         "metric": "amplified-corpus throughput",
         "factor": args.factor,
         "base_sf_dir": args.sf_dir,
         "n_docs": n_docs,
+        "n_vecs": n_vecs,
         "unit": "docs/sec",
         "chisq_docs_per_sec": queries.get("chisq_top75", {}).get("docs_per_sec"),
-        "total_sec": round(sum(q["sec"] for q in queries.values()), 2),
+        "total_sec": round(
+            sum(q["sec"] for q in queries.values())
+            + sum(q["sec"] for q in emb_queries.values()),
+            2,
+        ),
         "queries": queries,
+        "embedding_queries": emb_queries,
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
