@@ -85,6 +85,32 @@ def main() -> None:
         round(n_docs / timings["chisq_top75"], 1) if timings.get("chisq_top75") else None
     )
 
+    # The sf0.1 number above is dominated by fixed Spark job overhead
+    # (~5K docs). For a number honestly comparable to the baseline's
+    # cluster rate, ALSO measure the flagship on an amplified in-memory
+    # corpus large enough for steady-state throughput (50x -> ~250K docs;
+    # tools/scale_bench.py records the full per-query story).
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from dic_a1_spark.operators.chisq import chi2_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    amp = (
+        docs.crossJoin(F.broadcast(spark.range(50).withColumnRenamed("id", "rep")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(n_docs * 10))
+        .drop("rep")
+        .repartition(64)
+        .withColumnRenamed("lang", "category")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_amp = amp.count()  # materialize OUTSIDE the timed region
+    t0 = time.perf_counter()
+    chi2_topk(amp).count()
+    amp_sec = time.perf_counter() - t0
+    amp.unpersist()
+    amp_docs_per_sec = round(n_amp / amp_sec, 1)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -99,6 +125,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "chisq_docs_per_sec": docs_per_sec,
+                # steady-state flagship throughput on a 50x amplified
+                # corpus (~250K docs at sf0.1) — the number comparable to
+                # BASELINE.md's ~55K reviews/s cluster rate; the per-query
+                # amplified story is tools/scale_bench.py -> SCALEBENCH.json
+                "chisq_docs_per_sec_amplified": amp_docs_per_sec,
+                "n_docs_amplified": n_amp,
             }
         )
     )
