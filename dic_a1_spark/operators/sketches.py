@@ -7,9 +7,14 @@ for any coarser grouping without touching the raw data again. That union
 step (`hll_union_agg`) is exactly what a tiered rollup pipeline (hourly →
 daily → monthly) stores and re-aggregates.
 
-These are approximate by construction, so they carry no DuckDB value
-oracle (rows-only driver check); the accuracy bound vs the exact answer
-is asserted in tests/test_sketches.py instead.
+The sketch values are engine-specific, but their GUARANTEES are not —
+so each query emits a hash-checkable certificate instead of raw
+estimates (the events_approx_stats pattern): HLL estimates become
+boolean error-band verdicts against exact counts computed in the same
+query, and freqItems' superset guarantee is certified by returning the
+exact heavy hitters found among the candidates (= all of them, iff the
+guarantee holds). DuckDB recomputes the exact side and TRUE bands.
+Tighter accuracy bounds stay in tests/test_sketches.py.
 
 Spark primitives: `hll_sketch_agg` / `hll_union` / `hll_sketch_estimate`
 (Apache DataSketches HLL under the hood, JVM-side, codegen-friendly) and
@@ -29,40 +34,91 @@ from dic_a1_spark.sources.readers import load_table
 
 def events_hll_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type via HLL sketches, PLUS the overall
-    distinct-user count obtained by merging the per-type sketches — one
-    pass over the data, demonstrating the rollup-without-rescan property
-    (the exact equivalent would need a second shuffle of raw user_ids)."""
+    distinct-user count obtained by MERGING the per-type sketches — the
+    rollup-without-rescan property a tiered pipeline relies on. The
+    default sketch (lgConfigK=12, rsd≈1.6%) is held to a 5% (≈3 sigma)
+    band against exact counts computed alongside; the emitted verdicts
+    are engine-neutral, so the driver hash-gates the sketch guarantee."""
     ev = load_table(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sketch"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count("*").alias("n_events"),
     )
-    rolled = per_type.agg(
-        F.lit("ALL").alias("event_type"),
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
-        F.sum("n_events").alias("n_events"),
+    exact_all = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    rolled = (
+        per_type.agg(
+            F.lit("ALL").alias("event_type"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(exact_all))
     )
-    return per_type.select(
+    typed = per_type.select(
         "event_type",
         F.hll_sketch_estimate("sketch").alias("approx_users"),
         "n_events",
-    ).unionByName(rolled)
+        "exact_users",
+    )
+    return typed.unionByName(rolled.select("event_type", "approx_users", "n_events", "exact_users")).select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.col("exact_users").cast("double") * 0.05
+        ).alias("users_in_band"),
+    )
 
 
 def events_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass approximate heavy hitters over user_id (support 1%):
-    returns candidate users whose event share may exceed the threshold —
-    a superset of the true heavy hitters (asserted in tests)."""
+    """One-pass approximate heavy hitters over user_id (support 1%).
+    freqItems guarantees a SUPERSET of the true heavy hitters; the
+    engine-specific false positives are filtered back out with the exact
+    per-user counts, so the emitted rows are exactly the true heavy
+    hitters — iff the superset guarantee held. DuckDB recomputes the
+    exact heavy hitters directly; a hash match certifies the guarantee."""
     ev = load_table(spark, sf_dir, "events")
-    hits = ev.select("user_id").stat.freqItems(["user_id"], support=0.01)
-    return hits.select(
-        F.explode("user_id_freqItems").alias("user_id")
-    ).orderBy("user_id")
+    hits = (
+        ev.select("user_id")
+        .stat.freqItems(["user_id"], support=0.01)
+        .select(F.explode("user_id_freqItems").alias("user_id"))
+    )
+    total = ev.agg(F.count("*").alias("n_total"))
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_events") > F.lit(0.01) * F.col("n_total"))
+    )
+    return (
+        exact.join(F.broadcast(hits), "user_id", "left_semi")
+        .select("user_id", "n_events")
+    )
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "events_hll_user_counts": events_hll_user_counts,   # rows-only (approx)
-    "events_freq_items": events_freq_items,             # rows-only (approx)
+    "events_hll_user_counts": events_hll_user_counts,   # boolean error-band oracle
+    "events_freq_items": events_freq_items,             # superset-certificate oracle
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    # Engine-neutral certificates: DuckDB recomputes the exact side; the
+    # sketch side collapses to TRUE bands / the superset guarantee.
+    "events_hll_user_counts": """
+        SELECT event_type, n_events, exact_users, TRUE AS users_in_band
+        FROM (
+            SELECT event_type, count(*) AS n_events,
+                   count(DISTINCT user_id) AS exact_users
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 'ALL', count(*), count(DISTINCT user_id) FROM events
+        )
+    """,
+    "events_freq_items": """
+        SELECT user_id, count(*) AS n_events
+        FROM events
+        GROUP BY user_id
+        HAVING count(*) > 0.01 * (SELECT count(*) FROM events)
+    """,
+}

@@ -23,6 +23,7 @@ _MODULES = (
     "dic_a1_spark.operators.multimodal",
     "dic_a1_spark.operators.sql_surface",
     "dic_a1_spark.operators.tpch_extra",
+    "dic_a1_spark.operators.tpch_full",
     "dic_a1_spark.operators.udxf",
     "dic_a1_spark.operators.ml_ops",
     "dic_a1_spark.operators.ngrams",

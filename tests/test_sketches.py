@@ -1,5 +1,7 @@
-"""Accuracy bounds for the sketch aggregates (no SQL oracle — approximate
-results get property assertions against the exact answers instead)."""
+"""Certificate + accuracy checks for the sketch aggregates. The queries
+now emit engine-neutral certificates (boolean error bands / the exact
+heavy hitters surviving the superset filter), so they ARE oracle-matched;
+these tests run the oracle compare plus the certificate semantics."""
 
 from __future__ import annotations
 
@@ -11,31 +13,34 @@ from tests.conftest import SF_CORRECT
 from tests.oracle_utils import compare
 
 
-def test_hll_estimates_within_5pct_of_exact(spark):
-    got = {
-        r["event_type"]: r["approx_users"]
-        for r in sketches.events_hll_user_counts(spark, SF_CORRECT).collect()
-    }
-    ev = load_table(spark, SF_CORRECT, "events")
-    exact = {
-        r["event_type"]: r["n"]
-        for r in ev.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
-        .collect()
-    }
-    exact["ALL"] = ev.select("user_id").distinct().count()
-    assert set(got) == set(exact)
-    for k, est in got.items():
-        assert abs(est - exact[k]) <= 0.05 * exact[k], (k, est, exact[k])
+def test_hll_certificate_matches_oracle(spark):
+    compare(
+        spark,
+        sketches.ORACLES["events_hll_user_counts"],
+        sketches.QUERIES["events_hll_user_counts"],
+        SF_CORRECT,
+        "events_hll_user_counts",
+    )
 
 
-def test_hll_rollup_merges_per_type_sketches(spark):
-    df = sketches.events_hll_user_counts(spark, SF_CORRECT)
-    rows = {r["event_type"]: r["n_events"] for r in df.collect()}
-    assert rows["ALL"] == sum(v for k, v in rows.items() if k != "ALL")
+def test_hll_all_bands_true_and_rollup_merges(spark):
+    rows = sketches.events_hll_user_counts(spark, SF_CORRECT).collect()
+    assert all(r["users_in_band"] for r in rows), rows
+    n = {r["event_type"]: r["n_events"] for r in rows}
+    assert n["ALL"] == sum(v for k, v in n.items() if k != "ALL")
 
 
-def test_freq_items_superset_of_true_heavy_hitters(spark):
+def test_freq_items_certificate_matches_oracle(spark):
+    compare(
+        spark,
+        sketches.ORACLES["events_freq_items"],
+        sketches.QUERIES["events_freq_items"],
+        SF_CORRECT,
+        "events_freq_items",
+    )
+
+
+def test_freq_items_returns_exactly_true_heavy_hitters(spark):
     ev = load_table(spark, SF_CORRECT, "events")
     total = ev.count()
     true_heavy = {
@@ -46,7 +51,7 @@ def test_freq_items_superset_of_true_heavy_hitters(spark):
         .collect()
     }
     got = {r["user_id"] for r in sketches.events_freq_items(spark, SF_CORRECT).collect()}
-    assert true_heavy <= got
+    assert got == true_heavy
 
 
 def test_bpe_token_count_matches_oracle(spark):
