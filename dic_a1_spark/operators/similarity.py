@@ -171,9 +171,10 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF: probe the IVF_NPROBE nearest centroid lists per query,
-    brute-force only within those lists. Rows-only check (the oracle twin
-    would re-state the whole pipeline); recall vs the brute-force baseline
-    is asserted in tests/test_similarity.py."""
+    brute-force only within those lists. Deterministic by construction
+    (fixed first-K centroids, 4dp-rounded sims, explicit tiebreaks), so
+    the DuckDB oracle restates the pipeline exactly; recall vs the
+    brute-force baseline is asserted in tests/test_similarity.py."""
     e = load_table(spark, sf_dir, "embeddings")
     assign = ivf_assignments(spark, sf_dir)
     cent = e.where(F.col("vec_id") < IVF_K).select(
@@ -528,11 +529,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norms": embedding_norms,
     "knn_cosine_bruteforce": knn_cosine_bruteforce,
     "ivf_assignments": ivf_assignments,
-    "knn_cosine_ivf": knn_cosine_ivf,  # rows-only; recall asserted in pytest
+    "knn_cosine_ivf": knn_cosine_ivf,
     "embedding_neardup_blocked": embedding_neardup_blocked,
-    # rows-only: the per-dimension mean -> reassemble -> cosine chain has no
-    # tractably-identical SQL twin; shape checked by the driver, cohesion
-    # property (own-label centroid closest on average) in pytest.
     "label_centroid_sim": label_centroid_sim,
 }
 
@@ -549,6 +547,7 @@ _COS = (
 _COS_QN = _COS.format(a="q.embedding", b="n.embedding")
 _COS_VC = _COS.format(a="v.embedding", b="c.embedding")
 _COS_12 = _COS.format(a="a.embedding", b="b.embedding")
+_COS_QC = _COS.format(a="q.embedding", b="c.embedding")
 
 ORACLES: dict[str, str] = {
     "embedding_norms": """
@@ -614,6 +613,75 @@ ORACLES: dict[str, str] = {
         JOIN embeddings a ON a.vec_id = p.id1
         JOIN embeddings b ON b.vec_id = p.id2
         WHERE round({_COS_12}, 4) >= {NEARDUP_SIM}
+    """,
+    # Restates the deterministic IVF pipeline (fixed first-K centroids,
+    # rounded sims, explicit tiebreaks make it exactly reproducible).
+    "knn_cosine_ivf": f"""
+        WITH cent AS (
+            SELECT vec_id AS centroid_id, embedding
+            FROM embeddings WHERE vec_id < {IVF_K}
+        ),
+        asg AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT v.vec_id, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY round({_COS_VC}, 4) DESC, c.centroid_id ASC
+                       ) AS rnk
+                FROM embeddings v JOIN cent c ON TRUE
+            ) WHERE rnk = 1
+        ),
+        probes AS (
+            SELECT query_id, centroid_id FROM (
+                SELECT q.vec_id AS query_id, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round({_COS_QC}, 4) DESC, c.centroid_id ASC
+                       ) AS rnk
+                FROM embeddings q JOIN cent c ON TRUE
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rnk <= {IVF_NPROBE}
+        ),
+        scored AS (
+            SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+                   round({_COS_QN}, 4) AS sim
+            FROM probes p
+            JOIN asg a ON a.centroid_id = p.centroid_id
+            JOIN embeddings q ON q.vec_id = p.query_id
+            JOIN embeddings n ON n.vec_id = a.vec_id
+            WHERE p.query_id <> a.vec_id
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM (
+            SELECT query_id, neighbor_id, sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+                   ) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """,
+    # Per-dimension means round at 6dp (absorbing accumulation-order
+    # noise), so the reassembled centroid is bit-identical both sides and
+    # the cosine parity rule then applies unchanged.
+    "label_centroid_sim": """
+        WITH dims AS (
+            SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label, pos, round(sum(x), 6) / count(*) AS cx
+            FROM dims GROUP BY label, pos
+        ),
+        cvec AS (
+            SELECT label, list(cx ORDER BY pos) AS cv FROM cent GROUP BY label
+        )
+        SELECT e.vec_id, e.label,
+               round(
+                 (list_dot_product(CAST(e.embedding AS DOUBLE[]), cv)
+                  / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(cv, cv)))), 4) AS centroid_sim
+        FROM embeddings e JOIN cvec USING (label)
     """,
 }
 

@@ -71,35 +71,41 @@ def events_hll_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def events_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass approximate heavy hitters over user_id (support 1%).
+def text_token_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass approximate heavy hitters over document tokens (support
+    1%) — the vocabulary-hot-word scan a corpus pipeline runs before
+    building stopword/contamination lists. Token frequencies are Zipfian,
+    so the heavy set and its share are scale-stable (the events user_id
+    column is near-uniform: no user stays above any fixed support as the
+    corpus grows, which would make the check vacuous at larger sf).
+
     freqItems guarantees a SUPERSET of the true heavy hitters; the
     engine-specific false positives are filtered back out with the exact
-    per-user counts, so the emitted rows are exactly the true heavy
+    per-token counts, so the emitted rows are exactly the true heavy
     hitters — iff the superset guarantee held. DuckDB recomputes the
     exact heavy hitters directly; a hash match certifies the guarantee."""
-    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
     hits = (
-        ev.select("user_id")
-        .stat.freqItems(["user_id"], support=0.01)
-        .select(F.explode("user_id_freqItems").alias("user_id"))
+        toks.stat.freqItems(["tok"], support=0.01)
+        .select(F.explode("tok_freqItems").alias("tok"))
     )
-    total = ev.agg(F.count("*").alias("n_total"))
+    total = toks.agg(F.count("*").alias("n_total"))
     exact = (
-        ev.groupBy("user_id")
-        .agg(F.count("*").alias("n_events"))
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n_occurrences"))
         .crossJoin(F.broadcast(total))
-        .where(F.col("n_events") > F.lit(0.01) * F.col("n_total"))
+        .where(F.col("n_occurrences") > F.lit(0.01) * F.col("n_total"))
     )
     return (
-        exact.join(F.broadcast(hits), "user_id", "left_semi")
-        .select("user_id", "n_events")
+        exact.join(F.broadcast(hits), "tok", "left_semi")
+        .select("tok", "n_occurrences")
     )
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hll_user_counts": events_hll_user_counts,   # boolean error-band oracle
-    "events_freq_items": events_freq_items,             # superset-certificate oracle
+    "text_token_freq_items": text_token_freq_items,     # superset-certificate oracle
 }
 
 ORACLES: dict[str, str] = {
@@ -115,10 +121,13 @@ ORACLES: dict[str, str] = {
             SELECT 'ALL', count(*), count(DISTINCT user_id) FROM events
         )
     """,
-    "events_freq_items": """
-        SELECT user_id, count(*) AS n_events
-        FROM events
-        GROUP BY user_id
-        HAVING count(*) > 0.01 * (SELECT count(*) FROM events)
+    "text_token_freq_items": """
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        )
+        SELECT tok, count(*) AS n_occurrences
+        FROM toks
+        GROUP BY tok
+        HAVING count(*) > 0.01 * (SELECT count(*) FROM toks)
     """,
 }

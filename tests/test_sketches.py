@@ -33,25 +33,27 @@ def test_hll_all_bands_true_and_rollup_merges(spark):
 def test_freq_items_certificate_matches_oracle(spark):
     compare(
         spark,
-        sketches.ORACLES["events_freq_items"],
-        sketches.QUERIES["events_freq_items"],
+        sketches.ORACLES["text_token_freq_items"],
+        sketches.QUERIES["text_token_freq_items"],
         SF_CORRECT,
-        "events_freq_items",
+        "text_token_freq_items",
     )
 
 
 def test_freq_items_returns_exactly_true_heavy_hitters(spark):
-    ev = load_table(spark, SF_CORRECT, "events")
-    total = ev.count()
+    toks = (
+        load_table(spark, SF_CORRECT, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+    total = toks.count()
     true_heavy = {
-        r["user_id"]
-        for r in ev.groupBy("user_id")
-        .count()
-        .where(F.col("count") > 0.01 * total)
-        .collect()
+        r["tok"]
+        for r in toks.groupBy("tok").count().where(F.col("count") > 0.01 * total).collect()
     }
-    got = {r["user_id"] for r in sketches.events_freq_items(spark, SF_CORRECT).collect()}
-    assert got == true_heavy
+    got = {
+        r["tok"] for r in sketches.text_token_freq_items(spark, SF_CORRECT).collect()
+    }
+    assert got == true_heavy and len(got) > 0
 
 
 def test_bpe_token_count_matches_oracle(spark):
