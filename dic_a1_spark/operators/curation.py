@@ -1,0 +1,265 @@
+"""Training-data curation operators: benchmark decontamination,
+deterministic source/language rebalancing, and context-window chunking.
+
+These are the steps a corpus pipeline runs AFTER dedup (operators/
+dedup.py) and quality filtering (operators/textstats.py) and BEFORE
+tokenize-and-pack: drop documents that leak evaluation data, reshape the
+language/source mix toward a target distribution, and split long
+documents into model-context-sized windows. The reference engine has no
+analog (its surface ends at the chi-square pipeline, SURVEY.md §2); these
+follow the same house rules — pure Column expressions, engine-neutral
+arithmetic, DuckDB value oracles.
+
+Scale notes (the 100 TB plan):
+  - decontam: the benchmark side is ALWAYS small (eval sets are MBs while
+    the corpus is TBs), so its distinct shingle set broadcasts and the
+    corpus side stays map-only — one explode, one broadcast hash join,
+    one groupBy(doc_id) whose input is bounded by corpus shingle count.
+    No shuffle ever carries the corpus text. At extreme benchmark sizes
+    the same query degrades gracefully: Catalyst falls back to a shuffle
+    hash join on the shingle key.
+  - rebalance: per-language counts are a dimension-sized aggregate
+    (|langs| rows) broadcast back; the keep/drop decision is a pure
+    row-local hash comparison — deterministic under retries and
+    repartitioning (the reason rand() sampling is banned at scale), and
+    reproducible from the doc_id alone.
+  - chunking: map-only (transform over a sequence, then posexplode);
+    output row count is sum(ceil(tokens/stride)) — linear in corpus
+    size. No shuffle at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dic_a1_spark.config import DUCKDB_WS_REGEX, duckdb_token_char_class
+from dic_a1_spark.operators.dedup import SHINGLE_WIDTH, _with_shingles
+from dic_a1_spark.sources.readers import load_table
+
+# Stand-in evaluation set: the first BENCH_DOCS documents. In production
+# this is a separate table of benchmark prompts/answers; the query shape
+# (tiny broadcast side vs huge corpus side) is identical.
+BENCH_DOCS = 50
+
+# A corpus doc is contaminated when >= this fraction of its distinct
+# shingles appear anywhere in the benchmark set.
+CONTAM_RATIO = 0.2
+
+# Language rebalancing: no language may exceed this share of the corpus;
+# over-represented languages are hash-downsampled to the cap.
+LANG_CAP = 0.25
+
+# Context-window chunking: window length and stride in tokens (stride <
+# width -> overlapping windows, the usual packing-with-overlap shape).
+CHUNK_WIDTH = 64
+CHUNK_STRIDE = 56
+
+
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via word-3-gram overlap: for every corpus
+    document, the fraction of its distinct shingles that also occur in the
+    (broadcast) benchmark set, and the contamination verdict.
+
+    One pass over the corpus: explode distinct shingles, LEFT join the
+    broadcast benchmark shingle set with a hit flag, re-aggregate per
+    document. Reuses the dedup ladder's shingle definition (dedup.py
+    _with_shingle_arrays) so 'overlap' means the same thing in both
+    operator families."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _with_shingles(d)
+    bench = (
+        sh.where(F.col("doc_id") < BENCH_DOCS)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = sh.where(F.col("doc_id") >= BENCH_DOCS)
+    per_doc = (
+        corpus.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_overlap"),
+        )
+    )
+    ratio = F.col("n_overlap") / F.col("n_shingles")
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round(ratio, 4).alias("overlap_ratio"),
+        (ratio >= F.lit(CONTAM_RATIO)).alias("contaminated"),
+    )
+
+
+def lang_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling toward a language cap: any
+    language above LANG_CAP of the corpus is sampled down to the cap;
+    under-represented languages pass through whole.
+
+    The keep decision hashes the doc_id (md5, first 8 hex chars) and
+    keeps rows lexicographically below a per-language threshold string —
+    hex compare == uint32 compare, identical in Spark and DuckDB, and
+    reproducible under retries/repartitioning where rand() is not. The
+    threshold derives from dimension-sized aggregates broadcast back, so
+    the fact side never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    total = d.agg(F.count("*").alias("n_total"))
+    rate = F.lit(LANG_CAP) * F.col("n_total") / F.col("n_lang")
+    # Languages at/under the cap keep everything via an explicit flag —
+    # a rate >= 1 threshold would need 2^32, which overflows the 8-hex-char
+    # compare (lpad would silently TRUNCATE it to "10000000", sampling
+    # under-cap languages at ~1/16; caught by the share assertions in
+    # tests, invisible to the oracle hash since both engines truncate
+    # identically).
+    thresholds = (
+        per_lang.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            (rate >= F.lit(1.0)).alias("keep_all"),
+            F.lower(
+                F.lpad(
+                    F.hex(F.floor(rate * F.lit(4294967296.0)).cast("bigint")), 8, "0"
+                )
+            ).alias("keep_below"),
+        )
+    )
+    return (
+        d.join(F.broadcast(thresholds), "lang")
+        .where(
+            F.col("keep_all")
+            | (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+                < F.col("keep_below")
+            )
+        )
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document's token stream into
+    CHUNK_WIDTH-token windows every CHUNK_STRIDE tokens (trailing shorter
+    window kept iff it adds tokens). Map-only; the token array is
+    projected to a real column first so the window transform references a
+    bound column (the expression-inlining trap, SCALING.md §text)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), DUCKDB_WS_REGEX), lambda w: w != ""
+        ).alias("toks"),
+    ).where(F.size("toks") > 0)
+    n_chunks = F.ceil(
+        F.greatest(F.size("toks") - F.lit(CHUNK_WIDTH), F.lit(0))
+        / F.lit(CHUNK_STRIDE)
+    ) + F.lit(1)
+    chunks = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.transform(
+            F.sequence(F.lit(0), n_chunks.cast("int") - F.lit(1)),
+            lambda i: F.struct(
+                i.alias("chunk_id"),
+                F.array_join(
+                    F.slice(F.col("toks"), i * CHUNK_STRIDE + 1, CHUNK_WIDTH), " "
+                ).alias("chunk_text"),
+            ),
+        ).alias("chunks"),
+    )
+    return chunks.select(
+        "doc_id",
+        "n_tokens",
+        F.explode("chunks").alias("c"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.col("c.chunk_id").cast("int").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "decontam_ngram_overlap": decontam_ngram_overlap,
+    "lang_rebalance_sample": lang_rebalance_sample,
+    "doc_chunk_windows": doc_chunk_windows,
+}
+
+_CC = duckdb_token_char_class().replace("'", "''")
+_TOKS = (
+    f"list_filter(regexp_split_to_array(regexp_replace(lower(text), '{_CC}', ' ', 'g'),"
+    f" '{DUCKDB_WS_REGEX}'), w -> w <> '')"
+)
+
+ORACLES: dict[str, str] = {
+    "decontam_ngram_overlap": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS a FROM documents),
+        pos AS (SELECT doc_id, a, generate_subscripts(a, 1) AS i FROM toks),
+        sh AS (
+            SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS shingle
+            FROM pos WHERE i + 2 <= len(a)
+        ),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {BENCH_DOCS}),
+        per_doc AS (
+            SELECT s.doc_id, count(*) AS n_shingles,
+                   count(b.shingle) AS n_overlap
+            FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+            WHERE s.doc_id >= {BENCH_DOCS}
+            GROUP BY s.doc_id
+        )
+        SELECT doc_id, n_shingles, n_overlap,
+               round(CAST(n_overlap AS DOUBLE) / n_shingles, 4) AS overlap_ratio,
+               (CAST(n_overlap AS DOUBLE) / n_shingles) >= {CONTAM_RATIO}
+                   AS contaminated
+        FROM per_doc
+    """,
+    "lang_rebalance_sample": f"""
+        WITH per_lang AS (
+            SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+        ),
+        thresholds AS (
+            SELECT lang,
+                   ({LANG_CAP} * (SELECT count(*) FROM documents) / n_lang)
+                       >= 1.0 AS keep_all,
+                   lower(lpad(to_hex(CAST(floor(
+                       {LANG_CAP} * (SELECT count(*) FROM documents)
+                                  / n_lang * 4294967296.0
+                   ) AS BIGINT)), 8, '0')) AS keep_below
+            FROM per_lang
+        )
+        SELECT doc_id, d.lang, source, n_chars
+        FROM documents d JOIN thresholds t ON d.lang = t.lang
+        WHERE keep_all
+           OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < keep_below
+    """,
+    "doc_chunk_windows": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                               '{DUCKDB_WS_REGEX}'), w -> w <> '') AS a
+            FROM documents
+        ),
+        sized AS (
+            SELECT doc_id, a, len(a) AS n_tokens,
+                   CAST(ceil(greatest(len(a) - {CHUNK_WIDTH}, 0)
+                             / {CHUNK_STRIDE}.0) AS INTEGER) + 1 AS n_chunks
+            FROM toks WHERE len(a) > 0
+        )
+        ,
+        idx AS (
+            SELECT doc_id, n_tokens, a,
+                   unnest(generate_series(0, n_chunks - 1)) AS i
+            FROM sized
+        )
+        SELECT doc_id, n_tokens,
+               CAST(i AS INTEGER) AS chunk_id,
+               array_to_string(a[i * {CHUNK_STRIDE} + 1 :
+                                 i * {CHUNK_STRIDE} + {CHUNK_WIDTH}], ' ')
+                   AS chunk_text
+        FROM idx
+    """,
+}

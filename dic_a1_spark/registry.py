@@ -28,6 +28,7 @@ _MODULES = (
     "dic_a1_spark.operators.ml_ops",
     "dic_a1_spark.operators.ngrams",
     "dic_a1_spark.operators.sketches",
+    "dic_a1_spark.operators.curation",
 )
 
 

@@ -1,0 +1,77 @@
+"""Oracle + semantics checks for the curation operators (decontamination,
+language rebalancing, context-window chunking)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dic_a1_spark.operators import curation
+from dic_a1_spark.plans.explain import formatted_plan
+from tests.conftest import SF_CORRECT
+from tests.oracle_utils import compare
+
+
+@pytest.mark.parametrize("name", sorted(curation.QUERIES))
+def test_matches_oracle(spark, name):
+    compare(spark, curation.ORACLES[name], curation.QUERIES[name], SF_CORRECT, name)
+
+
+def test_decontam_flags_real_overlap(spark):
+    df = curation.decontam_ngram_overlap(spark, SF_CORRECT)
+    rows = df.collect()
+    assert all(r["doc_id"] >= curation.BENCH_DOCS for r in rows)
+    n_contam = sum(1 for r in rows if r["contaminated"])
+    assert 0 < n_contam < len(rows)  # some but not all flagged
+
+
+def test_decontam_benchmark_side_broadcasts(spark):
+    plan = formatted_plan(curation.decontam_ngram_overlap(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rebalance_caps_heavy_language_keeps_light_whole(spark):
+    from dic_a1_spark.sources.readers import load_table
+
+    d = load_table(spark, SF_CORRECT, "documents")
+    before = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    total = sum(before.values())
+    after = {
+        r["lang"]: r["n"]
+        for r in curation.lang_rebalance_sample(spark, SF_CORRECT)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, n in before.items():
+        if n <= curation.LANG_CAP * total:
+            # under the cap: passes through WHOLE (the lpad-truncation trap)
+            assert after[lang] == n, (lang, after[lang], n)
+        else:
+            # over the cap: downsampled to ~cap share (hash noise allowed)
+            assert after[lang] < n
+            assert after[lang] <= 1.25 * curation.LANG_CAP * total
+
+
+def test_rebalance_is_deterministic(spark):
+    a = sorted(r["doc_id"] for r in curation.lang_rebalance_sample(spark, SF_CORRECT).collect())
+    b = sorted(r["doc_id"] for r in curation.lang_rebalance_sample(spark, SF_CORRECT).collect())
+    assert a == b
+
+
+def test_chunks_cover_all_tokens_with_overlap(spark):
+    df = curation.doc_chunk_windows(spark, SF_CORRECT)
+    rows = df.where(F.col("doc_id") == 1).orderBy("chunk_id").collect()
+    assert rows, "doc 1 missing"
+    n_tokens = rows[0]["n_tokens"]
+    # Every token position is covered: last chunk reaches the end.
+    last_start = rows[-1]["chunk_id"] * curation.CHUNK_STRIDE
+    assert last_start + curation.CHUNK_WIDTH >= n_tokens
+    # Non-final chunks are full width.
+    for r in rows[:-1]:
+        assert len(r["chunk_text"].split(" ")) == curation.CHUNK_WIDTH
+
+
+def test_chunking_is_map_only(spark):
+    plan = formatted_plan(curation.doc_chunk_windows(spark, SF_CORRECT))
+    assert "Exchange" not in plan  # no shuffle at all
