@@ -50,6 +50,10 @@ HEADLINE = [
     "q19_bracketed_revenue",
     "text_bigram_topk",
     "text_tfidf_top_terms",
+    "q9_product_profit",
+    "q21_sole_late_supplier",
+    "decontam_ngram_overlap",
+    "doc_chunk_windows",
 ]
 
 

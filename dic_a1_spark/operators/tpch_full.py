@@ -41,16 +41,17 @@ Scale notes (the 100 TB plan, per query):
     driver without a global sort.
   - q12a: single scan, conditional aggregates, no join beyond
     orders⋈lineitem on the join key.
-  - q15: the revenue view aggregates once; the scalar max (1 row)
-    broadcasts back against it — no recomputation of the view, no
-    global sort.
+  - q15: the revenue view aggregates once; the scalar max is an
+    empty-frame window over its |suppliers|-row output — one lineitem
+    scan total (a scalar-subquery join would recompute the view).
   - q16a: the negative-balance exclusion is a broadcast anti-join
     (6 rows at sf; bounded by |supplier| always); count(DISTINCT
     l_suppkey) is a two-phase hash aggregate.
   - q17a: the correlated per-part average decorrelates to a window over
     p_partkey on the (brand-filtered, broadcast-joined) lineitem slice.
-  - q18: the HAVING>threshold subquery is a self-semi-join on
-    l_orderkey; both sides aggregate before shuffling.
+  - q18: the HAVING>threshold subquery IS the outer query's per-order
+    aggregate — computed once, filtered, joined; lineitem is scanned
+    and shuffled exactly once.
   - q20a: two nested INs become two broadcast semi joins (per-supplier
     quantity rollup, then nation list).
   - q21a: the classic four-way self-join collapses to ONE pass over
@@ -253,16 +254,19 @@ def q12a_late_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 shape: supplier(s) achieving the maximum quarterly revenue.
-    The revenue view aggregates once; its scalar max broadcasts back."""
+    The scalar max is an empty-frame window over the ALREADY-AGGREGATED
+    revenue view (|suppliers| rows), not a second pass — a scalar-subquery
+    crossJoin would recompute the view, scanning lineitem twice (Spark
+    has no automatic CTE/subquery reuse across join branches)."""
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= _ts("1997-01-01"))
         & (F.col("l_shipdate") < _ts("1997-04-01"))
     )
     revenue = li.groupBy("l_suppkey").agg(F.round(F.sum(_rev()), 4).alias("total_revenue"))
-    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    w = Window.partitionBy()  # dimension-sized input: one task, transiently
     return (
-        revenue.crossJoin(F.broadcast(max_rev))
+        revenue.withColumn("max_revenue", F.max("total_revenue").over(w))
         .where(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
@@ -307,29 +311,29 @@ def q17a_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 shape: orders whose total quantity exceeds 250, with customer
-    detail. The HAVING subquery is a self-semi-join on l_orderkey."""
+    detail. The canonical HAVING-IN subquery is the SAME per-order
+    aggregate the outer query re-derives, so it is computed once and
+    filtered — lineitem is scanned and shuffled exactly once (the
+    semi-join form scans it twice and re-aggregates the survivors)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
-        .where(F.col("sum_qty") > 250)
-        .select("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
     )
     return (
-        li.join(big.withColumnRenamed("l_orderkey", "b_orderkey"),
-                F.col("l_orderkey") == F.col("b_orderkey"), "left_semi")
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy(
+        .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.date_format("o_orderdate", _D).alias("orderdate"),
             "o_totalprice",
+            "total_qty",
         )
-        .agg(F.sum("l_quantity").alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
