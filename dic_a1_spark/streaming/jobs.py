@@ -28,36 +28,67 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
-# Raw parquet schema of events: ts is TIMESTAMP(NANOS) on disk, which
-# Spark only reads as int64 via the legacy conf (see sources/readers.py).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    """Probe the parquet footer once (driver-side) for the on-disk ts
+    encoding. TIMESTAMP(NANOS) is only readable by Spark as raw int64 via
+    the legacy conf; micro/millisecond timestamps read natively. The batch
+    reader (sources/readers.py:load_table) branches on the resulting
+    DataFrame dtype; the stream source pins its schema up front, so the
+    equivalent adaptivity has to come from the file metadata."""
+    import os
+
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    return pat.is_timestamp(t) and t.unit == "ns"
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file per sf dir;
     in production this is a directory the ingest keeps appending to, or a
-    Kafka source — the downstream query is identical)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Kafka source — the downstream query is identical).
+
+    The ts conversion mirrors the batch reader exactly (asserted by
+    tests/test_streaming.py parity tests): nanos-encoded files are read as
+    int64 and truncated to microseconds; micro/millis files are read
+    directly with no arithmetic. One divergence from batch is forced by
+    Spark: watermarks reject TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP
+    _TYPE), so the stream reads TIMESTAMP — with the session timezone
+    pinned to UTC (session.py) the wall-clock values, window boundaries,
+    and date_format strings are identical to the batch NTZ results."""
     # The file stream source requires a DIRECTORY; scope it to the events
     # table with pathGlobFilter rather than pointing at the file.
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if _events_ts_is_nanos(sf_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_events_schema(LongType()))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp)")
+        )
+    return (
+        spark.readStream.schema(_events_schema(TimestampType()))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-    )
-    return raw.withColumn(
-        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp)")
     )
 
 
