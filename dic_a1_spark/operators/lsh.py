@@ -1,0 +1,188 @@
+"""Oracle-verifiable MinHash-LSH over an md5-derived hash family.
+
+The production MinHash pipeline (operators/dedup.py) uses xxhash64, which
+DuckDB lacks — so its band-join logic has only rows-only driver checks.
+This module re-expresses the SAME pipeline shape (map-only signatures ->
+band-bucket self-join -> exact-Jaccard verification) over a hash family
+both engines compute bit-identically:
+
+    h_i(s)   = bigint(first 15 hex chars of md5(concat(i, ':', s)))
+    band_b   = md5(concat_ws(',', sig[4b] .. sig[4b+3]))
+
+15 hex chars < 2^60, so the value is an exact positive BIGINT in both
+Spark (conv(substr(md5(x),1,15),16,10)) and DuckDB
+(CAST('0x' || substring(md5(x),1,15) AS BIGINT)) — asserted equal in
+tests/test_lsh.py and by the driver's value-hash gate.
+
+This entry exists to put the LSH band-join logic itself under the
+hash-verified driver gate; the xxhash64 family in dedup.py remains the
+production path (integer mixing, no per-hash string materialization —
+~16 md5-of-string evaluations per shingle here vs one xxhash64).
+The plan shape is identical, so a green driver row here certifies the
+banding/dedup/verification logic both variants share.
+
+Reference: the reference has no dedup at all; this extends SURVEY.md §2
+per the LLM-data-pipeline mandate (same ladder as operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dic_a1_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    MINHASH_BANDS,
+    MINHASH_HASHES,
+    MINHASH_ROWS,
+    _SHINGLE_CTE,
+    _with_shingle_arrays,
+)
+from dic_a1_spark.sources.readers import load_table
+
+
+def _md5_minhash_signatures(shingle_arrays: DataFrame) -> DataFrame:
+    """(doc_id, shingles, sig: array<bigint>) — MINHASH_HASHES md5-family
+    min-hashes, computed MAP-ONLY over the per-doc shingle array (no
+    explode, no shuffle; same shape as dedup.minhash_signatures)."""
+    hashes = [
+        F.expr(
+            "array_min(transform(shingles,"
+            f" s -> cast(conv(substr(md5(concat('{i}:', s)), 1, 15), 16, 10)"
+            " as bigint)))"
+        ).alias(f"h{i}")
+        for i in range(MINHASH_HASHES)
+    ]
+    return (
+        shingle_arrays.select("doc_id", "shingles", *hashes)
+        .select(
+            "doc_id",
+            "shingles",
+            F.array(*[f"h{i}" for i in range(MINHASH_HASHES)]).alias("sig"),
+        )
+    )
+
+
+def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with a DuckDB-twin hash family.
+
+    Plan (mirrors dedup.dedup_minhash_pairs):
+      1. map-only signatures over per-doc shingle arrays (no exchange);
+      2. band hashes md5(csv of band rows), exploded to (doc, band) rows;
+      3. self-join on (band_id, band_hash) with doc1 < doc2 — the only
+         shuffle keyed on a compact 2-tuple, never a cross join;
+      4. map-side pair dedup: keep only the first matching band (checked
+         against the carried band-hash array) instead of a .distinct()
+         shuffle over the join output;
+      5. exact-Jaccard verification computed only on candidates, via two
+         equi-joins pulling each side's shingle array onto the row.
+    """
+    from pyspark import StorageLevel
+
+    arrs = _with_shingle_arrays(load_table(spark, sf_dir, "documents")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = _md5_minhash_signatures(arrs)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col("sig")[b * MINHASH_ROWS + r].cast("string")
+                    for r in range(MINHASH_ROWS)
+                ],
+            ).cast("binary")
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+    bands = (
+        sig.select("doc_id", F.array(*band_cols).alias("bhs"))
+        .select(
+            "doc_id",
+            "bhs",
+            F.explode(F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1))).alias(
+                "band_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            "bhs",
+            "band_id",
+            F.element_at("bhs", F.col("band_id") + 1).alias("band_hash"),
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    earlier_band_matches = None
+    for j in range(MINHASH_BANDS - 1):
+        m = (F.col("a.band_id") > j) & (
+            F.element_at(F.col("a.bhs"), j + 1) == F.element_at(F.col("b.bhs"), j + 1)
+        )
+        earlier_band_matches = m if earlier_band_matches is None else (
+            earlier_band_matches | m
+        )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(~earlier_band_matches)
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+    )
+    return (
+        cand.join(
+            arrs.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("s1")),
+            "doc1",
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("s2")),
+            "doc2",
+        )
+        .withColumn("n_shared", F.size(F.array_intersect("s1", "s2")))
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.size("s1") + F.size("s2") - F.col("n_shared")).cast("double"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_minhash_md5_pairs": dedup_minhash_md5_pairs,
+}
+
+ORACLES: dict[str, str] = {
+    "dedup_minhash_md5_pairs": f"""
+        WITH {_SHINGLE_CTE},
+        hashes AS (
+            SELECT doc_id, i,
+                   min(CAST(('0x' || substring(
+                           md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 15))
+                       AS BIGINT)) AS mh
+            FROM sh CROSS JOIN range({MINHASH_HASHES}) t(i)
+            GROUP BY doc_id, i
+        ),
+        bands AS (
+            SELECT doc_id, CAST(i // {MINHASH_ROWS} AS INTEGER) AS band_id,
+                   md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i))
+                       AS band_hash
+            FROM hashes GROUP BY doc_id, i // {MINHASH_ROWS}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id
+                        AND a.band_hash = b.band_hash
+                        AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc1, c.doc2, j.jaccard
+        FROM cand c
+        JOIN jac j ON j.doc1 = c.doc1 AND j.doc2 = c.doc2
+        WHERE j.jaccard >= {JACCARD_THRESHOLD}
+    """,
+}
