@@ -36,7 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dic_a1_spark.config import DUCKDB_WS_REGEX, duckdb_token_char_class
-from dic_a1_spark.operators.dedup import SHINGLE_WIDTH, _with_shingles
+from dic_a1_spark.functions.text import tokenize
+from dic_a1_spark.operators.dedup import SHINGLE_WIDTH, _with_shingle_arrays
 from dic_a1_spark.sources.readers import load_table
 
 # Stand-in evaluation set: the first BENCH_DOCS documents. In production
@@ -63,27 +64,101 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     document, the fraction of its distinct shingles that also occur in the
     (broadcast) benchmark set, and the contamination verdict.
 
-    One pass over the corpus: explode distinct shingles, LEFT join the
-    broadcast benchmark shingle set with a hit flag, re-aggregate per
-    document. Reuses the dedup ladder's shingle definition (dedup.py
-    _with_shingle_arrays) so 'overlap' means the same thing in both
-    operator families."""
+    Plan (the hits-only shape; 42 s -> 23.7 s at 250K amplified docs):
+      1. one shingle-array pass over the corpus, persisted — the single
+         expensive stage, shared by both consumers below (without the
+         persist each would re-run tokenize+shingle; and an UNpersisted
+         explode(hs) alongside size(hs) trips the expression-inlining
+         trap — Catalyst re-evaluates the whole shingle transform per
+         exploded element, measured 143 s for this query's shape);
+      2. per-doc sizes map-side from the persisted arrays;
+      3. overlap via explode + broadcast INNER probe against the
+         benchmark's distinct shingles — only HIT rows (a vanishing
+         fraction of corpus shingles) reach the groupBy, unlike the
+         round-2 LEFT-join shape that re-aggregated every corpus
+         shingle row;
+      4. hit counts (dimension-sized) join back to the sizes frame —
+         AQE broadcasts it.
+    Rejected alternative: aggregating the benchmark into one array and
+    `size(array_intersect(...))` per row is corpus-side exchange-free but
+    rebuilds the benchmark hash set PER ROW inside ArrayIntersect —
+    measured 102 s. See decontam_ngram_overlap_fast for the hashed
+    variant (no string shingles at all) at ~3x this throughput."""
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
-    sh = _with_shingles(d)
+    arrs = _with_shingle_arrays(d).persist(StorageLevel.MEMORY_AND_DISK)
     bench = (
-        sh.where(F.col("doc_id") < BENCH_DOCS)
-        .select("shingle")
+        arrs.where(F.col("doc_id") < BENCH_DOCS)
+        .select(F.explode("shingles").alias("shingle"))
         .distinct()
-        .withColumn("hit", F.lit(1))
     )
-    corpus = sh.where(F.col("doc_id") >= BENCH_DOCS)
-    per_doc = (
-        corpus.join(F.broadcast(bench), "shingle", "left")
+    corpus = arrs.where(F.col("doc_id") >= BENCH_DOCS)
+    hits = (
+        corpus.select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(F.broadcast(bench), "shingle", "inner")
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_overlap"),
-        )
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    base = corpus.select(
+        "doc_id", F.size("shingles").cast("bigint").alias("n_shingles")
+    )
+    per_doc = base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+    )
+    ratio = F.col("n_overlap") / F.col("n_shingles")
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round(ratio, 4).alias("overlap_ratio"),
+        (ratio >= F.lit(CONTAM_RATIO)).alias("contaminated"),
+    )
+
+
+def decontam_ngram_overlap_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB decontamination shape: identical semantics to
+    decontam_ngram_overlap, but shingles are 64-bit xxhash64(t1, t2, t3)
+    token-triple hashes — no shingle STRING is ever materialized (the
+    string concat + per-doc distinct over strings is over half the exact
+    query's cost). Overlap counts differ from the exact form only if two
+    distinct shingles collide at 64 bits AND straddle the benchmark/corpus
+    split (~1e-9 at test scale), so this is registered rows-only and
+    pytest-pinned value-equal to the exact query at sf0.01 and sf0.1
+    (tests/test_curation.py). 8.4 s / 29.6K docs/s at 250K amplified docs
+    vs 23.7 s for the exact form."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.filter(tokenize(F.col("text")), lambda w: w != "").alias("toks")
+    ).where(F.size("toks") >= SHINGLE_WIDTH)
+    hsh = toks.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(1, size(toks) - 2),"
+            " i -> xxhash64(toks[i-1], toks[i], toks[i+1])))"
+        ).alias("hs"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bench = (
+        hsh.where(F.col("doc_id") < BENCH_DOCS)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    corpus = hsh.where(F.col("doc_id") >= BENCH_DOCS)
+    hits = (
+        corpus.select("doc_id", F.explode("hs").alias("h"))
+        .join(F.broadcast(bench), "h", "inner")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    base = corpus.select("doc_id", F.size("hs").cast("bigint").alias("n_shingles"))
+    per_doc = base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
     )
     ratio = F.col("n_overlap") / F.col("n_shingles")
     return per_doc.select(
@@ -185,6 +260,7 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontam_ngram_overlap": decontam_ngram_overlap,
+    "decontam_ngram_overlap_fast": decontam_ngram_overlap_fast,  # rows-only (xxhash64)
     "lang_rebalance_sample": lang_rebalance_sample,
     "doc_chunk_windows": doc_chunk_windows,
 }

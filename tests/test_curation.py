@@ -12,7 +12,7 @@ from tests.conftest import SF_CORRECT
 from tests.oracle_utils import compare
 
 
-@pytest.mark.parametrize("name", sorted(curation.QUERIES))
+@pytest.mark.parametrize("name", sorted(curation.ORACLES))
 def test_matches_oracle(spark, name):
     compare(spark, curation.ORACLES[name], curation.QUERIES[name], SF_CORRECT, name)
 
@@ -27,7 +27,24 @@ def test_decontam_flags_real_overlap(spark):
 
 def test_decontam_benchmark_side_broadcasts(spark):
     plan = formatted_plan(curation.decontam_ngram_overlap(spark, SF_CORRECT))
+    # the benchmark shingle set is the build side of a broadcast hash
+    # probe — the corpus side is never the shuffled side of that join
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontam_fast_matches_exact(spark):
+    """The hashed (rows-only) variant must be value-identical to the
+    oracle-gated exact variant — collisions would show up here first."""
+    cols = ["doc_id", "n_shingles", "n_overlap", "overlap_ratio", "contaminated"]
+    exact = sorted(
+        tuple(r[c] for c in cols)
+        for r in curation.decontam_ngram_overlap(spark, SF_CORRECT).collect()
+    )
+    fast = sorted(
+        tuple(r[c] for c in cols)
+        for r in curation.decontam_ngram_overlap_fast(spark, SF_CORRECT).collect()
+    )
+    assert exact == fast
 
 
 def test_rebalance_caps_heavy_language_keeps_light_whole(spark):
