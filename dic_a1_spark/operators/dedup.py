@@ -378,27 +378,27 @@ def minhash_band_buckets(
     )
 
 
-def minhash_label_groups(docs: DataFrame, n_iter: int = 3) -> DataFrame:
-    """(doc_id, group_id): near-dup GROUP assignment without pairwise
-    candidate enumeration.
+def label_propagate(docs: DataFrame, edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """(doc_id, group_id): connected-component labels over a bipartite
+    doc<->bucket graph, by alternating min-label pushes doc->bucket and
+    bucket->doc.
 
     Why this exists: tools/scale_smoke.py shows that with realistic
     duplicate clusters, emitting candidate *pairs* is quadratic in cluster
     size (20 copies -> 190 pairs each). For dedup you don't need pairs —
-    you need a representative per cluster. This runs label propagation on
-    the bipartite doc<->LSH-bucket graph: alternately push the min label
-    doc->bucket and bucket->doc. Cost per iteration is two shuffles LINEAR
-    in |doc-bucket edges| (4 per doc), independent of cluster sizes; exact
-    duplicates share every bucket and collapse in one iteration, chains of
-    near-dups converge within graph diameter (n_iter bounds it; components
-    with larger diameter may keep >1 label - conservative, never wrong-
-    merges). The 100 TB shape of MinHash dedup."""
+    you need a representative per cluster. Cost per iteration is two
+    shuffles LINEAR in |doc-bucket edges|, independent of cluster sizes;
+    exact duplicates share every bucket and collapse in one iteration,
+    chains of near-dups converge within graph diameter (n_iter bounds it;
+    components with larger diameter may keep >1 label — conservative,
+    never wrong-merges). Shared by the MinHash and SimHash group queries;
+    docs absent from `edges` (too short to sign) keep their own label."""
     from pyspark import StorageLevel
     # Persist the doc-bucket graph: every iteration joins against it, and
     # without the persist each join would recompute the whole
-    # tokenize->shingle->signature chain (iterative algorithms are THE
-    # case for explicit materialization in Spark).
-    edges = minhash_band_buckets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    # tokenize->signature chain (iterative algorithms are THE case for
+    # explicit materialization in Spark).
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
 
     labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -442,6 +442,12 @@ def minhash_label_groups(docs: DataFrame, n_iter: int = 3) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("group_id"))
+
+
+def minhash_label_groups(docs: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Near-dup groups from the MinHash band-bucket graph — the 100 TB
+    shape of MinHash dedup (see label_propagate)."""
+    return label_propagate(docs, minhash_band_buckets(docs), n_iter)
 
 
 def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,6 +567,50 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_band_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, bucket): one row per (doc, 16-bit SimHash band) with the
+    bucket key collapsed to a single hash — the bipartite doc-bucket
+    graph, same shape as minhash_band_buckets."""
+    sig = simhash_signatures(docs)
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(k),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * k).bitwiseAND(
+                            F.lit(0xFFFF)
+                        ),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bucket"),
+    )
+
+
+def simhash_label_groups(docs: DataFrame, n_iter: int = 8) -> DataFrame:
+    """Near-dup groups from the SimHash band-bucket graph. This is the
+    scale-safe registered SimHash shape: dedup_simhash_pairs' output is
+    inherently quadratic in duplicate-cluster size (252M pairs at 250K
+    amplified docs, SCALEBENCH r2), while group output is exactly one row
+    per document no matter how duplicate-heavy the corpus. Pairs remain
+    the testable primitive (hamming-verified); groups are the operational
+    dedup answer (band agreement is the merge relation, exactly as the
+    MinHash groups use unverified band buckets).
+
+    n_iter default is higher than MinHash's: 16-bit band values collide
+    far more than 64-bit minhash band hashes, so the doc-bucket graph has
+    larger-diameter components; the loop still early-exits on convergence
+    (changed == 0), so the budget only costs iterations actually needed."""
+    return label_propagate(docs, simhash_band_buckets(docs), n_iter)
+
+
+def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_label_groups(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_exact_keep": dedup_exact_keep,
@@ -569,6 +619,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_pairs": dedup_minhash_pairs,  # rows-only (xxhash64)
     "dedup_minhash_groups": dedup_minhash_groups,  # rows-only (xxhash64)
     "dedup_simhash_pairs": dedup_simhash_pairs,  # rows-only (xxhash64)
+    "dedup_simhash_groups": dedup_simhash_groups,  # rows-only (xxhash64)
 }
 
 _CC = duckdb_token_char_class().replace("'", "''")

@@ -77,6 +77,55 @@ def test_minhash_groups_cover_pairs_without_enumeration(spark):
         assert len(grp) == 1, f"exact duplicates split across groups: {g['ids']}"
 
 
+def test_simhash_groups_cover_pairs_and_stay_linear(spark):
+    """The SimHash groups query is the scale-safe registered shape: (a)
+    every hamming-verified simhash pair lands in one group, (b) exact
+    duplicates collapse, (c) output is exactly one row per document —
+    linear in corpus size even when pair output is quadratic (the
+    SCALEBENCH r2 failure mode: 252M pairs from 250K amplified docs)."""
+    labels = {
+        r["doc_id"]: r["group_id"]
+        for r in dedup.QUERIES["dedup_simhash_groups"](spark, SF_SMOKE).collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert len(labels) == docs.count()
+
+    for r in dedup.QUERIES["dedup_simhash_pairs"](spark, SF_SMOKE).collect():
+        assert labels[r["doc1"]] == labels[r["doc2"]], (r["doc1"], r["doc2"])
+
+    dup_groups = (
+        docs.groupBy("text")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") > 1)
+        .collect()
+    )
+    for g in dup_groups:
+        grp = {labels[i] for i in g["ids"]}
+        assert len(grp) == 1, f"exact duplicates split across groups: {g['ids']}"
+
+
+def test_simhash_groups_output_linear_on_amplified_dups(spark):
+    """Amplify a small corpus 20x with EXACT copies: pair output grows
+    quadratically (>= C(20,2) per base doc), group output stays exactly
+    n_docs rows."""
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .limit(25)
+        .crossJoin(F.broadcast(spark.range(20).withColumnRenamed("id", "rep")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(100000))
+        .drop("rep")
+    )
+    n_docs = docs.count()
+    groups = dedup.simhash_label_groups(docs)
+    assert groups.count() == n_docs
+    # same corpus through the pairs primitive: quadratic in cluster size
+    from dic_a1_spark.operators.dedup import simhash_signatures
+
+    n_signed = simhash_signatures(docs).count()
+    pairs_lower_bound = (n_signed // 20) * (20 * 19 // 2)
+    assert pairs_lower_bound > n_signed  # pairs >> docs — the point
+
+
 def test_minhash_signatures_deterministic(spark):
     """Regression: with multiple Python-lambda higher-order functions in
     one projection, PySpark 4.1 cross-wires the lambda variables — h0

@@ -53,9 +53,11 @@ HEADLINE_DOC_QUERIES = [
     # group-level near-dup (label propagation) — the linear-cost scale path
     # where pair enumeration is inherently quadratic on duplicate clusters
     "dedup_minhash_groups",
+    "dedup_simhash_groups",
     # curation tranche: broadcast decontamination, stratified hash
     # rebalance, map-only chunking
     "decontam_ngram_overlap",
+    "decontam_ngram_overlap_fast",
     "lang_rebalance_sample",
     "doc_chunk_windows",
     "text_token_freq_items",
