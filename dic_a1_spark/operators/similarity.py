@@ -498,6 +498,83 @@ def embedding_neardup_blocked_fast(
     )
 
 
+def ivf_assignments_fast(
+    spark: SparkSession, sf_dir: str, *, ivf_k: int = IVF_K
+) -> DataFrame:
+    """Batch-matmul IVF coarse quantizer — same result as ivf_assignments,
+    scale execution shape.
+
+    The exact query ships both vectors through Arrow for every
+    (vector, centroid) row and folds the dot per pair — 25.2 s / 3.9K
+    vecs/s at 100K vectors (SCALEBENCH r2), and its own docstring
+    measured 516 s at K=1500. Here each Arrow batch does ONE
+    (B x dim) @ (dim x K) matmul against the driver-broadcast normalized
+    codebook: data shipped per VECTOR, not per (vector, centroid).
+
+    Parity with the exact query: sims are rounded to 4dp BEFORE the
+    stable argsort (the exact query ranks by the ROUNDED sim), and the
+    codebook is pre-sorted ascending by centroid id, so rounding ties
+    break to the lowest centroid id in both. BLAS-vs-fold differences
+    survive only if a raw sim sits within ~1 ULP of a 4dp rounding
+    boundary (~1e-12 per value); pinned value-equal to ivf_assignments
+    at sf0.001/sf0.01/sf0.1 in tests/test_similarity.py and registered
+    under the same DuckDB oracle."""
+    import pyspark.sql.types as T
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        e.where(F.col("vec_id") < ivf_k).select("vec_id", "embedding").collect()
+    )
+    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    order = np.argsort(cent_ids)
+    cent_ids, Cn = cent_ids[order], Cn[order]
+    bc = spark.sparkContext.broadcast((cent_ids, Cn))
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("centroid_sim", T.DoubleType()),
+        ]
+    )
+
+    def assign_batches(batches):
+        ids_c, cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            sims = np.round(Vn @ cn.T, 4)  # (B, K), ranked on ROUNDED values
+            best = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+            rows = np.arange(len(pdf))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "centroid_id": ids_c[best],
+                    "centroid_sim": sims[rows, best],
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(assign_batches, schema)
+
+
+def embedding_neardup_blocked_fast_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of the batch-matmul blocked near-dup: the codebook
+    is SIZED FROM THE DATA exactly as tools/scale_bench.py sizes it
+    (target ~200 resident vectors per block after multi-probe, floor
+    IVF_K, driver-side codebook capped at 1500 rows — the documented
+    collect bound). Rows-only gating: the blocking decisions depend on
+    the data-sized K, so no fixed SQL oracle; pair-set equality vs the
+    exact per-pair path at matched K is pinned in pytest."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    k = max(IVF_K, min(n, n * NEARDUP_NPROBE // 200, 1500))
+    return embedding_neardup_blocked_fast(spark, sf_dir, ivf_k=k)
+
+
 def label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean-vector cohesion: average pairwise-free proxy
     (each vector's cosine to its label centroid), exact arithmetic via
@@ -529,8 +606,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norms": embedding_norms,
     "knn_cosine_bruteforce": knn_cosine_bruteforce,
     "ivf_assignments": ivf_assignments,
+    "ivf_assignments_fast": ivf_assignments_fast,
     "knn_cosine_ivf": knn_cosine_ivf,
     "embedding_neardup_blocked": embedding_neardup_blocked,
+    "embedding_neardup_blocked_fast": embedding_neardup_blocked_fast_query,  # rows-only (data-sized K)
     "label_centroid_sim": label_centroid_sim,
 }
 
@@ -684,6 +763,11 @@ ORACLES: dict[str, str] = {
         FROM embeddings e JOIN cvec USING (label)
     """,
 }
+
+# The matmul assignment is result-identical to the exact form (rounded-4dp
+# ranking, ascending-id ties), so it shares the same oracle and gets the
+# full hash gate rather than rows-only.
+ORACLES["ivf_assignments_fast"] = ORACLES["ivf_assignments"]
 
 # Ground-truth oracle for the TEST-ONLY all-pairs form (not registered).
 NEARDUP_EXACT_ORACLE = f"""

@@ -62,6 +62,44 @@ def test_neardup_blocked_recall(spark):
     assert recall >= 0.9, f"blocked near-dup recall too low: {recall}"
 
 
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_CORRECT, "/root/testdata/sf0.1"],
+                         ids=["sf0.001", "sf0.01", "sf0.1"])
+def test_ivf_assignments_fast_matches_exact(spark, sf_dir):
+    """The matmul assignment shares the exact query's oracle, so it must
+    be VALUE-identical to ivf_assignments — rounded-4dp ranking and
+    ascending-id tie-breaks included — at every test scale (sf0.1 has the
+    most values, the strongest probe of BLAS-vs-fold rounding edges)."""
+    cols = ["vec_id", "centroid_id", "centroid_sim"]
+    exact = sorted(
+        tuple(r[c] for c in cols)
+        for r in similarity.QUERIES["ivf_assignments"](spark, sf_dir).collect()
+    )
+    fast = sorted(
+        tuple(r[c] for c in cols)
+        for r in similarity.QUERIES["ivf_assignments_fast"](spark, sf_dir).collect()
+    )
+    assert exact == fast
+
+
+def test_neardup_fast_registered_query_runs_with_data_sized_codebook(spark):
+    """The registered fast near-dup sizes K from the corpus; at sf0.001
+    that floors to IVF_K, so its pair set must equal the exact blocked
+    query's."""
+    slow = {
+        (r["id1"], r["id2"])
+        for r in similarity.QUERIES["embedding_neardup_blocked"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    fast = {
+        (r["id1"], r["id2"])
+        for r in similarity.QUERIES["embedding_neardup_blocked_fast"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert fast == slow
+
+
 def test_neardup_blocked_fast_matches_exact_path(spark):
     """The batch-linear-algebra scale variant must emit the same pair set
     as the registered pair-at-a-time query when run with the same codebook

@@ -178,7 +178,12 @@ def main() -> None:
     )
 
     emb_queries: dict[str, dict] = {}
-    for name in ["ivf_assignments", "knn_cosine_bruteforce", "knn_cosine_ivf"]:
+    for name in [
+        "ivf_assignments",
+        "ivf_assignments_fast",
+        "knn_cosine_bruteforce",
+        "knn_cosine_ivf",
+    ]:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         rows_out = qs[name](spark, args.work_dir).count()
