@@ -53,7 +53,14 @@ HEADLINE = [
     "q9_product_profit",
     "q21_sole_late_supplier",
     "decontam_ngram_overlap",
+    "decontam_ngram_overlap_fast",
     "doc_chunk_windows",
+    # round 3 additions: oracle-gated LSH band join, linear-output simhash
+    # dedup, and the batch-matmul ANN paths
+    "dedup_minhash_md5_pairs",
+    "dedup_simhash_groups",
+    "ivf_assignments_fast",
+    "embedding_neardup_blocked_fast",
 ]
 
 

@@ -258,11 +258,67 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation DAG as ONE lazy plan —
+    what a user of this engine actually runs over a raw corpus:
+
+        exact dedup (keep min doc_id per content hash)
+        -> C4-style quality gate (textstats.text_quality_filter, keep=1)
+        -> benchmark decontamination (decontam_ngram_overlap, clean only;
+           also drops the benchmark docs themselves)
+        -> context-window accounting (tokens + chunk count per survivor)
+
+    Each stage is itself a registered, oracle-gated query; this entry
+    proves they COMPOSE — one DAG, one driver hash over the final result.
+    Catalyst sees through the composition: the content-hash dedup and the
+    map-only quality/chunk features all fold into scans + one broadcast
+    probe, so the plan stays the union of the stages' plans, not a
+    materialization chain. Output is the per-document curation summary
+    (doc_id, lang, source, n_tokens, n_chunks) — compact and
+    deterministic at every SF."""
+    from dic_a1_spark.operators.textstats import text_quality_filter
+
+    d = load_table(spark, sf_dir, "documents")
+    dedup_keep = d.groupBy(F.md5(F.encode("text", "UTF-8")).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    quality_ok = text_quality_filter(spark, sf_dir).where(F.col("keep") == 1)
+    decontam_ok = decontam_ngram_overlap(spark, sf_dir).where(~F.col("contaminated"))
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.filter(
+            F.split(F.lower(F.col("text")), DUCKDB_WS_REGEX), lambda w: w != ""
+        ).alias("toks"),
+    ).where(F.size("toks") > 0)
+    sized = toks.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("toks").alias("n_tokens"),
+        (
+            F.ceil(
+                F.greatest(F.size("toks") - F.lit(CHUNK_WIDTH), F.lit(0))
+                / F.lit(CHUNK_STRIDE)
+            ).cast("int")
+            + F.lit(1)
+        ).alias("n_chunks"),
+    )
+    return (
+        sized.join(dedup_keep.select("doc_id"), "doc_id")
+        .join(quality_ok.select("doc_id"), "doc_id")
+        .join(decontam_ok.select("doc_id"), "doc_id")
+        .select("doc_id", "lang", "source", "n_tokens", "n_chunks")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "decontam_ngram_overlap_fast": decontam_ngram_overlap_fast,  # rows-only (xxhash64)
     "lang_rebalance_sample": lang_rebalance_sample,
     "doc_chunk_windows": doc_chunk_windows,
+    "curation_pipeline": curation_pipeline,
 }
 
 _CC = duckdb_token_char_class().replace("'", "''")
@@ -339,3 +395,44 @@ ORACLES: dict[str, str] = {
         FROM idx
     """,
 }
+
+
+def _pipeline_oracle() -> str:
+    """Compose the pipeline oracle from the stages' own oracle SQL (each
+    embedded as a derived table — the oracle composes exactly as the
+    Spark DAG composes), plus the chunk-accounting arithmetic."""
+    from dic_a1_spark.operators import textstats as _ts
+
+    quality_sql = _ts.ORACLES["text_quality_filter"]
+    decontam_sql = ORACLES["decontam_ngram_overlap"]
+    return f"""
+        WITH base AS (
+            SELECT doc_id, lang, source,
+                   list_filter(regexp_split_to_array(lower(text),
+                               '{DUCKDB_WS_REGEX}'), w -> w <> '') AS a
+            FROM documents
+        ),
+        sized AS (
+            SELECT doc_id, lang, source, len(a) AS n_tokens,
+                   CAST(ceil(greatest(len(a) - {CHUNK_WIDTH}, 0)
+                             / {CHUNK_STRIDE}.0) AS INTEGER) + 1 AS n_chunks
+            FROM base WHERE len(a) > 0
+        ),
+        dedup_keep AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ),
+        quality AS (
+            SELECT doc_id FROM ({quality_sql}) WHERE keep = 1
+        ),
+        clean AS (
+            SELECT doc_id FROM ({decontam_sql}) WHERE NOT contaminated
+        )
+        SELECT s.doc_id, s.lang, s.source, s.n_tokens, s.n_chunks
+        FROM sized s
+        JOIN dedup_keep USING (doc_id)
+        JOIN quality USING (doc_id)
+        JOIN clean USING (doc_id)
+    """
+
+
+ORACLES["curation_pipeline"] = _pipeline_oracle()

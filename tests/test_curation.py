@@ -70,6 +70,31 @@ def test_rebalance_caps_heavy_language_keeps_light_whole(spark):
             assert after[lang] <= 1.25 * curation.LANG_CAP * total
 
 
+def test_pipeline_is_intersection_of_stage_gates(spark):
+    """Every pipeline survivor must pass EVERY stage's own registered
+    gate, and every benchmark doc must be gone (decontamination drops the
+    eval set itself)."""
+    surv = {r["doc_id"] for r in curation.curation_pipeline(spark, SF_CORRECT).collect()}
+    assert surv, "pipeline produced no survivors — vacuous"
+    assert all(i >= curation.BENCH_DOCS for i in surv)
+
+    from dic_a1_spark.operators.textstats import text_quality_filter
+    from pyspark.sql import functions as F2
+
+    quality = {
+        r["doc_id"]
+        for r in text_quality_filter(spark, SF_CORRECT).where(F2.col("keep") == 1).collect()
+    }
+    clean = {
+        r["doc_id"]
+        for r in curation.decontam_ngram_overlap(spark, SF_CORRECT)
+        .where(~F2.col("contaminated"))
+        .collect()
+    }
+    assert surv <= quality
+    assert surv <= clean
+
+
 def test_rebalance_is_deterministic(spark):
     a = sorted(r["doc_id"] for r in curation.lang_rebalance_sample(spark, SF_CORRECT).collect())
     b = sorted(r["doc_id"] for r in curation.lang_rebalance_sample(spark, SF_CORRECT).collect())
