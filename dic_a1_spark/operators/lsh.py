@@ -43,20 +43,46 @@ from dic_a1_spark.operators.dedup import (
 from dic_a1_spark.sources.readers import load_table
 
 
+# Universal (affine) hash family over ONE md5-derived 32-bit base value:
+#     base(s) = bigint(first 8 hex chars of md5(s))          in [0, 2^32)
+#     h_i(s)  = (A[i] * base(s) + B[i]) mod M
+# M = 2^61-1 (Mersenne prime; A[i]*base < 2^29 * 2^32 = 2^61 never
+# overflows int64). ONE md5 per shingle instead of MINHASH_HASHES of them
+# — the md5-per-(shingle, i) family this replaced spent 16 string hashes
+# per shingle and made this the slowest bench query (20.5 s at sf0.1; this
+# form ~16x fewer md5 calls). The A/B constants are Python ints embedded
+# literally in both the Spark expressions and the oracle SQL, so the two
+# engines compute the family bit-identically by construction. A 32-bit
+# base collision merges two shingles IDENTICALLY in both engines, so
+# oracle parity is unaffected; it only (negligibly) perturbs recall.
+_M = (1 << 61) - 1
+_A = [((0x9E3779B1 * (i + 1)) & 0x0FFFFFFF) | 1 for i in range(MINHASH_HASHES)]
+_B = [(0x85EBCA77 * (i + 1)) & 0x0FFFFFFF for i in range(MINHASH_HASHES)]
+
+
 def _md5_minhash_signatures(shingle_arrays: DataFrame) -> DataFrame:
-    """(doc_id, shingles, sig: array<bigint>) — MINHASH_HASHES md5-family
-    min-hashes, computed MAP-ONLY over the per-doc shingle array (no
-    explode, no shuffle; same shape as dedup.minhash_signatures)."""
-    hashes = [
+    """(doc_id, shingles, sig: array<bigint>) — MINHASH_HASHES min-hashes
+    of the md5-affine family, computed MAP-ONLY over the per-doc shingle
+    array (no explode, no shuffle; same shape as
+    dedup.minhash_signatures). The base values are projected to a bound
+    column FIRST so the 16 per-hash folds never re-run the md5 transform
+    (the expression-inlining trap, SCALING.md §text)."""
+    based = shingle_arrays.select(
+        "doc_id",
+        "shingles",
         F.expr(
-            "array_min(transform(shingles,"
-            f" s -> cast(conv(substr(md5(concat('{i}:', s)), 1, 15), 16, 10)"
-            " as bigint)))"
-        ).alias(f"h{i}")
+            "transform(shingles,"
+            " s -> cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))"
+        ).alias("hs0"),
+    )
+    hashes = [
+        F.expr(f"array_min(transform(hs0, h -> ({_A[i]}L * h + {_B[i]}L) % {_M}L))").alias(
+            f"h{i}"
+        )
         for i in range(MINHASH_HASHES)
     ]
     return (
-        shingle_arrays.select("doc_id", "shingles", *hashes)
+        based.select("doc_id", "shingles", *hashes)
         .select(
             "doc_id",
             "shingles",
@@ -159,12 +185,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "dedup_minhash_md5_pairs": f"""
         WITH {_SHINGLE_CTE},
+        based AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT)
+                       AS base
+            FROM sh
+        ),
         hashes AS (
             SELECT doc_id, i,
-                   min(CAST(('0x' || substring(
-                           md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 15))
-                       AS BIGINT)) AS mh
-            FROM sh CROSS JOIN range({MINHASH_HASHES}) t(i)
+                   min(([{", ".join(str(a) for a in _A)}][i + 1] * base
+                        + [{", ".join(str(b) for b in _B)}][i + 1]) % {_M})
+                       AS mh
+            FROM based CROSS JOIN range({MINHASH_HASHES}) t(i)
             GROUP BY doc_id, i
         ),
         bands AS (
