@@ -400,9 +400,18 @@ def label_propagate(docs: DataFrame, edges: DataFrame, n_iter: int = 3) -> DataF
     # explicit materialization in Spark).
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # Labels are LINEAGE-TRUNCATED each iteration (eager localCheckpoint),
+    # not merely persisted: a persisted frame still carries its full
+    # logical plan, so by iteration k Catalyst re-analyzes a plan k
+    # joins deep — measured 40.9 s for 8 simhash iterations at sf0.1,
+    # dominated by planning, not data (the shuffles move ~20K rows).
+    # Checkpointing cuts each iteration's plan to a leaf scan of the
+    # previous result: 8 shallow plans instead of one exponentially
+    # deepening one. At cluster scale the same call swaps for a reliable
+    # checkpoint directory; the algorithm is unchanged.
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).localCheckpoint()
     for it in range(n_iter):
         bucket_min = (
             edges.join(labels, "doc_id")
@@ -423,22 +432,18 @@ def label_propagate(docs: DataFrame, edges: DataFrame, n_iter: int = 3) -> DataF
                 ),
                 F.col("label").alias("_old"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()  # eager: materializes + truncates lineage
         )
         # Convergence check: exact duplicates collapse in one pass (they
         # share every bucket), so most corpora stop after iteration 1+check
-        # instead of running the full n_iter budget. The check is itself a
-        # Spark ACTION (it materializes the persisted label frame — one
-        # extra job per iteration), so it pays for itself only when it can
-        # still skip a remaining round: skip it on the final scheduled
-        # iteration (and so entirely when n_iter == 1).
+        # instead of running the full n_iter budget. The checkpoint above
+        # already materialized the frame, so the count here scans executor-
+        # local blocks — cheap.
         if it < n_iter - 1:
             changed = new_labels.where(F.col("label") != F.col("_old")).count()
         else:
-            changed = -1  # final round: no action, result is returned lazily
-        old = labels
+            changed = -1  # final round: result is the checkpointed frame
         labels = new_labels.drop("_old")
-        old.unpersist()
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("group_id"))
