@@ -575,6 +575,34 @@ def embedding_neardup_blocked_fast_query(spark: SparkSession, sf_dir: str) -> Da
     return embedding_neardup_blocked_fast(spark, sf_dir, ivf_k=k)
 
 
+def embedding_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, group_id): semantic-dedup GROUP assignment — connected
+    components over the VERIFIED near-dup pair graph, completing the
+    groups ladder (exact / token-set / MinHash / SimHash / embedding all
+    have a linear-output group form).
+
+    Reuses dedup.label_propagate by turning each verified pair into a
+    2-member 'bucket' (bucket id = xxhash64(id1, id2) — deterministic,
+    unlike a monotonically-increasing id): the bipartite doc<->bucket
+    min-label propagation then computes components of the pair graph.
+    Unlike the sketch-family groups (which merge on unverified band
+    agreement), every merge here passed the exact cosine >= threshold
+    verification; output is one row per vector regardless of cluster
+    sizes. Rows-only gating (iterative; not SQL-expressible)."""
+    from dic_a1_spark.operators.dedup import label_propagate
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_blocked(spark, sf_dir)
+    bucket = F.xxhash64("id1", "id2")
+    edges = pairs.select(
+        F.col("id1").alias("doc_id"), bucket.alias("bucket")
+    ).unionByName(pairs.select(F.col("id2").alias("doc_id"), bucket.alias("bucket")))
+    docs = e.select(F.col("vec_id").alias("doc_id"))
+    return label_propagate(docs, edges, n_iter=8).select(
+        F.col("doc_id").alias("vec_id"), "group_id"
+    )
+
+
 def label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean-vector cohesion: average pairwise-free proxy
     (each vector's cosine to its label centroid), exact arithmetic via
@@ -610,6 +638,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine_ivf": knn_cosine_ivf,
     "embedding_neardup_blocked": embedding_neardup_blocked,
     "embedding_neardup_blocked_fast": embedding_neardup_blocked_fast_query,  # rows-only (data-sized K)
+    "embedding_neardup_groups": embedding_neardup_groups,  # rows-only (iterative)
     "label_centroid_sim": label_centroid_sim,
 }
 

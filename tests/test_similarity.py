@@ -100,6 +100,24 @@ def test_neardup_fast_registered_query_runs_with_data_sized_codebook(spark):
     assert fast == slow
 
 
+def test_neardup_groups_cover_pairs_one_row_per_vector(spark):
+    """Every verified near-dup pair lands in one group; every vector gets
+    exactly one label (linear output, the groups-ladder invariant)."""
+    labels = {
+        r["vec_id"]: r["group_id"]
+        for r in similarity.QUERIES["embedding_neardup_groups"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    from dic_a1_spark.sources.readers import load_table
+
+    assert len(labels) == load_table(spark, SF_SMOKE, "embeddings").count()
+    pairs = similarity.QUERIES["embedding_neardup_blocked"](spark, SF_SMOKE).collect()
+    assert pairs, "no verified pairs at sf0.001 — vacuous"
+    for r in pairs:
+        assert labels[r["id1"]] == labels[r["id2"]], (r["id1"], r["id2"])
+
+
 def test_neardup_blocked_fast_matches_exact_path(spark):
     """The batch-linear-algebra scale variant must emit the same pair set
     as the registered pair-at-a-time query when run with the same codebook
