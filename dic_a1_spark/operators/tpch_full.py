@@ -273,6 +273,32 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Q11 value-share fraction: TPC-H uses 0.0001/SF over partsupp; the
+# driver corpus has ~2000 parts (uniform share 5e-4), so 1e-3 keeps the
+# above-average tail — non-vacuous at every test SF.
+Q11_FRACTION = 0.001
+
+
+def q11a_important_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose aggregate value exceeds a fixed fraction of
+    the GLOBAL total — the partsupp value-share query (reference has no
+    TPC-H at all; lineitem extended value stands in for partsupp value as
+    in the other adapted shapes). The global scalar is an empty-frame
+    window over the ALREADY-AGGREGATED per-part view (|parts| rows), not
+    a scalar-subquery crossJoin — one lineitem scan total, the same
+    single-pass trick as Q15."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(F.sum(_rev()), 4).alias("part_value")
+    )
+    w = Window.partitionBy()  # dimension-sized input: one task, transiently
+    return (
+        per_part.withColumn("total_value", F.sum("part_value").over(w))
+        .where(F.col("part_value") > F.lit(Q11_FRACTION) * F.col("total_value"))
+        .select("l_partkey", "part_value")
+    )
+
+
 def q16a_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q16 shape: distinct shipper count per (brand, type, size) for
     selected sizes, excluding Brand#1 and negative-balance suppliers
@@ -399,6 +425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9a_product_profit,
     "q10_returned_items": q10_returned_items,
+    "q11_important_shares": q11a_important_shares,
     "q12_late_lines_by_status": q12a_late_lines_by_status,
     "q15_top_supplier": q15_top_supplier,
     "q16_supplier_count": q16a_supplier_count,
@@ -502,6 +529,17 @@ ORACLES: dict[str, str] = {
           AND l_shipdate < TIMESTAMP '1998-01-01'
           AND l_shipdate > o_orderdate + INTERVAL 30 DAY
         GROUP BY l_linestatus
+    """,
+    "q11_important_shares": f"""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 4)
+                       AS part_value
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, part_value
+        FROM per_part
+        WHERE part_value > {Q11_FRACTION} * (SELECT sum(part_value) FROM per_part)
     """,
     "q15_top_supplier": """
         WITH revenue AS (
