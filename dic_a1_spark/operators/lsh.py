@@ -43,49 +43,59 @@ from dic_a1_spark.operators.dedup import (
 from dic_a1_spark.sources.readers import load_table
 
 
-# Universal (affine) hash family over ONE md5-derived 32-bit base value:
-#     base(s) = bigint(first 8 hex chars of md5(s))          in [0, 2^32)
+# Universal (affine) hash family over ONE md5-derived 40-bit base value:
+#     base(s) = bigint(first 10 hex chars of md5(s))         in [0, 2^40)
 #     h_i(s)  = (A[i] * base(s) + B[i]) mod M
-# M = 2^61-1 (Mersenne prime; A[i]*base < 2^29 * 2^32 = 2^61 never
+# M = 2^61-1 (Mersenne prime; A[i] < 2^21 so A[i]*base < 2^61 never
 # overflows int64). ONE md5 per shingle instead of MINHASH_HASHES of them
 # — the md5-per-(shingle, i) family this replaced spent 16 string hashes
 # per shingle and made this the slowest bench query (20.5 s at sf0.1; this
 # form ~16x fewer md5 calls). The A/B constants are Python ints embedded
 # literally in both the Spark expressions and the oracle SQL, so the two
-# engines compute the family bit-identically by construction. A 32-bit
-# base collision merges two shingles IDENTICALLY in both engines, so
-# oracle parity is unaffected; it only (negligibly) perturbs recall.
+# engines compute the family bit-identically by construction. The base
+# values are ALSO the verification currency (the engine's documents are
+# the distinct base sets — Jaccard is defined over the hashed-shingle
+# universe, the same well-defined-semantics stance as the hot-shingle
+# ceiling): a 40-bit collision merges two shingles IDENTICALLY in both
+# engines, so oracle parity is unaffected; ~130K distinct shingles at
+# sf0.1 give an expected ~0.008 collisions corpus-wide.
 _M = (1 << 61) - 1
-_A = [((0x9E3779B1 * (i + 1)) & 0x0FFFFFFF) | 1 for i in range(MINHASH_HASHES)]
-_B = [(0x85EBCA77 * (i + 1)) & 0x0FFFFFFF for i in range(MINHASH_HASHES)]
+_A = [((0x9E3779B1 * (i + 1)) & 0x001FFFFF) | 1 for i in range(MINHASH_HASHES)]
+_B = [(0x85EBCA77 * (i + 1)) & 0x001FFFFF for i in range(MINHASH_HASHES)]
 
 
-def _md5_minhash_signatures(shingle_arrays: DataFrame) -> DataFrame:
-    """(doc_id, shingles, sig: array<bigint>) — MINHASH_HASHES min-hashes
-    of the md5-affine family, computed MAP-ONLY over the per-doc shingle
-    array (no explode, no shuffle; same shape as
-    dedup.minhash_signatures). The base values are projected to a bound
-    column FIRST so the 16 per-hash folds never re-run the md5 transform
-    (the expression-inlining trap, SCALING.md §text)."""
-    based = shingle_arrays.select(
+def _md5_hashed_shingles(shingle_arrays: DataFrame) -> DataFrame:
+    """(doc_id, hs: array<bigint>) — per-doc DISTINCT md5-derived base
+    values. The whole pipeline's currency: signatures fold over it and
+    verification intersects it, so shingle STRINGS never leave the first
+    projection (at 250K amplified docs the string arrays made candidate
+    verification the dominant cost: ~1 KB/doc shipped per candidate pair
+    vs ~8 B/shingle here)."""
+    return shingle_arrays.select(
         "doc_id",
-        "shingles",
         F.expr(
-            "transform(shingles,"
-            " s -> cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))"
-        ).alias("hs0"),
+            "array_distinct(transform(shingles,"
+            " s -> cast(conv(substr(md5(s), 1, 10), 16, 10) as bigint)))"
+        ).alias("hs"),
     )
+
+
+def _md5_minhash_signatures(hashed_shingles: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — MINHASH_HASHES min-hashes of the
+    md5-affine family, computed MAP-ONLY over the per-doc base array (no
+    explode, no shuffle; same shape as dedup.minhash_signatures). `hs` is
+    a bound column, so the 16 per-hash folds never re-run the md5
+    transform (the expression-inlining trap, SCALING.md §text)."""
     hashes = [
-        F.expr(f"array_min(transform(hs0, h -> ({_A[i]}L * h + {_B[i]}L) % {_M}L))").alias(
+        F.expr(f"array_min(transform(hs, h -> ({_A[i]}L * h + {_B[i]}L) % {_M}L))").alias(
             f"h{i}"
         )
         for i in range(MINHASH_HASHES)
     ]
     return (
-        based.select("doc_id", "shingles", *hashes)
+        hashed_shingles.select("doc_id", *hashes)
         .select(
             "doc_id",
-            "shingles",
             F.array(*[f"h{i}" for i in range(MINHASH_HASHES)]).alias("sig"),
         )
     )
@@ -103,13 +113,16 @@ def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
          against the carried band-hash array) instead of a .distinct()
          shuffle over the join output;
       5. exact-Jaccard verification computed only on candidates, via two
-         equi-joins pulling each side's shingle array onto the row.
+         equi-joins pulling each side's DISTINCT md5-base array onto the
+         row (bigint, ~8 B/shingle — shipping the string shingle arrays
+         here was 72.9 s of the 250K-amplified-doc run; this form and
+         dedup_minhash_pairs now share the same verification economics).
     """
     from pyspark import StorageLevel
 
-    arrs = _with_shingle_arrays(load_table(spark, sf_dir, "documents")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    arrs = _md5_hashed_shingles(
+        _with_shingle_arrays(load_table(spark, sf_dir, "documents"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sig = _md5_minhash_signatures(arrs)
     band_cols = [
         F.md5(
@@ -160,11 +173,11 @@ def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.join(
-            arrs.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("s1")),
+            arrs.select(F.col("doc_id").alias("doc1"), F.col("hs").alias("s1")),
             "doc1",
         )
         .join(
-            arrs.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("s2")),
+            arrs.select(F.col("doc_id").alias("doc2"), F.col("hs").alias("s2")),
             "doc2",
         )
         .withColumn("n_shared", F.size(F.array_intersect("s1", "s2")))
@@ -182,12 +195,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_md5_pairs": dedup_minhash_md5_pairs,
 }
 
+# NOTE: _SHINGLE_CTE also defines string-based sizes/shared/jac CTEs;
+# they are unreferenced below (verification runs over the md5-base
+# values, mirroring the Spark side) and DuckDB does not evaluate
+# unreferenced CTEs.
 ORACLES: dict[str, str] = {
     "dedup_minhash_md5_pairs": f"""
         WITH {_SHINGLE_CTE},
         based AS (
-            SELECT doc_id,
-                   CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT)
+            SELECT DISTINCT doc_id,
+                   CAST(('0x' || substring(md5(shingle), 1, 10)) AS BIGINT)
                        AS base
             FROM sh
         ),
@@ -211,10 +228,25 @@ ORACLES: dict[str, str] = {
             JOIN bands b ON a.band_id = b.band_id
                         AND a.band_hash = b.band_hash
                         AND a.doc_id < b.doc_id
+        ),
+        bsizes AS (SELECT doc_id, count(*) AS n_sh FROM based GROUP BY doc_id),
+        bshared AS (
+            SELECT b1.doc_id AS doc1, b2.doc_id AS doc2, count(*) AS n_shared
+            FROM based b1 JOIN based b2
+              ON b1.base = b2.base AND b1.doc_id < b2.doc_id
+            GROUP BY b1.doc_id, b2.doc_id
+        ),
+        bjac AS (
+            SELECT doc1, doc2,
+                   CAST(n_shared AS DOUBLE)
+                       / CAST(z1.n_sh + z2.n_sh - n_shared AS DOUBLE) AS jaccard
+            FROM bshared
+            JOIN bsizes z1 ON z1.doc_id = doc1
+            JOIN bsizes z2 ON z2.doc_id = doc2
         )
         SELECT c.doc1, c.doc2, j.jaccard
         FROM cand c
-        JOIN jac j ON j.doc1 = c.doc1 AND j.doc2 = c.doc2
+        JOIN bjac j ON j.doc1 = c.doc1 AND j.doc2 = c.doc2
         WHERE j.jaccard >= {JACCARD_THRESHOLD}
     """,
 }

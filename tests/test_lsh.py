@@ -63,6 +63,6 @@ def test_signatures_map_only(spark):
             "dic_a1_spark.sources.readers", fromlist=["load_table"]
         ).load_table(spark, SF_SMOKE, "documents")
     )
-    sig = lsh._md5_minhash_signatures(arrs)
+    sig = lsh._md5_minhash_signatures(lsh._md5_hashed_shingles(arrs))
     plan = sig._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan

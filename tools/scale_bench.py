@@ -54,10 +54,14 @@ HEADLINE_DOC_QUERIES = [
     # where pair enumeration is inherently quadratic on duplicate clusters
     "dedup_minhash_groups",
     "dedup_simhash_groups",
+    # oracle-gated LSH (md5-affine family) — the hash-verified twin of
+    # dedup_minhash_pairs
+    "dedup_minhash_md5_pairs",
     # curation tranche: broadcast decontamination, stratified hash
-    # rebalance, map-only chunking
+    # rebalance, map-only chunking, and the composed pipeline
     "decontam_ngram_overlap",
     "decontam_ngram_overlap_fast",
+    "curation_pipeline",
     "lang_rebalance_sample",
     "doc_chunk_windows",
     "text_token_freq_items",
