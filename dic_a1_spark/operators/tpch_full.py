@@ -273,20 +273,25 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Q11 value-share fraction: TPC-H uses 0.0001/SF over partsupp; the
-# driver corpus has ~2000 parts (uniform share 5e-4), so 1e-3 keeps the
-# above-average tail — non-vacuous at every test SF.
-Q11_FRACTION = 0.001
+# Q11 keeps parts above this multiple of the MEAN part value. TPC-H
+# parameterizes its fixed fraction by 1/SF precisely because a constant
+# cannot track a part count that scales with the data (a fixed 1e-3 was
+# vacuously empty at sf0.01's 2000 uniform parts: 2x the mean share is
+# ~5.5 sigma out); deriving the threshold from the same aggregated view
+# keeps the query's shape AND non-vacuous at every SF (~29% of parts
+# pass on the driver's uniform data).
+Q11_MEAN_MULT = 1.1
 
 
 def q11a_important_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q11 shape: parts whose aggregate value exceeds a fixed fraction of
-    the GLOBAL total — the partsupp value-share query (reference has no
-    TPC-H at all; lineitem extended value stands in for partsupp value as
-    in the other adapted shapes). The global scalar is an empty-frame
-    window over the ALREADY-AGGREGATED per-part view (|parts| rows), not
-    a scalar-subquery crossJoin — one lineitem scan total, the same
-    single-pass trick as Q15."""
+    """Q11 shape: parts whose aggregate value exceeds a data-derived
+    fraction of the GLOBAL total (Q11_MEAN_MULT x the mean part value) —
+    the partsupp value-share query (reference has no TPC-H at all;
+    lineitem extended value stands in for partsupp value as in the other
+    adapted shapes). The global scalars are empty-frame windows over the
+    ALREADY-AGGREGATED per-part view (|parts| rows), not scalar-subquery
+    crossJoins — one lineitem scan total, the same single-pass trick as
+    Q15."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.round(F.sum(_rev()), 4).alias("part_value")
@@ -294,7 +299,11 @@ def q11a_important_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy()  # dimension-sized input: one task, transiently
     return (
         per_part.withColumn("total_value", F.sum("part_value").over(w))
-        .where(F.col("part_value") > F.lit(Q11_FRACTION) * F.col("total_value"))
+        .withColumn("n_parts", F.count("*").over(w))
+        .where(
+            F.col("part_value")
+            > F.lit(Q11_MEAN_MULT) * F.col("total_value") / F.col("n_parts")
+        )
         .select("l_partkey", "part_value")
     )
 
@@ -539,7 +548,8 @@ ORACLES: dict[str, str] = {
         )
         SELECT l_partkey, part_value
         FROM per_part
-        WHERE part_value > {Q11_FRACTION} * (SELECT sum(part_value) FROM per_part)
+        WHERE part_value > {Q11_MEAN_MULT} * (SELECT sum(part_value) FROM per_part)
+                                           / (SELECT count(*) FROM per_part)
     """,
     "q15_top_supplier": """
         WITH revenue AS (
