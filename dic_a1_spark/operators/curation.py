@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dic_a1_spark.config import DUCKDB_WS_REGEX, duckdb_token_char_class
@@ -313,11 +313,62 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sequence packing: documents are assigned to ~PACK_CAPACITY-token bins
+# inside PACK_SHARDS deterministic shards. Sharding is what makes packing
+# distributed: a single global greedy pack would be one unbounded-order
+# window (one task, whatever the cluster size); shard-local packing runs
+# PACK_SHARDS independent windows and only sacrifices a little packing
+# efficiency at the shard tails. Capacity overshoot: a doc longer than
+# the remaining bin space still joins the current bin (fixed-boundary
+# discipline — deterministic and cheap; real packers then truncate or
+# spill, which is the chunking operator's job).
+PACK_CAPACITY = 2048
+PACK_SHARDS = 16
+
+
+def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batch construction: each document
+    lands in a (pack_shard, bin_id) whose cumulative token count crosses
+    PACK_CAPACITY boundaries — bin_id = floor((running_total - n_tokens)
+    / capacity) over docs ordered by doc_id within their shard. Pure
+    window arithmetic, no UDFs; the shard key (doc_id % PACK_SHARDS) and
+    ordering are engine-neutral, so the assignment is bit-identical in
+    the DuckDB oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), DUCKDB_WS_REGEX), lambda w: w != ""
+            )
+        ).cast("bigint").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    sharded = toks.withColumn(
+        "pack_shard", (F.col("doc_id") % PACK_SHARDS).cast("int")
+    )
+    w = (
+        Window.partitionBy("pack_shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sharded.select(
+        "doc_id",
+        "pack_shard",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(PACK_CAPACITY)
+        )
+        .cast("int")
+        .alias("bin_id"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "decontam_ngram_overlap_fast": decontam_ngram_overlap_fast,  # rows-only (xxhash64)
     "lang_rebalance_sample": lang_rebalance_sample,
     "doc_chunk_windows": doc_chunk_windows,
+    "doc_pack_bins": doc_pack_bins,
     "curation_pipeline": curation_pipeline,
 }
 
@@ -395,6 +446,27 @@ ORACLES: dict[str, str] = {
         FROM idx
     """,
 }
+
+
+ORACLES["doc_pack_bins"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(lower(text),
+                               '{DUCKDB_WS_REGEX}'), w -> w <> '')) AS n_tokens
+        FROM documents
+    ),
+    sharded AS (
+        SELECT doc_id, CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS pack_shard,
+               n_tokens
+        FROM toks WHERE n_tokens > 0
+    )
+    SELECT doc_id, pack_shard, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (
+                    PARTITION BY pack_shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - n_tokens) / {PACK_CAPACITY}) AS INTEGER) AS bin_id
+    FROM sharded
+"""
 
 
 def _pipeline_oracle() -> str:

@@ -95,6 +95,30 @@ def test_pipeline_is_intersection_of_stage_gates(spark):
     assert surv <= clean
 
 
+def test_pack_bins_respect_capacity_discipline(spark):
+    """Fixed-boundary packing invariants: every tokenized doc packed
+    exactly once; within a (shard, bin) the tokens BEFORE each doc fit
+    under the capacity (a bin only ever overshoots by its final doc);
+    bin ids per shard are contiguous from 0."""
+    rows = curation.doc_pack_bins(spark, SF_CORRECT).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in rows:
+        assert r["pack_shard"] == r["doc_id"] % curation.PACK_SHARDS
+        by_shard[r["pack_shard"]].append(r)
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in docs:
+            assert r["bin_id"] == cum // curation.PACK_CAPACITY, r
+            cum += r["n_tokens"]
+        bins = sorted({r["bin_id"] for r in docs})
+        assert bins == list(range(len(bins))), f"shard {shard} bins not contiguous"
+
+
 def test_rebalance_is_deterministic(spark):
     a = sorted(r["doc_id"] for r in curation.lang_rebalance_sample(spark, SF_CORRECT).collect())
     b = sorted(r["doc_id"] for r in curation.lang_rebalance_sample(spark, SF_CORRECT).collect())
