@@ -40,12 +40,48 @@ def _rowset(cols, rows):
     )
 
 
+# DuckDB types with no Spark SQL equivalent. The driver's value-hash is
+# type-sensitive, so an oracle column of e.g. HUGEINT (what DuckDB returns
+# for sum() over INTEGER, incl. sum(CASE WHEN .. THEN 1 END)) hash-mismatches
+# a Spark BIGINT even when every value is identical — exactly how
+# q12_late_lines_by_status went red in round 3. Python-int normalization in
+# _norm() cannot see this, so we gate on the declared relation types.
+_HAZARD_DUCK_TYPES = {
+    "HUGEINT",
+    "UHUGEINT",
+    "UBIGINT",
+    "UINTEGER",
+    "USMALLINT",
+    "UTINYINT",
+}
+
+
+def assert_oracle_types(con: duckdb.DuckDBPyConnection, sql: str, name: str = "?") -> None:
+    """Fail if the oracle SQL produces a result type Spark cannot emit.
+
+    Mirrors the driver's typed value-hash: values may match while types
+    diverge, so oracles must CAST integer sums to BIGINT explicitly.
+    """
+    rel = con.sql(sql)
+    hazards = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t) in _HAZARD_DUCK_TYPES
+    ]
+    assert not hazards, (
+        f"{name}: oracle result types unrepresentable in Spark (driver's typed "
+        f"hash would mismatch even on identical values): {hazards}. "
+        f"CAST the offending expression (e.g. CAST(sum(...) AS BIGINT))."
+    )
+
+
 def compare(spark, sql: str, query_fn, sf_dir: str, name: str = "?") -> None:
     sdf = query_fn(spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
     con = duck_con(sf_dir)
+    assert_oracle_types(con, sql, name)
     res = con.execute(sql)
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()

@@ -1,0 +1,57 @@
+"""Typed-oracle gate: every registered oracle must produce Spark-representable
+result types in DuckDB.
+
+The round-3 driver graded ``q12_late_lines_by_status`` red on hash despite
+identical values: DuckDB widens ``sum()`` over INTEGER (including
+``sum(CASE WHEN .. THEN 1 ELSE 0 END)``) to HUGEINT (int128), which Spark
+cannot emit, and the driver's value-hash is type-sensitive. The local gate
+(`tests/oracle_utils.compare`) normalized through Python ints and could not
+see it. These tests replicate the driver's type-sensitivity locally so the
+class cannot recur.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dic_a1_spark import registry
+from tests.oracle_utils import assert_oracle_types, duck_con
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_all_registered_oracles_have_spark_representable_types():
+    con = duck_con(SF_DIR)
+    try:
+        failures = []
+        for name, sql in registry.all_oracles().items():
+            try:
+                assert_oracle_types(con, sql, name)
+            except AssertionError as exc:
+                failures.append(str(exc))
+        assert not failures, "\n".join(failures)
+    finally:
+        con.close()
+
+
+def test_uncast_conditional_sum_is_rejected():
+    # Regression pin for the exact q12 failure shape: an uncast integer sum
+    # comes back HUGEINT and must be refused before value comparison.
+    con = duck_con(SF_DIR)
+    try:
+        bad = """
+            SELECT l_linestatus,
+                   sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_big
+            FROM lineitem GROUP BY l_linestatus
+        """
+        with pytest.raises(AssertionError, match="HUGEINT"):
+            assert_oracle_types(con, bad, "regression_q12_shape")
+        good = """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_big
+            FROM lineitem GROUP BY l_linestatus
+        """
+        assert_oracle_types(con, good, "regression_q12_shape_cast")
+    finally:
+        con.close()
