@@ -501,24 +501,34 @@ def embedding_neardup_blocked_fast(
 def ivf_assignments_fast(
     spark: SparkSession, sf_dir: str, *, ivf_k: int = IVF_K
 ) -> DataFrame:
-    """Batch-matmul IVF coarse quantizer — same result as ivf_assignments,
-    scale execution shape.
+    """Batch IVF coarse quantizer — BIT-IDENTICAL to ivf_assignments, at
+    the scale execution shape (data shipped per VECTOR, not per
+    (vector, centroid); the exact query is 25.2 s / 3.9K vecs/s at 100K
+    vectors and 516 s at K=1500).
 
-    The exact query ships both vectors through Arrow for every
-    (vector, centroid) row and folds the dot per pair — 25.2 s / 3.9K
-    vecs/s at 100K vectors (SCALEBENCH r2), and its own docstring
-    measured 516 s at K=1500. Here each Arrow batch does ONE
-    (B x dim) @ (dim x K) matmul against the driver-broadcast normalized
-    codebook: data shipped per VECTOR, not per (vector, centroid).
-
-    Parity with the exact query: sims are rounded to 4dp BEFORE the
-    stable argsort (the exact query ranks by the ROUNDED sim), and the
-    codebook is pre-sorted ascending by centroid id, so rounding ties
-    break to the lowest centroid id in both. BLAS-vs-fold differences
-    survive only if a raw sim sits within ~1 ULP of a 4dp rounding
-    boundary (~1e-12 per value); pinned value-equal to ivf_assignments
-    at sf0.001/sf0.01/sf0.1 in tests/test_similarity.py and registered
-    under the same DuckDB oracle."""
+    Parity design (resolves the ADVICE.md r3 medium finding — the earlier
+    matmul form carried BLAS-vs-fold, np.round-vs-HALF_UP, and zero-norm
+    edge hazards against the shared oracle):
+      * raw sims reproduce the exact path's IEEE operation sequence —
+        dots and squared norms accumulate DIMENSION-BY-DIMENSION
+        (acc += V[:,i] * C[:,i], the _dot_seq_batch order; deliberately
+        NOT a BLAS matmul whose pairwise summation rounds differently),
+        then dot / (vn * cn) with the same association;
+      * no zero-norm clamp: a zero vector divides to NaN exactly as the
+        exact query's fold does (non-finite rows emit every centroid so
+        the Spark-side ranking below decides, identically);
+      * ROUNDING AND RANKING ARE DELEGATED TO SPARK: the batch emits
+        (vec_id, centroid_id, raw_sim) for every centroid within 1e-3 of
+        the row max (anything further can never reach the rounded max:
+        round(s) <= s + 5e-5 < mx - 9.5e-4 < mx - 5e-5 <= round(mx)),
+        and the winner is picked by the SAME F.round(.,4) + row_number
+        window expressions as the exact query. Bit-identical inputs into
+        identical expressions — parity by construction, not by hoping
+        np.round agrees with java.math.BigDecimal.
+    Cost: ~1-2 candidate rows per vector through one window shuffle —
+    O(N) rows, still never per-(vector, centroid). Pinned value-equal to
+    ivf_assignments at sf0.001/sf0.01/sf0.1 in tests/test_similarity.py
+    and registered under the same DuckDB oracle."""
     import pyspark.sql.types as T
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -527,38 +537,55 @@ def ivf_assignments_fast(
     )
     cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
     C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    order = np.argsort(cent_ids)
-    cent_ids, Cn = cent_ids[order], Cn[order]
-    bc = spark.sparkContext.broadcast((cent_ids, Cn))
+    order = np.argsort(cent_ids)  # ascending ids; ties break low in the window
+    cent_ids, C = cent_ids[order], C[order]
+    cn = np.zeros(len(C), dtype=np.float64)
+    for i in range(C.shape[1]):  # sequential fold, the _norm order
+        cn += C[:, i] * C[:, i]
+    cn = np.sqrt(cn)
+    bc = spark.sparkContext.broadcast((cent_ids, C, cn))
 
-    schema = T.StructType(
+    cand_schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
             T.StructField("centroid_id", T.LongType()),
-            T.StructField("centroid_sim", T.DoubleType()),
+            T.StructField("raw_sim", T.DoubleType()),
         ]
     )
 
     def assign_batches(batches):
-        ids_c, cn = bc.value
+        ids_c, c_mat, c_nrm = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-            sims = np.round(Vn @ cn.T, 4)  # (B, K), ranked on ROUNDED values
-            best = np.argsort(-sims, axis=1, kind="stable")[:, 0]
-            rows = np.arange(len(pdf))
+            n = len(pdf)
+            vacc = np.zeros(n, dtype=np.float64)
+            acc = np.zeros((n, len(ids_c)), dtype=np.float64)
+            for i in range(V.shape[1]):
+                vacc += V[:, i] * V[:, i]
+                acc += V[:, i][:, None] * c_mat[:, i][None, :]
+            sims = acc / (np.sqrt(vacc)[:, None] * c_nrm[None, :])
+            mx = np.max(sims, axis=1)
+            keep = sims >= (mx - 1e-3)[:, None]
+            keep[~np.isfinite(mx), :] = True  # NaN/Inf rows: Spark decides
+            rows, cols = np.nonzero(keep)
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "centroid_id": ids_c[best],
-                    "centroid_sim": sims[rows, best],
+                    "vec_id": pdf["vec_id"].to_numpy()[rows],
+                    "centroid_id": ids_c[cols],
+                    "raw_sim": sims[rows, cols],
                 }
             )
 
-    return e.select("vec_id", "embedding").mapInPandas(assign_batches, schema)
+    cand = e.select("vec_id", "embedding").mapInPandas(assign_batches, cand_schema)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    return (
+        cand.select("vec_id", "centroid_id", F.round("raw_sim", 4).alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("vec_id", "centroid_id", F.col("sim").alias("centroid_sim"))
+    )
 
 
 def embedding_neardup_blocked_fast_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -577,23 +604,29 @@ def embedding_neardup_blocked_fast_query(spark: SparkSession, sf_dir: str) -> Da
 
 def embedding_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, group_id): semantic-dedup GROUP assignment — connected
-    components over the VERIFIED near-dup pair graph, completing the
+    components over the verified near-dup pair graph, completing the
     groups ladder (exact / token-set / MinHash / SimHash / embedding all
     have a linear-output group form).
 
-    Reuses dedup.label_propagate by turning each verified pair into a
-    2-member 'bucket' (bucket id = xxhash64(id1, id2) — deterministic,
-    unlike a monotonically-increasing id): the bipartite doc<->bucket
-    min-label propagation then computes components of the pair graph.
-    Unlike the sketch-family groups (which merge on unverified band
-    agreement), every merge here passed the exact cosine >= threshold
-    verification; output is one row per vector regardless of cluster
-    sizes. Rows-only gating (iterative; not SQL-expressible)."""
+    Edges come from the FAST pair path (per-block matmul,
+    embedding_neardup_blocked_fast_query) — pytest-pinned pair-set-equal
+    to the exact per-pair scorer at matched K, and ~7x cheaper (the r3
+    composition recomputed the exact Arrow scorer: 69 s for 2K vectors;
+    verdict item). Reuses dedup.label_propagate by turning each verified
+    pair into a 2-member 'bucket' keyed by the struct(id1, id2) itself —
+    injective by construction, so unrelated components can never merge
+    through a bucket-key collision (a 64-bit hash key had a ~2^-64 merge
+    hazard). Every merge passed the cosine >= threshold verification
+    (subject to the 4dp rounding both engines share); output is one row
+    per vector regardless of cluster sizes, and label_propagate
+    early-exits once no label changes. Rows-only gating (iterative,
+    data-sized K; not SQL-expressible) — the hash-verified groups twin is
+    lsh.dedup_minhash_md5_groups."""
     from dic_a1_spark.operators.dedup import label_propagate
 
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_neardup_blocked(spark, sf_dir)
-    bucket = F.xxhash64("id1", "id2")
+    pairs = embedding_neardup_blocked_fast_query(spark, sf_dir)
+    bucket = F.struct(F.col("id1"), F.col("id2"))
     edges = pairs.select(
         F.col("id1").alias("doc_id"), bucket.alias("bucket")
     ).unionByName(pairs.select(F.col("id2").alias("doc_id"), bucket.alias("bucket")))
