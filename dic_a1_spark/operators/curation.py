@@ -123,42 +123,91 @@ def decontam_ngram_overlap_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontam_ngram_overlap, but shingles are 64-bit xxhash64(t1, t2, t3)
     token-triple hashes — no shingle STRING is ever materialized (the
     string concat + per-doc distinct over strings is over half the exact
-    query's cost). Overlap counts differ from the exact form only if two
-    distinct shingles collide at 64 bits AND straddle the benchmark/corpus
-    split (~1e-9 at test scale), so this is registered rows-only and
+    query's cost).
+
+    Plan: ZERO exchanges. The benchmark side is always small (eval sets
+    are MBs vs a TB corpus), so its distinct hash set is collected to the
+    driver, sorted, and broadcast as a numpy array (same bounded-collect
+    stance as the ANN codebooks, similarity.py); the corpus side is then
+    ONE map pass — tokenize -> hash (scan-fused Columns) -> an Arrow
+    batch probe that counts per-doc membership via binary search
+    (np.searchsorted over the sorted benchmark hashes). The r3 shape
+    (persist + explode every corpus shingle through a broadcast join +
+    groupBy + join-back) moved every corpus shingle as a shuffle-format
+    row; here shingles live and die inside their batch. The
+    ratio/verdict arithmetic stays in the SAME Spark expressions as the
+    exact query, so the pytest value-equality pin compares like with
+    like. Overlap counts differ from the exact form only if two distinct
+    shingles collide at 64 bits AND straddle the benchmark/corpus split
+    (~1e-9 at test scale), so this is registered rows-only and
     pytest-pinned value-equal to the exact query at sf0.01 and sf0.1
-    (tests/test_curation.py). 8.4 s / 29.6K docs/s at 250K amplified docs
-    vs 23.7 s for the exact form."""
-    from pyspark import StorageLevel
+    (tests/test_curation.py)."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.filter(tokenize(F.col("text")), lambda w: w != "").alias("toks")
     ).where(F.size("toks") >= SHINGLE_WIDTH)
+    # Token-triple hash, hardcoded to 3 adjacent tokens: keep the literal
+    # expression in sync with the exact query's shingle width.
+    assert SHINGLE_WIDTH == 3, "decontam_fast hash expr assumes 3-token shingles"
     hsh = toks.select(
         "doc_id",
         F.expr(
             "array_distinct(transform(sequence(1, size(toks) - 2),"
             " i -> xxhash64(toks[i-1], toks[i], toks[i+1])))"
         ).alias("hs"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    bench = (
+    )
+    # Benchmark probe set: driver-bounded (BENCH_DOCS documents; the scan
+    # below prunes to doc_id < BENCH_DOCS via parquet pushdown).
+    bench_rows = (
         hsh.where(F.col("doc_id") < BENCH_DOCS)
         .select(F.explode("hs").alias("h"))
         .distinct()
+        .collect()
     )
-    corpus = hsh.where(F.col("doc_id") >= BENCH_DOCS)
-    hits = (
-        corpus.select("doc_id", F.explode("hs").alias("h"))
-        .join(F.broadcast(bench), "h", "inner")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_overlap"))
+    bench = np.sort(np.array([r["h"] for r in bench_rows], dtype=np.int64))
+    bc = spark.sparkContext.broadcast(bench)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_shingles", T.LongType()),
+            T.StructField("n_overlap", T.LongType()),
+        ]
     )
-    base = corpus.select("doc_id", F.size("hs").cast("bigint").alias("n_shingles"))
-    per_doc = base.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "n_shingles",
-        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+
+    def probe_batches(batches):
+        b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["hs"].to_numpy()]
+            lens = np.array([len(a) for a in arrs], dtype=np.int64)
+            flat = (
+                np.concatenate(arrs) if lens.sum() else np.empty(0, dtype=np.int64)
+            )
+            if len(b) and len(flat):
+                idx = np.minimum(np.searchsorted(b, flat), len(b) - 1)
+                hit = (b[idx] == flat).astype(np.float64)
+            else:
+                hit = np.zeros(len(flat), dtype=np.float64)
+            doc_idx = np.repeat(np.arange(len(arrs)), lens)
+            n_overlap = np.bincount(
+                doc_idx, weights=hit, minlength=len(arrs)
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_shingles": lens,
+                    "n_overlap": n_overlap,
+                }
+            )
+
+    per_doc = hsh.where(F.col("doc_id") >= BENCH_DOCS).mapInPandas(
+        probe_batches, schema
     )
     ratio = F.col("n_overlap") / F.col("n_shingles")
     return per_doc.select(
@@ -270,6 +319,12 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each stage is itself a registered, oracle-gated query; this entry
     proves they COMPOSE — one DAG, one driver hash over the final result.
+    Semantics note (deliberate, mirrored exactly by the oracle): the
+    decontam stage only emits documents with >= SHINGLE_WIDTH tokens, and
+    the inner join therefore DROPS 1-2-token documents from the curated
+    set even though they cannot contain a contaminating 3-gram — the
+    pipeline treats "too short to verify against the benchmark" as "not
+    curated", the conservative choice for training data.
     Catalyst sees through the composition: the content-hash dedup and the
     map-only quality/chunk features all fold into scans + one broadcast
     probe, so the plan stays the union of the stages' plans, not a
