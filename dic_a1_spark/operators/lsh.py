@@ -4,15 +4,18 @@ The production MinHash pipeline (operators/dedup.py) uses xxhash64, which
 DuckDB lacks — so its band-join logic has only rows-only driver checks.
 This module re-expresses the SAME pipeline shape (map-only signatures ->
 band-bucket self-join -> exact-Jaccard verification) over a hash family
-both engines compute bit-identically:
+both engines compute bit-identically — ONE md5 per shingle feeding an
+affine universal family (constants defined below at _A/_B/_M):
 
-    h_i(s)   = bigint(first 15 hex chars of md5(concat(i, ':', s)))
+    base(s)  = bigint(first 10 hex chars of md5(s))        in [0, 2^40)
+    h_i(s)   = (A[i] * base(s) + B[i]) mod (2^61 - 1)
     band_b   = md5(concat_ws(',', sig[4b] .. sig[4b+3]))
 
-15 hex chars < 2^60, so the value is an exact positive BIGINT in both
-Spark (conv(substr(md5(x),1,15),16,10)) and DuckDB
-(CAST('0x' || substring(md5(x),1,15) AS BIGINT)) — asserted equal in
-tests/test_lsh.py and by the driver's value-hash gate.
+10 hex chars < 2^40, so the base is an exact positive BIGINT in both
+Spark (conv(substr(md5(s),1,10),16,10)) and DuckDB
+(CAST('0x' || substring(md5(s),1,10) AS BIGINT)), and A[i] < 2^21 keeps
+A[i]*base below 2^61 — no int64 overflow in either engine. Asserted
+equal in tests/test_lsh.py and by the driver's value-hash gate.
 
 This entry exists to put the LSH band-join logic itself under the
 hash-verified driver gate; the xxhash64 family in dedup.py remains the
@@ -191,8 +194,47 @@ def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Label-propagation budget for the groups form. Both the Spark query and
+# the unrolled oracle run EXACTLY this many min-label pushes (Spark's
+# early-exit only skips iterations that would be no-ops, so converged-or-
+# not the final labels are identical on both sides).
+LP_ITERS = 8
+
+
+def dedup_minhash_md5_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, group_id): connected components over the VERIFIED md5-LSH
+    near-dup pair graph — the first groups-family query under the FULL
+    driver value-hash gate.
+
+    Every other groups query (MinHash/SimHash/embedding label
+    propagation) is rows-only because its hash family (xxhash64) or its
+    float arithmetic has no DuckDB twin. This one closes that gap: the
+    edge set is dedup_minhash_md5_pairs (hash-certified, integer-exact in
+    both engines), each verified pair becomes a 2-member bucket keyed by
+    the injective struct(doc1, doc2), and dedup.label_propagate runs
+    LP_ITERS bipartite min-label pushes. With 2-member buckets one push
+    is exactly label(d) <- min(label(d), min over neighbors of their
+    labels), which the oracle restates as LP_ITERS unrolled SQL
+    iterations — deterministic integer arithmetic end to end, so the
+    driver's typed value-hash certifies the label-propagation logic that
+    the whole groups ladder shares. Docs that never paired keep their own
+    label (singleton groups), one row per document."""
+    from dic_a1_spark.operators.dedup import label_propagate
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_md5_pairs(spark, sf_dir)
+    bucket = F.struct(F.col("doc1"), F.col("doc2"))
+    edges = pairs.select(
+        F.col("doc1").alias("doc_id"), bucket.alias("bucket")
+    ).unionByName(
+        pairs.select(F.col("doc2").alias("doc_id"), bucket.alias("bucket"))
+    )
+    return label_propagate(d.select("doc_id"), edges, n_iter=LP_ITERS)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_md5_pairs": dedup_minhash_md5_pairs,
+    "dedup_minhash_md5_groups": dedup_minhash_md5_groups,
 }
 
 # NOTE: _SHINGLE_CTE also defines string-based sizes/shared/jac CTEs;
@@ -250,3 +292,42 @@ ORACLES: dict[str, str] = {
         WHERE j.jaccard >= {JACCARD_THRESHOLD}
     """,
 }
+
+
+def _groups_oracle() -> str:
+    """Unrolled fixed-iteration min-label propagation over the verified
+    pair graph — the pairs oracle embedded as a derived table, then
+    LP_ITERS iterations of label(d) <- min(label(d), min(neighbor
+    labels)), each as one CTE (no recursion: the iteration count is a
+    fixed constant on both sides, and unrolled CTEs keep the SQL inside
+    DuckDB's plain aggregate/join surface)."""
+    pairs_sql = ORACLES["dedup_minhash_md5_pairs"]
+    parts = [
+        f"""
+        WITH pairs AS MATERIALIZED (SELECT doc1, doc2 FROM ({pairs_sql})),
+        edges AS MATERIALIZED (
+            SELECT doc1 AS src, doc2 AS dst FROM pairs
+            UNION ALL
+            SELECT doc2 AS src, doc1 AS dst FROM pairs
+        ),
+        lp0 AS MATERIALIZED (SELECT doc_id, doc_id AS label FROM documents)"""
+    ]
+    for k in range(1, LP_ITERS + 1):
+        parts.append(
+            f""",
+        lp{k} AS MATERIALIZED (
+            SELECT d.doc_id,
+                   least(d.label, coalesce(m.minlab, d.label)) AS label
+            FROM lp{k - 1} d
+            LEFT JOIN (
+                SELECT e.src AS doc_id, min(p.label) AS minlab
+                FROM edges e JOIN lp{k - 1} p ON p.doc_id = e.dst
+                GROUP BY e.src
+            ) m ON m.doc_id = d.doc_id
+        )"""
+        )
+    parts.append(f"\n        SELECT doc_id, label AS group_id FROM lp{LP_ITERS}")
+    return "".join(parts)
+
+
+ORACLES["dedup_minhash_md5_groups"] = _groups_oracle()

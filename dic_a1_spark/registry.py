@@ -25,8 +25,9 @@ from pyspark.sql import DataFrame, SparkSession
 # chisq/relational/events/sql_surface/textstats rows from r1-r3 move back,
 # guarded by pytest + the committed sf0.1 sweep artifact.
 # Query-position math (cumulative): sketches 2, ngrams 4, udxf 6,
-# multimodal 9, dedup 17, tpch_full 30, similarity 39, curation 45, lsh 46
-# — everything needing a fresh row sits inside the 50-entry window.
+# multimodal 9, dedup 17, tpch_full 30, similarity 39, curation 45, lsh 47
+# (pairs + the new hash-gated groups) — everything needing a fresh row
+# sits inside the 50-entry window.
 _MODULES = (
     "dic_a1_spark.operators.sketches",
     "dic_a1_spark.operators.ngrams",

@@ -66,3 +66,38 @@ def test_signatures_map_only(spark):
     sig = lsh._md5_minhash_signatures(lsh._md5_hashed_shingles(arrs))
     plan = sig._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_CORRECT], ids=["sf0.001", "sf0.01"])
+def test_groups_match_oracle(spark, sf_dir):
+    """The unrolled fixed-iteration label-propagation oracle must agree
+    with label_propagate exactly — the hash certificate for the logic the
+    whole groups ladder shares."""
+    compare(
+        spark,
+        lsh.ORACLES["dedup_minhash_md5_groups"],
+        lsh.dedup_minhash_md5_groups,
+        sf_dir,
+        "dedup_minhash_md5_groups",
+    )
+
+
+def test_groups_cover_pairs_one_row_per_doc(spark):
+    """Groups invariant: both ends of every verified pair share a label;
+    exactly one row per document; unpaired docs keep their own id."""
+    from dic_a1_spark.sources.readers import load_table
+
+    labels = {
+        r["doc_id"]: r["group_id"]
+        for r in lsh.dedup_minhash_md5_groups(spark, SF_CORRECT).collect()
+    }
+    assert len(labels) == load_table(spark, SF_CORRECT, "documents").count()
+    pairs = lsh.dedup_minhash_md5_pairs(spark, SF_CORRECT).collect()
+    assert pairs, "no verified pairs at sf0.01 — vacuous"
+    paired = set()
+    for r in pairs:
+        assert labels[r["doc1"]] == labels[r["doc2"]], (r["doc1"], r["doc2"])
+        paired.update((r["doc1"], r["doc2"]))
+    for doc_id, g in labels.items():
+        if doc_id not in paired:
+            assert g == doc_id
