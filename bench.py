@@ -54,6 +54,10 @@ HEADLINE = [
     "q21_sole_late_supplier",
     "decontam_ngram_overlap",
     "decontam_ngram_overlap_fast",
+    # r3->r4 note: doc_chunk_windows printed 1.15 s (r2) then 1.82 s (r3)
+    # here; 4 isolated repeats at sf0.1 (r4 session) measure 0.86-0.99 s
+    # with the code byte-identical between rounds — the +58% was in-bench
+    # scheduling noise, not a regression.
     "doc_chunk_windows",
     # round 3 additions: oracle-gated LSH band join, linear-output simhash
     # dedup, and the batch-matmul ANN paths

@@ -32,6 +32,14 @@ def test_decontam_benchmark_side_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_decontam_fast_plan_has_no_exchange(spark):
+    """The fast path is one map pass: scan -> tokenize/hash -> Arrow
+    binary-search probe. Any Exchange here means corpus shingles are
+    traveling as shuffle rows again (the pre-r4 shape)."""
+    plan = formatted_plan(curation.decontam_ngram_overlap_fast(spark, SF_CORRECT))
+    assert "Exchange" not in plan
+
+
 def test_decontam_fast_matches_exact(spark):
     """The hashed (rows-only) variant must be value-identical to the
     oracle-gated exact variant — collisions would show up here first."""

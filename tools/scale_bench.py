@@ -64,6 +64,7 @@ HEADLINE_DOC_QUERIES = [
     "curation_pipeline",
     "lang_rebalance_sample",
     "doc_chunk_windows",
+    "doc_pack_bins",
     "text_token_freq_items",
 ]
 
@@ -213,6 +214,25 @@ def main() -> None:
     }
     print(
         f"# embedding_neardup_blocked_k{scaled_k}: {sec}s, {rows_out} rows",
+        file=sys.stderr,
+        flush=True,
+    )
+
+    # Group assignment over the verified pair graph: the registered query
+    # sizes its own codebook from the data (same formula as scaled_k), so
+    # it runs here unmodified — label propagation cost is linear in the
+    # verified edge count plus per-iteration shuffles.
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    rows_out = qs["embedding_neardup_groups"](spark, args.work_dir).count()
+    sec = round(time.perf_counter() - t0, 3)
+    emb_queries["embedding_neardup_groups"] = {
+        "sec": sec,
+        "rows_out": rows_out,
+        "vecs_per_sec": round(n_vecs / sec, 1) if sec > 0 else None,
+    }
+    print(
+        f"# embedding_neardup_groups: {sec}s, {rows_out} rows",
         file=sys.stderr,
         flush=True,
     )
