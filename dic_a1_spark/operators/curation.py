@@ -161,14 +161,22 @@ def decontam_ngram_overlap_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hs"),
     )
     # Benchmark probe set: driver-bounded (BENCH_DOCS documents; the scan
-    # below prunes to doc_id < BENCH_DOCS via parquet pushdown).
-    bench_rows = (
-        hsh.where(F.col("doc_id") < BENCH_DOCS)
-        .select(F.explode("hs").alias("h"))
-        .distinct()
-        .collect()
+    # below prunes to doc_id < BENCH_DOCS via parquet pushdown). Collect
+    # the per-doc hash ARRAYS and unique them driver-side — exploding the
+    # unpersisted `hs` expression instead trips Catalyst expression
+    # inlining (the transform re-evaluates per exploded element: measured
+    # 42.8 s for 50 bench docs at the 250K amplified corpus, vs 0.6 s for
+    # this direct collect).
+    bench_rows = hsh.where(F.col("doc_id") < BENCH_DOCS).select("hs").collect()
+    bench = (
+        np.unique(
+            np.concatenate(
+                [np.asarray(r["hs"], dtype=np.int64) for r in bench_rows]
+            )
+        )
+        if bench_rows
+        else np.empty(0, dtype=np.int64)
     )
-    bench = np.sort(np.array([r["h"] for r in bench_rows], dtype=np.int64))
     bc = spark.sparkContext.broadcast(bench)
 
     schema = T.StructType(

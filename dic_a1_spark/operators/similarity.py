@@ -475,25 +475,40 @@ def embedding_neardup_blocked_fast(
         ]
     )
 
-    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"id1": [], "id2": [], "sim": []}).astype(
-                {"id1": "int64", "id2": "int64", "sim": "float64"}
-            )
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-        S = np.round(Vn @ Vn.T, 4)
-        i, j = np.triu_indices(len(ids), k=1)
-        keep = S[i, j] >= threshold
-        return pd.DataFrame(
-            {"id1": ids[i[keep]], "id2": ids[j[keep]], "sim": S[i[keep], j[keep]]}
-        )
+    def score_partition(batches):
+        # Per-PARTITION pandas groupby instead of per-block applyInPandas:
+        # with a data-sized codebook (~1500 blocks) the ~8 ms per-group
+        # Arrow/pandas overhead dominated the stage while each block's
+        # matmul is microseconds.
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        out = []
+        for _, g in pd.concat(pdfs).groupby("centroid_id", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("vec_id")
+            ids = g["vec_id"].to_numpy()
+            V = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            S = np.round(Vn @ Vn.T, 4)
+            i, j = np.triu_indices(len(ids), k=1)
+            keep = S[i, j] >= threshold
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id1": ids[i[keep]],
+                            "id2": ids[j[keep]],
+                            "sim": S[i[keep], j[keep]],
+                        }
+                    )
+                )
+        if out:
+            yield pd.concat(out)
 
     return (
-        asg.groupBy("centroid_id")
-        .applyInPandas(score_block, pair_schema)
+        asg.mapInPandas(score_partition, pair_schema)
         .distinct()  # a pair surfaces once per SHARED block; sims match (4dp)
     )
 
@@ -602,37 +617,251 @@ def embedding_neardup_blocked_fast_query(spark: SparkSession, sf_dir: str) -> Da
     return embedding_neardup_blocked_fast(spark, sf_dir, ivf_k=k)
 
 
+def _neardup_block_component_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    ivf_k: int,
+    nprobe: int = NEARDUP_NPROBE,
+    threshold: float = NEARDUP_SIM,
+) -> DataFrame:
+    """(doc_id, bucket) edges for group assignment: per centroid block,
+    run the similarity matmul ONCE and union-find the >= threshold
+    adjacency LOCALLY, emitting one row per member of a >=2-vector local
+    component (bucket = injective struct(block, local min id)).
+
+    Why not pair edges: on dup-heavy corpora the verified pair count is
+    quadratic in cluster size (50 copies -> 1,225 pairs each; 4.56M pairs
+    at the 100K amplified corpus, 113 s end-to-end for groups). The
+    pair-graph's connected components are PRESERVED: every candidate pair
+    lives inside some shared block, so block-local components cover
+    exactly the verified pair edges, and cross-block connectivity flows
+    through vectors that sit in multiple blocks (multi-probe) during
+    label propagation. Output rows <= members x nprobe — linear."""
+    import pyspark.sql.types as T
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        e.where(F.col("vec_id") < ivf_k).select("vec_id", "embedding").collect()
+    )
+    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    order = np.argsort(cent_ids)
+    cent_ids, Cn = cent_ids[order], Cn[order]
+    bc = spark.sparkContext.broadcast((cent_ids, Cn))
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def assign_batches(batches):
+        ids_c, cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            sims = Vn @ cn.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "centroid_id": ids_c[top].reshape(-1),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                    "embedding": [
+                        pdf["embedding"].iat[i] for i in np.repeat(np.arange(n), nprobe)
+                    ],
+                }
+            )
+
+    asg = e.select("vec_id", "embedding").mapInPandas(assign_batches, assign_schema)
+    asg = asg.repartition(max(64, ivf_k // 8), "centroid_id")
+
+    edge_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField(
+                "bucket",
+                T.StructType(
+                    [
+                        T.StructField("block", T.LongType()),
+                        T.StructField("root", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def comp_partition(batches):
+        # One pandas groupby per PARTITION, not one applyInPandas call
+        # per block: ~1500 data-sized blocks paid ~8 ms of per-group
+        # Arrow/pandas overhead each (12-15 s of the stage) while the
+        # per-block math is microseconds. Arrow batch boundaries can
+        # split a block, so materialize the partition first (bounded:
+        # ~|corpus| x nprobe / partitions rows).
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        out_doc: list[np.ndarray] = []
+        out_bucket: list[dict] = []
+        for blk, g in pd.concat(pdfs).groupby("centroid_id", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("vec_id")
+            ids = g["vec_id"].to_numpy()
+            V = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            m = len(ids)
+            # >= threshold adjacency incl. self-loops; local components
+            # by vectorized min-label sweeps (label[i] <- min label among
+            # neighbors) — converges within the component diameter, all
+            # numpy, no per-pair Python loop (a union-find over the
+            # dup-heavy amplified corpus walked tens of millions of
+            # pairs in Python).
+            A = np.round(Vn @ Vn.T, 4) >= threshold
+            np.fill_diagonal(A, True)
+            roots = np.arange(m)
+            sentinel = np.iinfo(np.int64).max
+            while True:
+                candidates = np.where(A, roots[None, :], sentinel)
+                new_roots = np.minimum(roots, candidates.min(axis=1))
+                if np.array_equal(new_roots, roots):
+                    break
+                roots = new_roots
+            sizes = np.bincount(roots, minlength=m)
+            keep = sizes[roots] >= 2  # singleton components merge nothing
+            out_doc.append(ids[keep])
+            out_bucket.extend(
+                {"block": int(blk), "root": int(r)} for r in ids[roots[keep]]
+            )
+        if not out_doc:
+            return
+        yield pd.DataFrame(
+            {"doc_id": np.concatenate(out_doc), "bucket": out_bucket}
+        )
+
+    return asg.mapInPandas(comp_partition, edge_schema)
+
+
 def embedding_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, group_id): semantic-dedup GROUP assignment — connected
     components over the verified near-dup pair graph, completing the
     groups ladder (exact / token-set / MinHash / SimHash / embedding all
     have a linear-output group form).
 
-    Edges come from the FAST pair path (per-block matmul,
-    embedding_neardup_blocked_fast_query) — pytest-pinned pair-set-equal
-    to the exact per-pair scorer at matched K, and ~7x cheaper (the r3
-    composition recomputed the exact Arrow scorer: 69 s for 2K vectors;
-    verdict item). Reuses dedup.label_propagate by turning each verified
-    pair into a 2-member 'bucket' keyed by the struct(id1, id2) itself —
-    injective by construction, so unrelated components can never merge
-    through a bucket-key collision (a 64-bit hash key had a ~2^-64 merge
-    hazard). Every merge passed the cosine >= threshold verification
-    (subject to the 4dp rounding both engines share); output is one row
-    per vector regardless of cluster sizes, and label_propagate
-    early-exits once no label changes. Rows-only gating (iterative,
-    data-sized K; not SQL-expressible) — the hash-verified groups twin is
-    lsh.dedup_minhash_md5_groups."""
-    from dic_a1_spark.operators.dedup import label_propagate
+    Execution never materializes pairs: each centroid block matmuls its
+    similarity matrix once and union-finds the >= threshold adjacency
+    locally (see _neardup_block_component_edges — identical components to
+    the pair graph, since every candidate pair lives inside a shared
+    block), then dedup.label_propagate stitches blocks through their
+    shared multi-probe members and early-exits once labels stop changing.
+    The r3 composition scored every pair exactly (69 s / 2K vectors) and
+    the r4 pair-edge rebase was still output-quadratic on dup-heavy data
+    (4.56M verified pairs at the 100K amplified corpus); this form is
+    linear in members x nprobe end to end. Every merge passed the cosine
+    >= threshold verification (4dp-rounded, the registered pair
+    semantics); one row per vector regardless of cluster sizes.
+    Components are computed on the CONTRACTED graph: nodes are the
+    distinct block-components (buckets), adjacent when they share a
+    multi-probe member. On dup-heavy corpora that graph is orders of
+    magnitude smaller than the doc<->bucket edge list (100K amplified
+    vectors -> 300K doc edges but only ~10K bucket nodes), so each
+    min-label iteration shuffles the contracted edge set instead of every
+    doc row — the bipartite label_propagate form measured 18 s of
+    iterations here vs ~3 s contracted. Iterating to convergence on the
+    contracted graph yields exactly the pair-graph components: every
+    bucket root IS a member doc, so the component-min root equals the
+    component-min doc id, and each doc takes the min over its buckets'
+    converged labels (docs in no bucket keep their own id). Rows-only
+    gating (iterative, data-sized K; not SQL-expressible) — the
+    hash-verified groups twin is lsh.dedup_minhash_md5_groups."""
+    from pyspark import StorageLevel
 
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_neardup_blocked_fast_query(spark, sf_dir)
-    bucket = F.struct(F.col("id1"), F.col("id2"))
-    edges = pairs.select(
-        F.col("id1").alias("doc_id"), bucket.alias("bucket")
-    ).unionByName(pairs.select(F.col("id2").alias("doc_id"), bucket.alias("bucket")))
-    docs = e.select(F.col("vec_id").alias("doc_id"))
-    return label_propagate(docs, edges, n_iter=8).select(
-        F.col("doc_id").alias("vec_id"), "group_id"
+    n = e.count()
+    k = max(IVF_K, min(n, n * NEARDUP_NPROBE // 200, 1500))
+    # Edges come out of the scoring stage in its (wide, per-block)
+    # partitioning; squeeze to core-count partitions before the persist —
+    # three consumers below each scan the cached frame, and task-launch
+    # overhead on ~200 near-empty partitions was a measurable share of
+    # the iteration loop.
+    edges = (
+        _neardup_block_component_edges(spark, sf_dir, ivf_k=k)
+        .repartition(32)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # Bucket adjacency via shared docs: each doc links the <= nprobe
+    # buckets it belongs to pairwise, then distinct — the contraction.
+    per_doc = edges.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("bucket")).alias("bs")
+    )
+    bucket_edges = (
+        per_doc.where(F.size("bs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (x, i) ->"
+                    " transform(slice(bs, i + 2, size(bs)),"
+                    " y -> named_struct('src', x, 'dst', y))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .distinct()
+    )
+    sym = bucket_edges.unionByName(
+        bucket_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # Min-label propagation on the contracted graph, to convergence
+    # (bounded; each iteration is two shuffles LINEAR in |bucket edges|).
+    # Initial label = the bucket's root, i.e. its block-local min doc id.
+    labels = (
+        edges.select("bucket")
+        .distinct()
+        .select("bucket", F.col("bucket.root").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(50):
+        nbr = (
+            sym.join(labels, sym.src == labels.bucket)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.bucket == nbr.dst, "left")
+            .select(
+                "bucket",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "label"
+                ),
+                F.col("label").alias("_old"),
+            )
+            .localCheckpoint()  # eager: truncates the iterative lineage
+        )
+        changed = new_labels.where(F.col("label") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
+        if changed == 0:
+            break
+
+    doc_group = (
+        edges.join(labels, "bucket")
+        .groupBy("doc_id")
+        .agg(F.min("label").alias("grp"))
+    )
+    return (
+        e.select(F.col("vec_id").alias("doc_id"))
+        .join(doc_group, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.coalesce("grp", F.col("doc_id")).alias("group_id"),
+        )
     )
 
 
