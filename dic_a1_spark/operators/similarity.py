@@ -408,9 +408,11 @@ def embedding_neardup_blocked_fast(
          the driver-broadcast closure; each Arrow batch does ONE
          (B x dim) @ (dim x K) matmul and a stable top-nprobe argsort —
          data shipped per vector, not per (vector, centroid);
-      2. block scoring: applyInPandas per centroid block; one
-         (B x dim) @ (dim x B) matmul emits the i<j pairs >= threshold —
-         data shipped per block MEMBER, not per candidate pair.
+      2. block scoring: mapInPandas over centroid-partitioned rows with
+         an in-Python groupby (per-block applyInPandas paid ~8 ms of
+         Arrow overhead per data-sized block); one (B x dim) @ (dim x B)
+         matmul per block emits the i<j pairs >= threshold — data
+         shipped per block MEMBER, not per candidate pair.
 
     BLAS accumulation differs from the sequential fold in the last ULPs,
     so sims are rounded to 4dp and the cross-block duplicate emissions
