@@ -65,6 +65,12 @@ HEADLINE = [
     "dedup_simhash_groups",
     "ivf_assignments_fast",
     "embedding_neardup_blocked_fast",
+    # round 4 additions: hash-verified label propagation, contracted-graph
+    # embedding groups, and the composed curation DAG
+    "dedup_minhash_md5_groups",
+    "embedding_neardup_groups",
+    "curation_pipeline",
+    "doc_pack_bins",
 ]
 
 
