@@ -426,6 +426,107 @@ def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Repetition gate: docs whose single most common bigram exceeds this
+# fraction of all bigram occurrences are flagged (Gopher-style "most
+# common n-gram" quality signal; word-salad corpora sit well below 1.0).
+REPETITION_CAP = 0.08
+
+# Deterministic split fractions over the md5(doc_id) hex prefix:
+# [0, 0xcccccccc) -> train (~80%), [.., 0xe6666666) -> val (~10%),
+# rest -> test (~10%). Hex string compare == uint32 compare, identical
+# in both engines (same device as lang_rebalance_sample).
+SPLIT_TRAIN_BELOW = "cccccccc"
+SPLIT_VAL_BELOW = "e6666666"
+
+
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram repetition quality signal: the share of bigram
+    occurrences taken by the single most frequent bigram, and the keep
+    verdict (share <= REPETITION_CAP). The Gopher-family filters gate on
+    exactly this family of statistics before training.
+
+    MAP-ONLY: bigrams are sorted per document and the longest equal-run
+    is measured with one F.aggregate fold over the array — no explode,
+    no shuffle; the whole query is scan -> project. The oracle restates
+    the semantics relationally (explode -> group -> max), which is the
+    point: same values, independently shaped computation."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), DUCKDB_WS_REGEX), lambda w: w != ""
+        ).alias("toks"),
+    ).where(F.size("toks") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        F.array_sort(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(toks[i-1], ' ', toks[i]))"
+            )
+        ).alias("bgs"),
+    )
+    # Longest run of equal adjacent values in the sorted array ==
+    # max bigram multiplicity. State: (prev value, current run, best run).
+    run_state = "named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L)"
+    fold = (
+        "aggregate(bgs, "
+        f"{run_state}, "
+        "(s, x) -> named_struct("
+        " 'prev', x,"
+        " 'run', if(s.prev is not null and x = s.prev, s.run + 1, 1L),"
+        " 'best', greatest(s.best,"
+        "          if(s.prev is not null and x = s.prev, s.run + 1, 1L))),"
+        "s -> s.best)"
+    )
+    ratio = F.col("max_count") / F.col("n_bigrams")
+    return bigrams.select(
+        "doc_id",
+        F.size("bgs").cast("bigint").alias("n_bigrams"),
+        F.expr(fold).alias("max_count"),
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        "max_count",
+        F.round(ratio, 4).alias("top_bigram_share"),
+        (ratio <= F.lit(REPETITION_CAP)).alias("keep"),
+    )
+
+
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: the split is a pure
+    function of doc_id (md5 hex prefix against fixed thresholds), so it
+    is stable under retries, repartitioning, and corpus growth — append
+    new docs and no existing assignment moves, which is why hash splits
+    (not rand()) are the only acceptable device at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(h < F.lit(SPLIT_TRAIN_BELOW), F.lit("train"))
+        .when(h < F.lit(SPLIT_VAL_BELOW), F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def doc_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin assembly over doc_pack_bins: per (pack_shard, bin_id), the
+    member count, total token count, and the ordered member list — the
+    frame a batch-construction job writes out, one row per training
+    sequence. Output rows = number of bins (corpus tokens / capacity),
+    far smaller than the input; the member list is bounded by bin
+    capacity, not corpus size."""
+    bins = doc_pack_bins(spark, sf_dir)
+    return bins.groupBy("pack_shard", "bin_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "decontam_ngram_overlap_fast": decontam_ngram_overlap_fast,  # rows-only (xxhash64)
@@ -433,6 +534,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunk_windows": doc_chunk_windows,
     "doc_pack_bins": doc_pack_bins,
     "curation_pipeline": curation_pipeline,
+    "text_repetition_ratio": text_repetition_ratio,
+    "doc_split_assign": doc_split_assign,
+    "doc_pack_concat": doc_pack_concat,
 }
 
 _CC = duckdb_token_char_class().replace("'", "''")
@@ -571,3 +675,54 @@ def _pipeline_oracle() -> str:
 
 
 ORACLES["curation_pipeline"] = _pipeline_oracle()
+
+# Relational restatement of the map-only fold: explode bigrams, count per
+# (doc, bigram), take max and total — same values, independent shape.
+ORACLES["text_repetition_ratio"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text),
+                           '{DUCKDB_WS_REGEX}'), w -> w <> '') AS a
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, a, generate_subscripts(a, 1) AS i FROM toks
+        WHERE len(a) >= 2
+    ),
+    bg AS (
+        SELECT doc_id, a[i] || ' ' || a[i+1] AS b
+        FROM pos WHERE i + 1 <= len(a)
+    ),
+    per_bg AS (
+        SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+               CAST(max(c) AS BIGINT) AS max_count
+        FROM per_bg GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, max_count,
+           round(CAST(max_count AS DOUBLE) / n_bigrams, 4)
+               AS top_bigram_share,
+           (CAST(max_count AS DOUBLE) / n_bigrams) <= {REPETITION_CAP} AS keep
+    FROM per_doc
+"""
+
+ORACLES["doc_split_assign"] = f"""
+    SELECT doc_id, lang, source,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '{SPLIT_TRAIN_BELOW}' THEN 'train'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '{SPLIT_VAL_BELOW}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+"""
+
+ORACLES["doc_pack_concat"] = f"""
+    WITH bins AS ({ORACLES["doc_pack_bins"]})
+    SELECT pack_shard, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           list(doc_id ORDER BY doc_id) AS doc_ids
+    FROM bins GROUP BY pack_shard, bin_id
+"""

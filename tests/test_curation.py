@@ -149,3 +149,48 @@ def test_chunks_cover_all_tokens_with_overlap(spark):
 def test_chunking_is_map_only(spark):
     plan = formatted_plan(curation.doc_chunk_windows(spark, SF_CORRECT))
     assert "Exchange" not in plan  # no shuffle at all
+
+
+def test_repetition_ratio_nonvacuous_and_map_only(spark):
+    """Both verdicts must occur on the corpus (a gate that never fires is
+    untested), and the fold form must compile without any Exchange."""
+    rows = curation.text_repetition_ratio(spark, SF_CORRECT).collect()
+    keeps = {r["keep"] for r in rows}
+    assert keeps == {True, False}, f"vacuous repetition gate: {keeps}"
+    for r in rows:
+        assert 1 <= r["max_count"] <= r["n_bigrams"]
+    plan = formatted_plan(curation.text_repetition_ratio(spark, SF_CORRECT))
+    assert "Exchange" not in plan
+
+
+def test_split_assign_fractions_and_determinism(spark):
+    """~80/10/10 within tolerance at sf0.01, every doc assigned exactly
+    once, and re-running yields identical assignments."""
+    rows = curation.doc_split_assign(spark, SF_CORRECT).collect()
+    n = len(rows)
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.7 <= counts["train"] / n <= 0.9
+    again = {r["doc_id"]: r["split"] for r in curation.doc_split_assign(
+        spark, SF_CORRECT).collect()}
+    assert {r["doc_id"]: r["split"] for r in rows} == again
+
+
+def test_pack_concat_consistent_with_bins(spark):
+    """Every bin's member list matches the bin assignment exactly and
+    token totals add up."""
+    bins = curation.doc_pack_bins(spark, SF_CORRECT).collect()
+    concat = curation.doc_pack_concat(spark, SF_CORRECT).collect()
+    expect = {}
+    for r in bins:
+        expect.setdefault((r["pack_shard"], r["bin_id"]), []).append(
+            (r["doc_id"], r["n_tokens"])
+        )
+    assert len(concat) == len(expect)
+    for r in concat:
+        members = sorted(expect[(r["pack_shard"], r["bin_id"])])
+        assert list(r["doc_ids"]) == [d for d, _ in members]
+        assert r["n_docs"] == len(members)
+        assert r["total_tokens"] == sum(t for _, t in members)
