@@ -25,9 +25,10 @@ from pyspark.sql import DataFrame, SparkSession
 # chisq/relational/events/sql_surface/textstats rows from r1-r3 move back,
 # guarded by pytest + the committed sf0.1 sweep artifact.
 # Query-position math (cumulative): sketches 2, ngrams 4, udxf 6,
-# multimodal 9, dedup 17, tpch_full 30, similarity 39, curation 45, lsh 47
-# (pairs + the new hash-gated groups) — everything needing a fresh row
-# sits inside the 50-entry window.
+# multimodal 9, dedup 17, tpch_full 30, similarity 39, lsh 41 (pairs +
+# the new hash-gated groups), curation 50 (6 r3 entries + the 3 new r4
+# ops) — everything needing a fresh row sits inside the 50-entry window,
+# with the hash-gated lsh groups well clear of the window edge.
 _MODULES = (
     "dic_a1_spark.operators.sketches",
     "dic_a1_spark.operators.ngrams",
@@ -36,8 +37,8 @@ _MODULES = (
     "dic_a1_spark.operators.dedup",
     "dic_a1_spark.operators.tpch_full",
     "dic_a1_spark.operators.similarity",
-    "dic_a1_spark.operators.curation",
     "dic_a1_spark.operators.lsh",
+    "dic_a1_spark.operators.curation",
     "dic_a1_spark.operators.tpch_extra",
     "dic_a1_spark.operators.sql_surface",
     "dic_a1_spark.operators.textstats",
