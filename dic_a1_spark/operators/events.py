@@ -264,7 +264,63 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type with zero-filled counts and
+    forward-filled (last-observation-carried-forward) hourly averages —
+    the gap-filling + LOCF resampling a timeseries store performs before
+    charting or feature extraction.
+
+    Scale shape: the dense axis is generated from DIMENSION-sized inputs
+    (distinct types x global hour bounds, broadcast), never by exploding
+    fact rows; the hourly aggregate is one shuffle on (type, hour); the
+    forward fill is a per-type ordered window over the filled axis —
+    axis rows = |types| x |hours|, independent of event count. Hours
+    before a type's first observation stay NULL (nothing to carry
+    forward; the oracle mirrors this)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        # Float discipline: round the SUM (stable across engines at these
+        # magnitudes, same device as the window queries above) and divide
+        # by the exact count — the quotient of identical doubles is
+        # bit-identical in both engines, where round(avg(), 2) is not
+        # (Spark rounds the shortest-decimal repr, DuckDB the binary
+        # value; measured 56 mismatches at sf0.01).
+        (F.round(F.sum("value"), 2) / F.count("*")).alias("avg_value"),
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    axis = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(h0, h1, interval 1 hour)")
+            ).alias("h"),
+        )
+    )
+    filled = axis.join(hourly, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        _tstr(F.col("h")).alias("hour"),
+        "event_type",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("ffill_avg_value"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_gapfill_hourly": events_gapfill_hourly,
     "events_asof_click_before_purchase": events_asof_click_before_purchase,
     "events_range_join_error_clicks": events_range_join_error_clicks,
     "events_approx_stats": events_approx_stats,  # boolean error-band oracle
@@ -382,3 +438,35 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY event_type
     """,
 }
+
+ORACLES["events_gapfill_hourly"] = """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) / count(*) AS avg_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM events
+    ),
+    axis AS (
+        SELECT t.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                        AS h FROM bounds) g
+    ),
+    filled AS (
+        SELECT a.event_type, a.h, y.n_events, y.avg_value
+        FROM axis a LEFT JOIN hourly y
+          ON a.event_type = y.event_type AND a.h = y.h
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+           CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+           last_value(avg_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS ffill_avg_value
+    FROM filled
+"""
