@@ -65,6 +65,9 @@ HEADLINE_DOC_QUERIES = [
     "lang_rebalance_sample",
     "doc_chunk_windows",
     "doc_pack_bins",
+    "doc_pack_concat",
+    "doc_split_assign",
+    "text_repetition_ratio",
     "text_token_freq_items",
 ]
 
