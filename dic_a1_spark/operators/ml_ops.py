@@ -63,10 +63,20 @@ def ml_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.filter(tokens_distinct(F.col("text")), lambda w: w != "").alias("toks")
     ).where(F.size("toks") > 0)
+    from pyspark import StorageLevel
+
     cv = CountVectorizer(
         inputCol="toks", outputCol="features", binary=True, minDF=1.0
     ).fit(toks)
-    feats = cv.transform(toks).select("doc_id", "features")
+    # Persist the vectorized frame: approxSimilarityJoin references it as
+    # BOTH join sides and the LSH fit scans it again — unpersisted, the
+    # tokenize -> CountVectorizer chain re-runs three times (the dominant
+    # cost of this query at sf0.1).
+    feats = (
+        cv.transform(toks)
+        .select("doc_id", "features")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=4, seed=SEED
     ).fit(feats)
