@@ -1,0 +1,172 @@
+"""Incremental (batch-vs-corpus) deduplication.
+
+Production corpora are not deduplicated once — every crawl/delivery adds
+an INCREMENT that must be deduplicated against the already-curated corpus
+without reprocessing it. The join direction is the whole design problem
+at 100 TB: the corpus side is ~1000x the increment, so the increment's
+content-hash set broadcasts and the corpus is probed MAP-ONLY (one scan,
+no shuffle of corpus rows, no repartitioning of corpus state). The hit
+set that comes back is at most increment-sized, so the final anti-join is
+again a broadcast.
+
+Stand-in split: the increment is a fixed residue class of doc_id
+(doc_id % INC_MOD == INC_REM, ~1/INC_MOD of the table) — the query shape
+(tiny new batch vs huge standing corpus) is what matters, mirroring
+curation.py's benchmark stand-in. Content identity is the ORDER-
+INSENSITIVE tokenset hash of dedup_tokenset_groups (dedup.py:102) rather
+than raw-text md5: the driver corpus has almost no byte-identical
+duplicates (raw md5 would make every row here vacuously "admitted"),
+while tokenset collisions are plentiful at every sf — and the same
+choice is what production increments use first anyway (crawl re-fetches
+reorder/ re-whitespace content far more often than they byte-match).
+
+Plan shape (PLANS.md): two broadcast hash joins, zero shuffle exchanges
+on the corpus branch; the only aggregation state is increment-sized.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dic_a1_spark.config import DUCKDB_WS_REGEX, duckdb_token_char_class
+from dic_a1_spark.functions.text import tokenize
+from dic_a1_spark.sources.readers import load_table
+
+# doc_id % INC_MOD == INC_REM -> the incoming increment (~12.5%).
+INC_MOD = 8
+INC_REM = 3
+
+
+def _hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize(F.col("text")), lambda w: w != "")
+    key = F.md5(
+        F.encode(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))), "UTF-8")
+    )
+    return d.withColumn("content_hash", key).withColumn(
+        "is_inc", F.col("doc_id") % INC_MOD == INC_REM
+    )
+
+
+def dedup_incremental_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors of the increment: not content-identical to any corpus
+    document, and the lowest-doc_id representative of each within-batch
+    duplicate set. The corpus is touched exactly once, map-only (LEFT
+    SEMI against the broadcast increment hash set); everything that
+    shuffles is increment-sized."""
+    h = _hashed(spark, sf_dir)
+    inc = h.where("is_inc")
+    corpus = h.where(~F.col("is_inc"))
+    inc_hashes = inc.select("content_hash").distinct()
+    # Corpus probe: which increment hashes already exist out there.
+    # Broadcasting the INCREMENT side keeps the corpus scan shuffle-free.
+    seen = (
+        corpus.join(F.broadcast(inc_hashes), "content_hash", "left_semi")
+        .select("content_hash")
+        .distinct()
+    )
+    fresh = inc.join(F.broadcast(seen), "content_hash", "left_anti")
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "content_hash", "lang", "source", "n_chars")
+    )
+
+
+def dedup_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admission report an incremental dedup job publishes: increment
+    size, how many rows were corpus duplicates, how many were
+    within-batch duplicates, how many were admitted."""
+    h = _hashed(spark, sf_dir)
+    inc = h.where("is_inc")
+    corpus = h.where(~F.col("is_inc"))
+    inc_hashes = inc.select("content_hash").distinct()
+    seen = (
+        corpus.join(F.broadcast(inc_hashes), "content_hash", "left_semi")
+        .select("content_hash")
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    flagged = (
+        inc.join(F.broadcast(seen), "content_hash", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            F.coalesce("in_corpus", F.lit(False)).alias("dup_corpus"),
+            (F.col("rn") > 1).alias("dup_within"),
+        )
+    )
+    return flagged.agg(
+        F.count("*").alias("n_incoming"),
+        F.sum(F.col("dup_corpus").cast("long")).alias("n_dup_corpus"),
+        F.sum((~F.col("dup_corpus") & F.col("dup_within")).cast("long")).alias(
+            "n_dup_within"
+        ),
+        F.sum((~F.col("dup_corpus") & ~F.col("dup_within")).cast("long")).alias(
+            "n_admitted"
+        ),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_incremental_keep": dedup_incremental_keep,
+    "dedup_incremental_stats": dedup_incremental_stats,
+}
+
+_CC = duckdb_token_char_class().replace("'", "''")
+_TOKS = (
+    f"list_filter(regexp_split_to_array(regexp_replace(lower(text), '{_CC}', ' ', 'g'),"
+    f" '{DUCKDB_WS_REGEX}'), w -> w <> '')"
+)
+
+_HASHED_CTE = f"""
+    WITH h AS (
+        SELECT doc_id, lang, source, n_chars,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+                   AS content_hash,
+               doc_id % {INC_MOD} = {INC_REM} AS is_inc
+        FROM documents
+    )
+"""
+
+ORACLES: dict[str, str] = {
+    "dedup_incremental_keep": _HASHED_CTE
+    + """
+    SELECT doc_id, content_hash, lang, source, n_chars
+    FROM h i
+    WHERE is_inc
+      AND NOT EXISTS (
+          SELECT 1 FROM h c
+          WHERE NOT c.is_inc AND c.content_hash = i.content_hash)
+      AND NOT EXISTS (
+          SELECT 1 FROM h i2
+          WHERE i2.is_inc AND i2.content_hash = i.content_hash
+            AND i2.doc_id < i.doc_id)
+    """,
+    "dedup_incremental_stats": _HASHED_CTE
+    + """
+    , flagged AS (
+        SELECT i.doc_id,
+               EXISTS (
+                   SELECT 1 FROM h c
+                   WHERE NOT c.is_inc AND c.content_hash = i.content_hash)
+                   AS dup_corpus,
+               row_number() OVER (
+                   PARTITION BY i.content_hash ORDER BY i.doc_id) > 1
+                   AS dup_within
+        FROM h i WHERE i.is_inc
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_incoming,
+           CAST(sum(CASE WHEN dup_corpus THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_corpus,
+           CAST(sum(CASE WHEN NOT dup_corpus AND dup_within
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_within,
+           CAST(sum(CASE WHEN NOT dup_corpus AND NOT dup_within
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+    FROM flagged
+    """,
+}

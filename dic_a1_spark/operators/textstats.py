@@ -411,3 +411,120 @@ ORACLES: dict[str, str] = {
         FROM documents d GROUP BY d.source
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: corpus shape diagnostics.
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of document token counts — the corpus-shape
+    table a packing/chunking stage is tuned against (CHUNK_WIDTH,
+    PACK_CAPACITY in operators/curation.py). Bucket b holds docs with
+    n_tokens in [2^(b-1), 2^b); bucket = bit-length of n_tokens, computed
+    as length(bin(n)) — pure integer/string semantics that Spark and
+    DuckDB share exactly, unlike floor(log2(n)) whose float rounding
+    flips at power-of-two boundaries. One map pass plus a
+    |buckets|-sized aggregate: nothing here shuffles more than ~60 rows
+    at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(_tokens(F.col("text")))
+    bucketed = d.select(
+        F.when(n == 0, F.lit(0)).otherwise(F.length(F.bin(n))).alias("bucket"),
+        n.alias("n_tokens"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .select(
+            "bucket",
+            F.expr(
+                "CASE WHEN bucket = 0 THEN 0L ELSE shiftleft(1L, bucket - 1) END"
+            ).alias("lo_tokens"),
+            "n_docs",
+            "total_tokens",
+            "min_tokens",
+            "max_tokens",
+        )
+    )
+
+
+def text_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source shingle-vocabulary profile: occurrences (per-doc
+    distinct), exact distinct vocabulary, and an HLL estimate held to a
+    10% certificate band (the sketches.py pattern: the emitted verdict is
+    engine-neutral, so the sketch guarantee itself is hash-gated). At
+    100 TB the exact COUNT(DISTINCT) is the column you delete first —
+    the HLL twin is the scale path, and this query certifies the swap is
+    safe by computing both while the corpus still fits."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", _tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 3
+    )
+    sh = toks.select(
+        "source",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, size(toks) - 2),"
+                " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1])))"
+            )
+        ).alias("shingle"),
+    )
+    agg = sh.groupBy("source").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("shingle").alias("n_distinct"),
+        F.approx_count_distinct("shingle", rsd=0.02).alias("approx_distinct"),
+    )
+    return agg.select(
+        "source",
+        "n_occurrences",
+        "n_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("n_distinct"))
+            <= F.col("n_distinct").cast("double") * 0.10
+        ).alias("hll_in_band"),
+    )
+
+
+QUERIES["doc_length_histogram"] = doc_length_histogram
+QUERIES["text_ngram_vocab"] = text_ngram_vocab
+
+ORACLES["doc_length_histogram"] = f"""
+    WITH n AS (SELECT CAST(len({_TOKS}) AS INTEGER) AS n_tokens FROM documents),
+    b AS (
+        SELECT n_tokens,
+               CASE WHEN n_tokens = 0 THEN 0
+                    ELSE CAST(length(bin(n_tokens)) AS INTEGER) END AS bucket
+        FROM n
+    )
+    SELECT bucket,
+           CASE WHEN bucket = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) << (bucket - 1) END AS lo_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(n_tokens) AS min_tokens,
+           max(n_tokens) AS max_tokens
+    FROM b GROUP BY bucket
+"""
+
+ORACLES["text_ngram_vocab"] = f"""
+    WITH toks AS (
+        SELECT source, {_TOKS} AS a FROM documents WHERE len({_TOKS}) >= 3
+    ),
+    sh AS (
+        SELECT source, list_distinct(list_transform(range(1, len(a) - 1),
+            i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingles
+        FROM toks
+    ),
+    flat AS (SELECT source, unnest(shingles) AS shingle FROM sh)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct,
+           TRUE AS hll_in_band
+    FROM flat GROUP BY source
+"""

@@ -1,0 +1,47 @@
+"""Oracle + semantics checks for incremental (batch-vs-corpus) dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dic_a1_spark.operators import incremental
+from dic_a1_spark.plans.explain import formatted_plan
+from tests.conftest import SF_CORRECT
+from tests.oracle_utils import compare
+
+
+@pytest.mark.parametrize("name", sorted(incremental.ORACLES))
+def test_incremental_oracle(spark, name):
+    compare(
+        spark, incremental.ORACLES[name], incremental.QUERIES[name], SF_CORRECT, name
+    )
+
+
+def test_stats_nonvacuous_and_consistent(spark):
+    r = incremental.dedup_incremental_stats(spark, SF_CORRECT).collect()[0]
+    # tokenset identity gives real cross-split duplicates at sf0.01
+    # (raw-md5 identity would be vacuous here — see module docstring)
+    assert r["n_dup_corpus"] > 0
+    assert r["n_incoming"] == r["n_dup_corpus"] + r["n_dup_within"] + r["n_admitted"]
+    kept = incremental.dedup_incremental_keep(spark, SF_CORRECT)
+    assert kept.count() == r["n_admitted"]
+
+
+def test_survivors_are_increment_rows_with_unique_hashes(spark):
+    kept = incremental.dedup_incremental_keep(spark, SF_CORRECT)
+    rows = kept.collect()
+    assert all(
+        r["doc_id"] % incremental.INC_MOD == incremental.INC_REM for r in rows
+    )
+    hashes = [r["content_hash"] for r in rows]
+    assert len(hashes) == len(set(hashes))
+
+
+def test_corpus_branch_joins_broadcast(spark):
+    """Both joins must be broadcast (increment-sized build sides): a
+    shuffle exchange feeding a sort-merge join here means corpus rows are
+    being repartitioned — the anti-pattern this operator exists to avoid."""
+    plan = formatted_plan(incremental.dedup_incremental_keep(spark, SF_CORRECT))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2

@@ -1,0 +1,60 @@
+"""Oracle + semantics checks for int8 embedding quantization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dic_a1_spark.operators import quantize
+from dic_a1_spark.operators.similarity import TOP_K, knn_cosine_bruteforce
+from dic_a1_spark.plans.explain import formatted_plan
+from tests.conftest import SF_CORRECT
+from tests.oracle_utils import compare
+
+
+@pytest.mark.parametrize("name", sorted(quantize.ORACLES))
+def test_quantize_oracle(spark, name):
+    compare(spark, quantize.ORACLES[name], quantize.QUERIES[name], SF_CORRECT, name)
+
+
+def test_qvec_range_and_saturation(spark):
+    rows = quantize.embedding_quantize_int8(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert all(-127 <= q <= 127 for q in r["qvec"]), r["vec_id"]
+        # absmax scheme: at least one element saturates (no zero vectors
+        # in the driver data, asserted by the scale fallback never firing)
+        assert r["n_sat"] >= 1, r["vec_id"]
+        assert r["scale_r"] > 0
+
+
+def test_error_certificate_holds_everywhere(spark):
+    rows = quantize.quantize_error_certificate(spark, SF_CORRECT).collect()
+    assert rows and all(r["within_half_step"] for r in rows)
+
+
+def test_quantized_knn_recall_vs_fp32(spark):
+    """int8 retrieval must agree with fp32 brute force on nearly all of
+    the top-K (the whole point of shipping quantized vectors). Exact
+    ordering can differ near ties, so assert recall, not equality."""
+    fp = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_cosine_bruteforce(spark, SF_CORRECT).collect()
+    }
+    q8 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in quantize.knn_cosine_quantized(spark, SF_CORRECT).collect()
+    }
+    assert len(q8) == len(fp)
+    recall = len(fp & q8) / len(fp)
+    assert recall >= 0.8, f"int8 top-{TOP_K} recall {recall:.2f} vs fp32"
+
+
+def test_quantize_is_map_only(spark):
+    plan = formatted_plan(quantize.embedding_quantize_int8(spark, SF_CORRECT))
+    assert "Exchange" not in plan
+
+
+def test_knn_quantized_broadcasts_queries(spark):
+    plan = formatted_plan(quantize.knn_cosine_quantized(spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
