@@ -71,6 +71,14 @@ HEADLINE = [
     "embedding_neardup_groups",
     "curation_pipeline",
     "doc_pack_bins",
+    # round 4 additions: PII scrub, batch-vs-corpus dedup, int8 retrieval,
+    # corpus shape diagnostics
+    "text_pii_scrub",
+    "dedup_incremental_keep",
+    "knn_cosine_quantized",
+    "doc_length_histogram",
+    "docsim_tfidf_topk",
+    "dedup_repeated_ngrams",
 ]
 
 

@@ -53,6 +53,7 @@ _MODULES = (
     "dic_a1_spark.operators.scrub",
     "dic_a1_spark.operators.incremental",
     "dic_a1_spark.operators.quantize",
+    "dic_a1_spark.operators.lexical",
 )
 
 

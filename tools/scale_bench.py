@@ -69,6 +69,15 @@ HEADLINE_DOC_QUERIES = [
     "doc_split_assign",
     "text_repetition_ratio",
     "text_token_freq_items",
+    # round-4 tranche: map-only PII scrubbing, URL rollup, broadcast
+    # incremental dedup, and the corpus-shape diagnostics
+    "text_pii_scrub",
+    "text_url_domains",
+    "dedup_incremental_keep",
+    "doc_length_histogram",
+    "text_ngram_vocab",
+    "docsim_tfidf_topk",
+    "dedup_repeated_ngrams",
 ]
 
 
@@ -208,6 +217,8 @@ def main() -> None:
         "ivf_assignments_fast",
         "knn_cosine_bruteforce",
         "knn_cosine_ivf",
+        "embedding_quantize_int8",
+        "knn_cosine_quantized",
     ]:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
