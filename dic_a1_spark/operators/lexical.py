@@ -91,11 +91,24 @@ def docsim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K lexically-similar partners per document under integer-
     quantized idf-weighted cosine.
 
-    weight(t) = bit_length(N / df(t)) — a staircase idf (0 for terms in
-    every doc, growing ~log2 with rarity) whose squares sum EXACTLY in
-    both engines. sim(d1,d2) = sum_{t in both} w(t)^2 / (|d1| * |d2|)
-    where |d| = sqrt(sum_{t in d} w(t)^2)."""
-    terms = _doc_terms(spark, sf_dir)
+    weight(t) = bit_length(⌊N / df(t)⌋) — a staircase idf growing ~log2
+    with rarity whose squares sum EXACTLY in both engines.
+    sim(d1,d2) = sum_{t in both} w(t)^2 / (|d1| * |d2|)
+    where |d| = sqrt(sum_{t in d} w(t)^2).
+
+    The posting list and its weighted form are PERSISTED: they feed the
+    doc count, the df table, norms, and both sides of the pair join —
+    without the persists each consumer re-runs tokenize+shingle from the
+    scan (measured as 16 scans / 15 exchanges in the unpersisted plan;
+    100 TB would tokenize the corpus eight times). Pairs are scored and
+    threshold-filtered ONCE, then the surviving rows fan out to both
+    rank directions through a 2-element generator."""
+    from pyspark import StorageLevel
+
+    # The posting list is the frame every branch reads (doc count, df
+    # table, weighting join) — persist it so the corpus is tokenized
+    # exactly once; the n_docs action doubles as cache materialization.
+    terms = _doc_terms(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     n_docs = terms.select("doc_id").distinct().count()
     df_tbl = terms.groupBy("term").agg(F.count("*").alias("df"))
     weighted = (
@@ -107,6 +120,7 @@ def docsim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w", F.length(F.bin(F.floor(F.lit(n_docs) / F.col("df"))))
         )
         .select("doc_id", "term", (F.col("w") * F.col("w")).cast("long").alias("w2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     norms = weighted.groupBy("doc_id").agg(F.sum("w2").alias("sum_w2"))
     a = weighted.select(
@@ -121,12 +135,24 @@ def docsim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc1", "doc2")
         .agg(F.sum("w2a").alias("dot"))
     )
+    # Norms are |docs|-sized -> broadcast both probes; score each
+    # unordered pair ONCE, filter to survivors (sim is symmetric), and
+    # only then emit both directions — a generator over a 2-element
+    # struct array, so the expensive pair subtree is never duplicated.
     scored = (
-        shared.join(norms.withColumnRenamed("doc_id", "doc1"), "doc1")
-        .withColumnRenamed("sum_w2", "n1")
+        shared.join(
+            F.broadcast(
+                norms.withColumnRenamed("doc_id", "doc1").withColumnRenamed(
+                    "sum_w2", "n1"
+                )
+            ),
+            "doc1",
+        )
         .join(
-            norms.withColumnRenamed("doc_id", "doc2").withColumnRenamed(
-                "sum_w2", "n2"
+            F.broadcast(
+                norms.withColumnRenamed("doc_id", "doc2").withColumnRenamed(
+                    "sum_w2", "n2"
+                )
             ),
             "doc2",
         )
@@ -137,11 +163,15 @@ def docsim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("raw_sim") >= DOCSIM_MIN_SIM)
     )
-    sym = scored.select("doc1", "doc2", "raw_sim").unionByName(
-        scored.select(
-            F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"), "raw_sim"
-        )
-    )
+    sym = scored.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc1").alias("d"), F.col("doc2").alias("p")),
+                F.struct(F.col("doc2").alias("d"), F.col("doc1").alias("p")),
+            )
+        ).alias("e"),
+        "raw_sim",
+    ).select(F.col("e.d").alias("doc1"), F.col("e.p").alias("doc2"), "raw_sim")
     w = Window.partitionBy("doc1").orderBy(F.desc("raw_sim"), F.asc("doc2"))
     return (
         sym.withColumn("rnk", F.row_number().over(w))
@@ -161,19 +191,26 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     appears in at least one OTHER document. Documents shorter than
     GRAM_WIDTH tokens have no positions and are excluded (they cannot
     carry cross-document substrings)."""
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", _tokens(F.col("text")).alias("toks")).where(
-        F.size("toks") >= GRAM_WIDTH
-    )
-    grams = toks.select(
-        "doc_id",
-        F.explode(
+    # One persisted gram-array pass (the decontam_ngram_overlap pattern,
+    # curation.py:62): the exploded stream feeds three consumers — the
+    # cross-doc filter, the hit counts, and the position totals — and
+    # without the persist each re-runs tokenize+slide from the scan.
+    gram_arrays = (
+        d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= GRAM_WIDTH)
+        .select(
+            "doc_id",
             F.expr(
                 f"transform(sequence(1, size(toks) - {GRAM_WIDTH - 1}),"
                 f" i -> concat_ws(' ', slice(toks, i, {GRAM_WIDTH})))"
-            )
-        ).alias("gram"),
+            ).alias("grams"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    grams = gram_arrays.select("doc_id", F.explode("grams").alias("gram"))
     # (gram -> appears in >= 2 distinct docs), hits-only
     cross = (
         grams.groupBy("gram")
@@ -186,7 +223,11 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_dup_positions"))
     )
-    base = grams.groupBy("doc_id").agg(F.count("*").alias("n_positions"))
+    # position totals come map-side from the persisted arrays — no
+    # aggregation of exploded rows needed
+    base = gram_arrays.select(
+        "doc_id", F.size("grams").cast("long").alias("n_positions")
+    )
     frac = F.col("n_dup_positions") / F.col("n_positions")
     return (
         base.join(dup_hits, "doc_id", "left")
