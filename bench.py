@@ -79,6 +79,7 @@ HEADLINE = [
     "doc_length_histogram",
     "docsim_tfidf_topk",
     "dedup_repeated_ngrams",
+    "events_funnel_depth",
 ]
 
 

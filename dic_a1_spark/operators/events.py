@@ -470,3 +470,102 @@ ORACLES["events_gapfill_hourly"] = """
            ) AS ffill_avg_value
     FROM filled
 """
+
+
+def events_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: per user, the first 'view', the first
+    'click' strictly after that view WITHIN 24 hours, and the first
+    'purchase' strictly after that click within 24 hours — the
+    product-analytics primitive behind every conversion report. The step
+    deadline is what makes the funnel a funnel: without it every user
+    with 67 events over a month trivially completes all steps (depth
+    distribution at sf0.01 is 90/35/25 across depths 1/2/3 with the
+    deadline, 0/0/150 without).
+
+    Shape: ONE shuffle on user_id, then three layered window minima over
+    the same partitioning (Catalyst chains the Window operators without
+    re-exchanging) and a per-user aggregate. The naive formulation is
+    three self-joins of the events table — 3 extra scans + 3 shuffles —
+    which this deliberately avoids; at 100 TB of events the single
+    user-partitioned pass is the only viable plan. Oracle restates it
+    with step-wise joins (fine at oracle scale) for independence."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    step1 = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    deadline = F.expr("INTERVAL 24 HOURS")
+    step2 = step1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t1"))
+                & (F.col("ts") <= F.col("t1") + deadline),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    step3 = step2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2"))
+                & (F.col("ts") <= F.col("t2") + deadline),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = step3.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    depth = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return per_user.select(
+        "user_id",
+        _tstr(F.col("t1")).alias("view_ts"),
+        _tstr(F.col("t2")).alias("click_ts"),
+        _tstr(F.col("t3")).alias("purchase_ts"),
+        depth.alias("funnel_depth"),
+    )
+
+
+QUERIES["events_funnel_depth"] = events_funnel_depth
+
+ORACLES["events_funnel_depth"] = f"""
+    WITH s1 AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        FROM events GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+          AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           strftime(t1, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(t2, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(t3, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CASE WHEN t3 IS NOT NULL THEN 3
+                WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_depth
+    FROM s1
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+"""

@@ -38,3 +38,26 @@ def test_approx_stats_within_bounds(spark):
         assert abs(ap["approx_users"] - ex["users"]) <= max(3, 0.1 * ex["users"])
         spread = abs(ex["median"]) + 1.0
         assert abs(ap["approx_median_value"] - ex["median"]) <= 0.1 * spread
+
+
+def test_funnel_depth_distribution_nondegenerate(spark):
+    """The 24h step deadline must produce users at every funnel depth —
+    without it every user completes all steps and the depth CASE is
+    untested (the vacuity trap)."""
+    import collections
+
+    rows = events.events_funnel_depth(spark, SF_CORRECT).collect()
+    depths = collections.Counter(r["funnel_depth"] for r in rows)
+    assert set(depths) >= {1, 2, 3}
+    # every user with any event appears exactly once
+    assert sum(depths.values()) == len({r["user_id"] for r in rows})
+
+
+def test_funnel_steps_are_ordered(spark):
+    rows = events.events_funnel_depth(spark, SF_CORRECT).collect()
+    for r in rows:
+        ts = [r["view_ts"], r["click_ts"], r["purchase_ts"]]
+        present = [t for t in ts if t is not None]
+        # strictly increasing and prefix-shaped (no purchase without click)
+        assert present == sorted(present)
+        assert ts[: len(present)] == present
