@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from dic_a1_spark.operators import incremental
 from dic_a1_spark.plans.explain import formatted_plan

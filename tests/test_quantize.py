@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from dic_a1_spark.operators import quantize
 from dic_a1_spark.operators.similarity import TOP_K, knn_cosine_bruteforce
