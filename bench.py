@@ -80,6 +80,7 @@ HEADLINE = [
     "docsim_tfidf_topk",
     "dedup_repeated_ngrams",
     "events_funnel_depth",
+    "dedup_incremental_minhash",
 ]
 
 

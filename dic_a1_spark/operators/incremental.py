@@ -22,6 +22,10 @@ reorder/ re-whitespace content far more often than they byte-match).
 
 Plan shape (PLANS.md): two broadcast hash joins, zero shuffle exchanges
 on the corpus branch; the only aggregation state is increment-sized.
+
+Two screening levels: exact (tokenset hash, dedup_incremental_keep) and
+NEAR-dup (MinHash-LSH over the md5-affine family,
+dedup_incremental_minhash) — both with full DuckDB value-hash oracles.
 """
 
 from __future__ import annotations
@@ -170,3 +174,141 @@ ORACLES: dict[str, str] = {
     FROM flagged
     """,
 }
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate admission screening for the increment: MinHash-LSH
+    candidates between incoming docs and the standing corpus, verified
+    by exact Jaccard over the md5-base shingle sets (the lsh.py
+    hash-verified family, so this query sits under the full driver
+    value-hash gate like dedup_minhash_md5_pairs).
+
+    The tokenset pass above catches reorderings; this catches partial
+    edits. Join direction mirrors dedup_incremental_keep: the
+    increment's (band_id, band_hash) rows broadcast, the corpus band
+    stream is probed without repartitioning corpus rows, and multi-band
+    matches collapse map-side via the first-matching-band predicate —
+    no distinct() shuffle. Verification joins pull each side's md5-base
+    array onto the (candidate-sized) pair frame.
+
+    Output: one row per verified (incoming, corpus) near-dup pair."""
+    from pyspark import StorageLevel
+
+    from dic_a1_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _with_shingle_arrays,
+    )
+    from dic_a1_spark.operators.lsh import (
+        _earlier_band_matches,
+        _md5_band_frame,
+        _md5_hashed_shingles,
+        _md5_minhash_signatures,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    arrs = _md5_hashed_shingles(_with_shingle_arrays(d)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands = _md5_band_frame(_md5_minhash_signatures(arrs))
+    is_inc = F.col("doc_id") % INC_MOD == INC_REM
+    inc_bands = bands.where(is_inc)
+    corpus_bands = bands.where(~is_inc)
+    cand = (
+        corpus_bands.alias("c")
+        .join(
+            F.broadcast(inc_bands.alias("i")),
+            (F.col("c.band_id") == F.col("i.band_id"))
+            & (F.col("c.band_hash") == F.col("i.band_hash")),
+        )
+        .where(~_earlier_band_matches("c", "i"))
+        .select(
+            F.col("i.doc_id").alias("doc_id"),
+            F.col("c.doc_id").alias("dup_doc_id"),
+        )
+    )
+    return (
+        cand.join(
+            arrs.select(F.col("doc_id"), F.col("hs").alias("s1")), "doc_id"
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("dup_doc_id"), F.col("hs").alias("s2")
+            ),
+            "dup_doc_id",
+        )
+        .withColumn("n_shared", F.size(F.array_intersect("s1", "s2")))
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.size("s1") + F.size("s2") - F.col("n_shared")).cast("double"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_id", "dup_doc_id", "jaccard")
+    )
+
+
+QUERIES["dedup_incremental_minhash"] = dedup_incremental_minhash
+
+
+def _incremental_minhash_oracle() -> str:
+    from dic_a1_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        MINHASH_HASHES,
+        MINHASH_ROWS,
+        _SHINGLE_CTE,
+    )
+    from dic_a1_spark.operators.lsh import _A, _B, _M
+
+    return f"""
+        WITH {_SHINGLE_CTE},
+        based AS (
+            SELECT DISTINCT doc_id,
+                   CAST(('0x' || substring(md5(shingle), 1, 10)) AS BIGINT)
+                       AS base
+            FROM sh
+        ),
+        hashes AS (
+            SELECT doc_id, i,
+                   min(([{", ".join(str(a) for a in _A)}][i + 1] * base
+                        + [{", ".join(str(b) for b in _B)}][i + 1]) % {_M})
+                       AS mh
+            FROM based CROSS JOIN range({MINHASH_HASHES}) t(i)
+            GROUP BY doc_id, i
+        ),
+        bands AS (
+            SELECT doc_id, CAST(i // {MINHASH_ROWS} AS INTEGER) AS band_id,
+                   md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i))
+                       AS band_hash
+            FROM hashes GROUP BY doc_id, i // {MINHASH_ROWS}
+        ),
+        cand AS (
+            SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS dup_doc_id
+            FROM bands i
+            JOIN bands c ON i.band_id = c.band_id
+                        AND i.band_hash = c.band_hash
+            WHERE i.doc_id % {INC_MOD} = {INC_REM}
+              AND c.doc_id % {INC_MOD} <> {INC_REM}
+        ),
+        bsizes AS (SELECT doc_id, count(*) AS n_sh FROM based GROUP BY doc_id),
+        bshared AS (
+            SELECT x.doc_id AS doc_id, y.doc_id AS dup_doc_id,
+                   count(*) AS n_shared
+            FROM based x JOIN based y ON x.base = y.base
+            WHERE x.doc_id % {INC_MOD} = {INC_REM}
+              AND y.doc_id % {INC_MOD} <> {INC_REM}
+            GROUP BY 1, 2
+        )
+        SELECT c.doc_id, c.dup_doc_id,
+               CAST(s.n_shared AS DOUBLE)
+                   / CAST(z1.n_sh + z2.n_sh - s.n_shared AS DOUBLE) AS jaccard
+        FROM cand c
+        JOIN bshared s ON s.doc_id = c.doc_id AND s.dup_doc_id = c.dup_doc_id
+        JOIN bsizes z1 ON z1.doc_id = c.doc_id
+        JOIN bsizes z2 ON z2.doc_id = c.dup_doc_id
+        WHERE CAST(s.n_shared AS DOUBLE)
+                  / CAST(z1.n_sh + z2.n_sh - s.n_shared AS DOUBLE)
+              >= {JACCARD_THRESHOLD}
+    """
+
+
+ORACLES["dedup_incremental_minhash"] = _incremental_minhash_oracle()

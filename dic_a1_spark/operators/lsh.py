@@ -104,6 +104,54 @@ def _md5_minhash_signatures(hashed_shingles: DataFrame) -> DataFrame:
     )
 
 
+def _md5_band_frame(sig: DataFrame) -> DataFrame:
+    """(doc_id, bhs: array<string>, band_id, band_hash) — one row per
+    (doc, band), carrying the full band-hash array so joins can dedup
+    multi-band matches map-side (see _earlier_band_matches)."""
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col("sig")[b * MINHASH_ROWS + r].cast("string")
+                    for r in range(MINHASH_ROWS)
+                ],
+            ).cast("binary")
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+    return (
+        sig.select("doc_id", F.array(*band_cols).alias("bhs"))
+        .select(
+            "doc_id",
+            "bhs",
+            F.explode(F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1))).alias(
+                "band_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            "bhs",
+            "band_id",
+            F.element_at("bhs", F.col("band_id") + 1).alias("band_hash"),
+        )
+    )
+
+
+def _earlier_band_matches(left: str = "a", right: str = "b"):
+    """Predicate TRUE iff the joined sides ALSO match on some band with a
+    smaller index — negating it keeps each candidate pair exactly once
+    (at its first matching band) without a distinct() shuffle."""
+    pred = None
+    for j in range(MINHASH_BANDS - 1):
+        m = (F.col(f"{left}.band_id") > j) & (
+            F.element_at(F.col(f"{left}.bhs"), j + 1)
+            == F.element_at(F.col(f"{right}.bhs"), j + 1)
+        )
+        pred = m if pred is None else (pred | m)
+    return pred
+
+
 def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs with a DuckDB-twin hash family.
 
@@ -126,44 +174,8 @@ def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrs = _md5_hashed_shingles(
         _with_shingle_arrays(load_table(spark, sf_dir, "documents"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = _md5_minhash_signatures(arrs)
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col("sig")[b * MINHASH_ROWS + r].cast("string")
-                    for r in range(MINHASH_ROWS)
-                ],
-            ).cast("binary")
-        )
-        for b in range(MINHASH_BANDS)
-    ]
-    bands = (
-        sig.select("doc_id", F.array(*band_cols).alias("bhs"))
-        .select(
-            "doc_id",
-            "bhs",
-            F.explode(F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1))).alias(
-                "band_id"
-            ),
-        )
-        .select(
-            "doc_id",
-            "bhs",
-            "band_id",
-            F.element_at("bhs", F.col("band_id") + 1).alias("band_hash"),
-        )
-    )
+    bands = _md5_band_frame(_md5_minhash_signatures(arrs))
     a, b = bands.alias("a"), bands.alias("b")
-    earlier_band_matches = None
-    for j in range(MINHASH_BANDS - 1):
-        m = (F.col("a.band_id") > j) & (
-            F.element_at(F.col("a.bhs"), j + 1) == F.element_at(F.col("b.bhs"), j + 1)
-        )
-        earlier_band_matches = m if earlier_band_matches is None else (
-            earlier_band_matches | m
-        )
     cand = (
         a.join(
             b,
@@ -171,7 +183,7 @@ def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .where(~earlier_band_matches)
+        .where(~_earlier_band_matches("a", "b"))
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
     )
     return (

@@ -44,3 +44,31 @@ def test_corpus_branch_joins_broadcast(spark):
     plan = formatted_plan(incremental.dedup_incremental_keep(spark, SF_CORRECT))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_incremental_minhash_survivors_cross_split(spark):
+    from dic_a1_spark.operators.dedup import JACCARD_THRESHOLD
+
+    rows = incremental.dedup_incremental_minhash(spark, SF_CORRECT).collect()
+    assert rows  # near-dups across the split exist at sf0.01
+    for r in rows:
+        assert r["doc_id"] % incremental.INC_MOD == incremental.INC_REM
+        assert r["dup_doc_id"] % incremental.INC_MOD != incremental.INC_REM
+        assert r["jaccard"] >= JACCARD_THRESHOLD
+
+
+def test_incremental_minhash_pairs_subset_of_full_lsh(spark):
+    """Every (increment, corpus) pair found here must also be found by
+    the full-corpus md5-LSH pair query (same family, same threshold) —
+    the incremental screen is a restriction, never a new pair source."""
+    from dic_a1_spark.operators.lsh import dedup_minhash_md5_pairs
+
+    full = {
+        tuple(sorted((r["doc1"], r["doc2"])))
+        for r in dedup_minhash_md5_pairs(spark, SF_CORRECT).collect()
+    }
+    inc = {
+        tuple(sorted((r["doc_id"], r["dup_doc_id"])))
+        for r in incremental.dedup_incremental_minhash(spark, SF_CORRECT).collect()
+    }
+    assert inc <= full

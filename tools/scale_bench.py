@@ -74,6 +74,7 @@ HEADLINE_DOC_QUERIES = [
     "text_pii_scrub",
     "text_url_domains",
     "dedup_incremental_keep",
+    "dedup_incremental_minhash",
     "doc_length_histogram",
     "text_ngram_vocab",
     "docsim_tfidf_topk",
