@@ -250,3 +250,85 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+_FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("t1_us", LongType()),
+        StructField("t2_us", LongType()),
+        StructField("t3_us", LongType()),
+    ]
+)
+_FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("view_ts", StringType()),
+        StructField("click_ts", StringType()),
+        StructField("purchase_ts", StringType()),
+        StructField("funnel_depth", LongType()),
+    ]
+)
+
+_FUNNEL_DEADLINE_US = 24 * 3600 * 1_000_000
+
+
+def funnel_depths(stream: DataFrame) -> DataFrame:
+    """Streaming twin of operators.events.events_funnel_depth: per-user
+    ordered view->click->purchase funnel with 24 h step deadlines, state
+    carried across micro-batches via applyInPandasWithState.
+
+    The state is just the three step timestamps (micros) — the funnel
+    state machine advances monotonically under per-user event-time order
+    (the standard Kafka-partitioned-by-user delivery; within each batch
+    events are sorted by ts before applying transitions). Late events
+    older than an already-taken step cannot rewind it — same stance as
+    every watermark-bounded operator here: bounded state wins over
+    unbounded-history reprocessing, and the availableNow replay in
+    tests/test_streaming.py pins exact parity with the batch query on
+    full history."""
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):  # noqa: F821
+        import pandas as pd
+
+        (user_id,) = key
+        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            ev = pd.concat(frames).sort_values("ts")
+            ts_us = ev["ts"].astype("int64") // 1000  # ns -> us
+            for typ, us in zip(ev["event_type"].to_numpy(), ts_us.to_numpy()):
+                us = int(us)
+                if t1 is None:
+                    if typ == "view":
+                        t1 = us
+                elif t2 is None:
+                    if typ == "click" and t1 < us <= t1 + _FUNNEL_DEADLINE_US:
+                        t2 = us
+                elif t3 is None:
+                    if typ == "purchase" and t2 < us <= t2 + _FUNNEL_DEADLINE_US:
+                        t3 = us
+        state.update((t1, t2, t3))
+
+        def fmt(us):
+            if us is None:
+                return None
+            return pd.Timestamp(us * 1000).strftime("%Y-%m-%d %H:%M:%S")
+
+        depth = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "view_ts": [fmt(t1)],
+                "click_ts": [fmt(t2)],
+                "purchase_ts": [fmt(t3)],
+                "funnel_depth": [depth],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_FUNNEL_OUT_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -120,3 +120,39 @@ def test_stream_stateful_running_stats(spark):
         F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value")
     )
     assert _rows(last, cols) == _rows(want, cols)
+
+
+def test_stream_funnel_matches_batch(spark):
+    """availableNow replay of the stateful funnel equals the batch
+    events_funnel_depth on the same files (full-history parity)."""
+    from pyspark.sql import functions as F
+
+    from dic_a1_spark.operators.events import events_funnel_depth
+
+    stream = jobs.read_events_stream(spark, SF_SMOKE)
+    jobs.run_to_memory(
+        jobs.funnel_depths(stream), "t_funnel", output_mode="update"
+    )
+    got = spark.table("t_funnel")
+    # keep the last update per user: funnel depth is monotone, so max
+    # depth row is the final state; timestamps ride along via struct max
+    last = (
+        got.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("funnel_depth", "view_ts", "click_ts", "purchase_ts")
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.view_ts").alias("view_ts"),
+            F.col("s.click_ts").alias("click_ts"),
+            F.col("s.purchase_ts").alias("purchase_ts"),
+            F.col("s.funnel_depth").cast("long").alias("funnel_depth"),
+        )
+    )
+    want = events_funnel_depth(spark, SF_SMOKE).withColumn(
+        "funnel_depth", F.col("funnel_depth").cast("long")
+    )
+    cols = ["user_id", "view_ts", "click_ts", "purchase_ts", "funnel_depth"]
+    assert _rows(last, cols) == _rows(want, cols)
