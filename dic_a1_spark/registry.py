@@ -50,6 +50,11 @@ _MODULES = (
     # window on purpose (the window is reserved for this round's regrades:
     # q12, dedup, the 8 never-graded entries); the sf0.01/sf0.1 sweep
     # artifacts carry their verification until the r5 rotation fronts them.
+    # ROUND-5 ROTATION PLAN: move to the FRONT (never driver-graded or
+    # code changed in r4): scrub 3, incremental 3, quantize 3, lexical 2,
+    # textstats (doc_length_histogram + text_ngram_vocab appended in r4),
+    # events (events_funnel_depth appended in r4), ngrams/udxf/multimodal
+    # only if still ungraded after r4's CORRECTNESS file lands.
     "dic_a1_spark.operators.scrub",
     "dic_a1_spark.operators.incremental",
     "dic_a1_spark.operators.quantize",
