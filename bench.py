@@ -81,6 +81,7 @@ HEADLINE = [
     "dedup_repeated_ngrams",
     "events_funnel_depth",
     "dedup_incremental_minhash",
+    "lsh_recall_report",
 ]
 
 

@@ -59,6 +59,7 @@ _MODULES = (
     "dic_a1_spark.operators.incremental",
     "dic_a1_spark.operators.quantize",
     "dic_a1_spark.operators.lexical",
+    "dic_a1_spark.operators.evalops",
 )
 
 
