@@ -57,3 +57,47 @@ def test_quantize_is_map_only(spark):
 def test_knn_quantized_broadcasts_queries(spark):
     plan = formatted_plan(quantize.knn_cosine_quantized(spark, SF_CORRECT))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_quantize_fuzz_matches_python_reference(spark):
+    """Adversarial vectors (zeros, denormal-scale, float32-extreme, sign
+    mixes) through the Column-expression quantizer must match a plain
+    Python reference doing the identical IEEE-754 op sequence — the same
+    parity argument the DuckDB oracle rests on, exercised on inputs the
+    driver corpus never produces."""
+    import math
+    import random
+
+    from dic_a1_spark.operators.quantize import Q_MAX, _with_quantized
+
+    rng = random.Random(20260814)
+    vecs = [
+        [0.0] * 8,                                   # all-zero: scale fallback
+        [1e-38] * 8,                                 # near float32 denormal
+        [3e38, -3e38] * 4,                           # near float32 max
+        [1.0] + [0.0] * 7,                           # one-hot
+        [-1e-6] * 8,                                 # all tiny negative
+    ]
+    for _ in range(200):
+        mag = 10.0 ** rng.uniform(-30, 30)
+        vecs.append(
+            [rng.uniform(-mag, mag) for _ in range(rng.randint(1, 16))]
+        )
+    import numpy as np
+
+    # float32 round-trip: the engine stores embeddings as array<float>
+    vecs = [[float(np.float32(x)) for x in v] for v in vecs]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: (r["scale"], list(r["qvec"]))
+        for r in _with_quantized(df).select("vec_id", "scale", "qvec").collect()
+    }
+    for i, v in enumerate(vecs):
+        m = max(abs(x) for x in v)
+        scale = m / Q_MAX if m > 0 else 1.0
+        want = [int(math.floor(x / scale + 0.5)) for x in v]
+        assert got[i][0] == scale, (i, got[i][0], scale)
+        assert got[i][1] == want, (i, v, got[i][1], want)
+        assert all(-Q_MAX - 1 <= q <= Q_MAX + 1 for q in want)
