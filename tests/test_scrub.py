@@ -50,3 +50,71 @@ def test_domains_match_injection(spark):
     assert all(r["domain"].endswith(".example.org") for r in rows)
     # 13 residues -> at most 13 distinct injected hosts
     assert len(rows) <= 13
+
+
+def test_pii_regex_engine_parity_on_fuzz_corpus(spark):
+    """The Java-regex/RE2 common-subset claim, tested beyond the derived
+    corpus: hostile strings (nested addresses, trailing punctuation,
+    IP-lookalikes, unicode neighbors) must produce byte-identical counts
+    AND redactions in Spark and DuckDB."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260814)
+    frags = [
+        "a@b.co", "x.y+z%q@mail.example.com", "@nodomain", "user@",
+        "https://a.b/c_d-e/f", "http://x.y", "https://", "ftp://a.b",
+        "1.2.3.4", "255.255.255.255", "999.999.999.999", "1.2.3",
+        "v1.2.3.4-rc", "10.0.0.1:8080", "a@b.c", "a@b.cde.",
+        "müller@straße.de", "日本@例.テスト", "(paren@wrap.io)",
+        "end.of.sentence. 8.8.8.8.", "a@b.co,c@d.io", " ", "",
+    ]
+    docs = []
+    for _ in range(150):
+        docs.append(" ".join(rng.choice(frags) for _ in range(rng.randint(0, 6))))
+    docs += frags
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(docs)], ["i", "t"])
+    got = {
+        r["i"]: (r["ne"], r["nu"], r["ni"], r["clean"])
+        for r in df.select(
+            "i",
+            F.size(F.regexp_extract_all("t", F.lit(scrub.EMAIL_RE), 0)).alias("ne"),
+            F.size(F.regexp_extract_all("t", F.lit(scrub.URL_RE), 0)).alias("nu"),
+            F.size(F.regexp_extract_all("t", F.lit(scrub.IP_RE), 0)).alias("ni"),
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("t", scrub.URL_RE, "<URL>"),
+                    scrub.EMAIL_RE,
+                    "<EMAIL>",
+                ),
+                scrub.IP_RE,
+                "<IP>",
+            ).alias("clean"),
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (i BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", list(enumerate(docs)))
+    want = {
+        row[0]: (row[1], row[2], row[3], row[4])
+        for row in con.execute(
+            f"""
+            SELECT i,
+                   CAST(len(regexp_extract_all(t, '{scrub.EMAIL_RE}')) AS INTEGER),
+                   CAST(len(regexp_extract_all(t, '{scrub.URL_RE}')) AS INTEGER),
+                   CAST(len(regexp_extract_all(t, '{scrub.IP_RE}')) AS INTEGER),
+                   regexp_replace(regexp_replace(regexp_replace(
+                       t, '{scrub.URL_RE}', '<URL>', 'g'),
+                       '{scrub.EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{scrub.IP_RE}', '<IP>', 'g')
+            FROM d
+            """
+        ).fetchall()
+    }
+    con.close()
+    bad = [(i, docs[i], got[i], want[i]) for i in got if got[i] != want[i]]
+    assert not bad, f"{len(bad)} engine mismatches; first: {bad[:2]}"
