@@ -77,6 +77,21 @@ def duckdb_token_char_class() -> str:
     return "[" + "".join(out) + "]"
 
 
+def duckdb_tokens_sql(text_col: str = "text") -> str:
+    """DuckDB expression producing the SAME token array as
+    ``functions.text.tokenize`` over ``text_col`` — lower, translate the
+    token charset to spaces, split on the unicode-whitespace class, drop
+    empties. The SINGLE source of truth for every oracle's tokenizer:
+    oracle parity with the Spark tokenizer is the correctness foundation
+    of the hash-gated queries, so the expression must never fork per
+    module (it was copy-pasted six times before this helper)."""
+    cc = duckdb_token_char_class().replace("'", "''")
+    return (
+        f"list_filter(regexp_split_to_array(regexp_replace(lower({text_col}),"
+        f" '{cc}', ' ', 'g'), '{DUCKDB_WS_REGEX}'), w -> w <> '')"
+    )
+
+
 def sql_stopword_list() -> str:
     """STOPWORDS rendered as a SQL IN-list body: 'a','an',..."""
     return ", ".join("'" + w.replace("'", "''") + "'" for w in STOPWORDS)

@@ -35,7 +35,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dic_a1_spark.config import DUCKDB_WS_REGEX, duckdb_token_char_class
+from dic_a1_spark.config import DUCKDB_WS_REGEX, duckdb_tokens_sql
 from dic_a1_spark.functions.text import tokenize
 from dic_a1_spark.operators.dedup import SHINGLE_WIDTH, _with_shingle_arrays
 from dic_a1_spark.sources.readers import load_table
@@ -539,11 +539,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pack_concat": doc_pack_concat,
 }
 
-_CC = duckdb_token_char_class().replace("'", "''")
-_TOKS = (
-    f"list_filter(regexp_split_to_array(regexp_replace(lower(text), '{_CC}', ' ', 'g'),"
-    f" '{DUCKDB_WS_REGEX}'), w -> w <> '')"
-)
+_TOKS = duckdb_tokens_sql()
 
 ORACLES: dict[str, str] = {
     "decontam_ngram_overlap": f"""

@@ -25,7 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dic_a1_spark.config import DUCKDB_WS_REGEX, duckdb_token_char_class
+from dic_a1_spark.config import duckdb_tokens_sql
 from dic_a1_spark.functions.text import tokenize
 from dic_a1_spark.sources.readers import load_table
 
@@ -627,11 +627,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_groups": dedup_simhash_groups,  # rows-only (xxhash64)
 }
 
-_CC = duckdb_token_char_class().replace("'", "''")
-_TOKS = (
-    f"list_filter(regexp_split_to_array(regexp_replace(lower(text), '{_CC}', ' ', 'g'),"
-    f" '{DUCKDB_WS_REGEX}'), w -> w <> '')"
-)
+_TOKS = duckdb_tokens_sql()
 
 _SHINGLE_CTE = f"""
 toks AS (SELECT doc_id, {_TOKS} AS a FROM documents),

@@ -83,7 +83,9 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     true_cnt = true_pairs.agg(F.count("*").alias("n_true_pairs"))
-    lsh_cnt = dedup_minhash_md5_pairs(spark, sf_dir).agg(
+    # share the persisted hashed-shingle frame with the finder — without
+    # it the corpus is tokenized twice and cached twice
+    lsh_cnt = dedup_minhash_md5_pairs(spark, sf_dir, arrs=arrs).agg(
         F.count("*").alias("n_lsh_pairs")
     )
     return true_cnt.crossJoin(lsh_cnt).select(

@@ -35,7 +35,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dic_a1_spark.config import DUCKDB_WS_REGEX, duckdb_token_char_class
+from dic_a1_spark.config import duckdb_tokens_sql
 from dic_a1_spark.functions.text import tokenize
 from dic_a1_spark.sources.readers import load_table
 
@@ -121,11 +121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental_stats": dedup_incremental_stats,
 }
 
-_CC = duckdb_token_char_class().replace("'", "''")
-_TOKS = (
-    f"list_filter(regexp_split_to_array(regexp_replace(lower(text), '{_CC}', ' ', 'g'),"
-    f" '{DUCKDB_WS_REGEX}'), w -> w <> '')"
-)
+_TOKS = duckdb_tokens_sql()
 
 _HASHED_CTE = f"""
     WITH h AS (

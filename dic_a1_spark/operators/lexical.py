@@ -45,7 +45,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dic_a1_spark.config import DUCKDB_WS_REGEX, duckdb_token_char_class
+from dic_a1_spark.config import duckdb_tokens_sql
 from dic_a1_spark.functions.text import tokenize
 from dic_a1_spark.sources.readers import load_table
 
@@ -111,8 +111,12 @@ def docsim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = _doc_terms(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     n_docs = terms.select("doc_id").distinct().count()
     df_tbl = terms.groupBy("term").agg(F.count("*").alias("df"))
+    # No broadcast hint on df_tbl: its size is the shingle VOCABULARY
+    # (corpus-proportional — 27K rows at sf0.1, far larger at 100 TB).
+    # AQE broadcasts it while it fits and falls back to a shuffle join
+    # when it doesn't; a hard hint would pin the unscalable plan.
     weighted = (
-        terms.join(F.broadcast(df_tbl), "term")
+        terms.join(df_tbl, "term")
         .where(F.col("df") <= DOCSIM_DF_CEILING)
         .withColumn(
             # floor() in BOTH engines: Spark's double->long cast truncates
@@ -251,11 +255,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
 }
 
-_CC = duckdb_token_char_class().replace("'", "''")
-_TOKS = (
-    f"list_filter(regexp_split_to_array(regexp_replace(lower(text), '{_CC}', ' ', 'g'),"
-    f" '{DUCKDB_WS_REGEX}'), w -> w <> '')"
-)
+_TOKS = duckdb_tokens_sql()
 
 ORACLES: dict[str, str] = {
     "docsim_tfidf_topk": f"""

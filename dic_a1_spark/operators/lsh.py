@@ -152,8 +152,14 @@ def _earlier_band_matches(left: str = "a", right: str = "b"):
     return pred
 
 
-def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_md5_pairs(
+    spark: SparkSession, sf_dir: str, arrs: DataFrame | None = None
+) -> DataFrame:
     """MinHash-LSH near-dup pairs with a DuckDB-twin hash family.
+
+    ``arrs`` lets a caller that already holds the persisted
+    (doc_id, hs) md5-base frame (evalops.lsh_recall_report) share it
+    instead of re-tokenizing the corpus and double-caching.
 
     Plan (mirrors dedup.dedup_minhash_pairs):
       1. map-only signatures over per-doc shingle arrays (no exchange);
@@ -171,9 +177,10 @@ def dedup_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import StorageLevel
 
-    arrs = _md5_hashed_shingles(
-        _with_shingle_arrays(load_table(spark, sf_dir, "documents"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if arrs is None:
+        arrs = _md5_hashed_shingles(
+            _with_shingle_arrays(load_table(spark, sf_dir, "documents"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     bands = _md5_band_frame(_md5_minhash_signatures(arrs))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

@@ -92,13 +92,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 def _oracles() -> dict[str, str]:
-    from dic_a1_spark.config import DUCKDB_WS_REGEX, duckdb_token_char_class
+    from dic_a1_spark.config import duckdb_tokens_sql
 
-    cc = duckdb_token_char_class().replace("'", "''")
-    toks = (
-        f"list_filter(regexp_split_to_array(regexp_replace(lower(text), '{cc}', ' ', 'g'),"
-        f" '{DUCKDB_WS_REGEX}'), w -> w <> '')"
-    )
+    toks = duckdb_tokens_sql()
     bpe = _BPE_RE2
     return {
         "text_bpe_token_count": f"""

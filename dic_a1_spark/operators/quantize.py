@@ -63,8 +63,9 @@ def _quantize(v: Column, scale: Column) -> Column:
 
 def _with_quantized(e: DataFrame) -> DataFrame:
     v = _as_double(F.col("embedding"))
-    withs = e.withColumn("scale", _scale(v))
-    return withs.withColumn("qvec", _quantize(_as_double(F.col("embedding")), F.col("scale")))
+    return e.withColumn("scale", _scale(v)).withColumn(
+        "qvec", _quantize(v, F.col("scale"))
+    )
 
 
 def _int_dot(a: Column, b: Column) -> Column:

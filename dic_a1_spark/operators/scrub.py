@@ -87,23 +87,23 @@ def _count(col: Column, pattern: str) -> Column:
 
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document PII detection + redaction: match counts per category
-    and the scrubbed text. URL first (so the email pattern can never
-    bite into an already-redacted host), then email, then IP."""
+    and the scrubbed text. Redaction is staged URL -> email -> IP, and
+    each count is computed on ITS stage's input, so n_urls/n_emails/n_ips
+    are exactly the substitutions each stage performs (counting every
+    pattern on the raw text instead double-counts overlaps — an email
+    inside a URL's userinfo would be reported as scrubbed while the URL
+    stage already consumed part of it and left the rest in clean_text)."""
     docs = _decorated(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>"
-        ),
-        IP_RE,
-        "<IP>",
-    )
+    after_url = F.regexp_replace(t, URL_RE, "<URL>")
+    after_email = F.regexp_replace(after_url, EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(after_email, IP_RE, "<IP>")
     return docs.select(
         "doc_id",
         "source",
-        _count(t, EMAIL_RE).alias("n_emails"),
+        _count(after_url, EMAIL_RE).alias("n_emails"),
         _count(t, URL_RE).alias("n_urls"),
-        _count(t, IP_RE).alias("n_ips"),
+        _count(after_email, IP_RE).alias("n_ips"),
         clean.alias("clean_text"),
     )
 
@@ -177,9 +177,13 @@ _DECOR_CTE = f"""
     )
 """
 
-_N_EMAILS = f"CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INTEGER)"
+# Staged texts: each count runs on its redaction stage's input (see
+# text_pii_scrub docstring).
+_AFTER_URL = f"regexp_replace(text, '{URL_RE}', '<URL>', 'g')"
+_AFTER_EMAIL = f"regexp_replace({_AFTER_URL}, '{EMAIL_RE}', '<EMAIL>', 'g')"
+_N_EMAILS = f"CAST(len(regexp_extract_all({_AFTER_URL}, '{EMAIL_RE}')) AS INTEGER)"
 _N_URLS = f"CAST(len(regexp_extract_all(text, '{URL_RE}')) AS INTEGER)"
-_N_IPS = f"CAST(len(regexp_extract_all(text, '{IP_RE}')) AS INTEGER)"
+_N_IPS = f"CAST(len(regexp_extract_all({_AFTER_EMAIL}, '{IP_RE}')) AS INTEGER)"
 
 ORACLES: dict[str, str] = {
     "text_pii_scrub": _DECOR_CTE
@@ -188,11 +192,7 @@ ORACLES: dict[str, str] = {
            {_N_EMAILS} AS n_emails,
            {_N_URLS} AS n_urls,
            {_N_IPS} AS n_ips,
-           regexp_replace(
-               regexp_replace(
-                   regexp_replace(text, '{URL_RE}', '<URL>', 'g'),
-                   '{EMAIL_RE}', '<EMAIL>', 'g'),
-               '{IP_RE}', '<IP>', 'g') AS clean_text
+           regexp_replace({_AFTER_EMAIL}, '{IP_RE}', '<IP>', 'g') AS clean_text
     FROM decorated
     """,
     "text_pii_summary": _DECOR_CTE

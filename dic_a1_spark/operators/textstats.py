@@ -265,15 +265,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_source_profile": text_source_profile,
 }
 
-from dic_a1_spark.config import DUCKDB_WS_REGEX, duckdb_token_char_class  # noqa: E402
-
-_CC = duckdb_token_char_class().replace("'", "''")
+from dic_a1_spark.config import DUCKDB_WS_REGEX, duckdb_tokens_sql  # noqa: E402
 
 # Engine-neutral tokenization for the oracles: identical normalize chain.
-_TOKS = (
-    f"list_filter(regexp_split_to_array(regexp_replace(lower(text), '{_CC}', ' ', 'g'),"
-    f" '{DUCKDB_WS_REGEX}'), w -> w <> '')"
-)
+_TOKS = duckdb_tokens_sql()
 
 _MARKER_SQL = {
     lang: "[" + ", ".join(f"'{m}'" for m in markers) + "]"
