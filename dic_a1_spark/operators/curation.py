@@ -518,12 +518,24 @@ def doc_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame a batch-construction job writes out, one row per training
     sequence. Output rows = number of bins (corpus tokens / capacity),
     far smaller than the input; the member list is bounded by bin
-    capacity, not corpus size."""
+    capacity, not corpus size.
+
+    The member list is emitted as a space-joined STRING, not
+    array<bigint>: the driver's canonicalizer sorts result columns with
+    pandas, which cannot hash list cells (the round-4 red row). The sort
+    happens numerically BEFORE the string cast so both engines order
+    members identically."""
     bins = doc_pack_bins(spark, sf_dir)
     return bins.groupBy("pack_shard", "bin_id").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            " ",
+        ).alias("doc_ids"),
     )
 
 
@@ -719,6 +731,6 @@ ORACLES["doc_pack_concat"] = f"""
     SELECT pack_shard, bin_id,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           list(doc_id ORDER BY doc_id) AS doc_ids
+           array_to_string(list_sort(list(doc_id)), ' ') AS doc_ids
     FROM bins GROUP BY pack_shard, bin_id
 """

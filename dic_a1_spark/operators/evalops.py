@@ -63,16 +63,16 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_shared"))
     )
+    # sizes is one row per DOCUMENT (corpus-proportional) — no broadcast
+    # hint: a hard hint pins a plan that exceeds broadcast limits at
+    # audit scale. AQE broadcasts while it fits, else sort-merge on the
+    # pair frame's own grouping keys (cheap).
     true_pairs = (
-        shared.join(
-            F.broadcast(sizes.withColumnRenamed("doc_id", "doc1")), "doc1"
-        )
+        shared.join(sizes.withColumnRenamed("doc_id", "doc1"), "doc1")
         .withColumnRenamed("n_sh", "n1")
         .join(
-            F.broadcast(
-                sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed(
-                    "n_sh", "n2"
-                )
+            sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed(
+                "n_sh", "n2"
             ),
             "doc2",
         )

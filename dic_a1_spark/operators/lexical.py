@@ -139,24 +139,25 @@ def docsim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc1", "doc2")
         .agg(F.sum("w2a").alias("dot"))
     )
-    # Norms are |docs|-sized -> broadcast both probes; score each
-    # unordered pair ONCE, filter to survivors (sim is symmetric), and
-    # only then emit both directions — a generator over a 2-element
-    # struct array, so the expensive pair subtree is never duplicated.
+    # Norms are |docs|-sized (corpus-proportional), so — like df_tbl
+    # above — NO broadcast hint: a hard hint would pin a plan that OOMs
+    # the moment the corpus outgrows the broadcast limit. AQE broadcasts
+    # while norms fits and falls back to a shuffle join at scale; the
+    # join keys are already the pair frame's grouping keys, so the
+    # sort-merge fallback is cheap. Score each unordered pair ONCE,
+    # filter to survivors (sim is symmetric), and only then emit both
+    # directions — a generator over a 2-element struct array, so the
+    # expensive pair subtree is never duplicated.
     scored = (
         shared.join(
-            F.broadcast(
-                norms.withColumnRenamed("doc_id", "doc1").withColumnRenamed(
-                    "sum_w2", "n1"
-                )
+            norms.withColumnRenamed("doc_id", "doc1").withColumnRenamed(
+                "sum_w2", "n1"
             ),
             "doc1",
         )
         .join(
-            F.broadcast(
-                norms.withColumnRenamed("doc_id", "doc2").withColumnRenamed(
-                    "sum_w2", "n2"
-                )
+            norms.withColumnRenamed("doc_id", "doc2").withColumnRenamed(
+                "sum_w2", "n2"
             ),
             "doc2",
         )

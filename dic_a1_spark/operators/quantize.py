@@ -87,7 +87,12 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "vec_id",
         F.round("scale", 8).alias("scale_r"),
-        "qvec",
+        # Space-joined string, not array<int>: the driver's pandas
+        # canonicalizer cannot hash list cells (the doc_pack_concat red
+        # row); element ORDER is the vector layout, so no sorting.
+        F.array_join(
+            F.transform("qvec", lambda x: x.cast("string")), " "
+        ).alias("qvec"),
         F.size(F.filter("qvec", lambda x: F.abs(x) == Q_MAX)).alias("n_sat"),
     )
 
@@ -123,11 +128,15 @@ def knn_cosine_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves int8 payloads and integer MACs, the 4x-traffic / SIMD win that
     makes brute-force rescoring viable as the re-rank stage of a 100 TB
     ANN pipeline. All-integer similarity numerators mean the oracle
-    comparison is exact by construction, not modulo float folding."""
+    comparison is exact by construction, not modulo float folding.
+    Zero-norm vectors are filtered on both probe sides (qq > 0, mirrored
+    in the oracle): an all-zero embedding would yield NaN similarity,
+    where Spark's NaN ordering (greatest) and DuckDB's diverge."""
     e = load_table(spark, sf_dir, "embeddings")
     qz = _with_quantized(e).select(
         "vec_id", "qvec", _int_dot(F.col("qvec"), F.col("qvec")).alias("qq")
     )
+    qz = qz.where(F.col("qq") > 0)
     queries = qz.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("qvec").alias("qa"),
@@ -202,7 +211,8 @@ _QUANT_CTE = f"""
 ORACLES: dict[str, str] = {
     "embedding_quantize_int8": _QUANT_CTE
     + f"""
-    SELECT vec_id, round(scale, 8) AS scale_r, qvec,
+    SELECT vec_id, round(scale, 8) AS scale_r,
+           array_to_string(qvec, ' ') AS qvec,
            CAST(len(list_filter(qvec, x -> abs(x) = {Q_MAX})) AS INTEGER)
                AS n_sat
     FROM q
@@ -236,6 +246,7 @@ ORACLES: dict[str, str] = {
                    AS raw_sim
         FROM qn a JOIN qn b ON a.vec_id < {N_QUERIES}
                            AND a.vec_id <> b.vec_id
+                           AND a.qq > 0 AND b.qq > 0
     ),
     ranked AS (
         SELECT query_id, neighbor_id, int_dot, raw_sim,

@@ -475,6 +475,13 @@ def text_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("shingle").alias("n_distinct"),
         F.approx_count_distinct("shingle", rsd=0.02).alias("approx_distinct"),
     )
+    # Certificate posture (the sketches.py pattern): the oracle cannot
+    # recompute Spark's HLL, so it asserts hll_in_band = TRUE while the
+    # exact n_distinct column is value-verified. The 10% band at
+    # rsd=0.02 is a 5-sigma margin — P(spurious FALSE) ~ 3e-7 per group,
+    # while a genuinely broken sketch (>10% off) flips the column to
+    # FALSE and hash-mismatches the oracle's TRUE, so the check is not
+    # vacuous.
     return agg.select(
         "source",
         "n_occurrences",
@@ -520,6 +527,9 @@ ORACLES["text_ngram_vocab"] = f"""
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_occurrences,
            CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct,
+           -- certificate column: 10% band at rsd=0.02 is ~5 sigma, so a
+           -- healthy sketch is TRUE w.p. 1 - 3e-7; a broken one goes
+           -- FALSE on the Spark side and fails the hash (see query)
            TRUE AS hll_in_band
     FROM flat GROUP BY source
 """

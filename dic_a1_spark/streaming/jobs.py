@@ -283,9 +283,18 @@ def funnel_depths(stream: DataFrame) -> DataFrame:
     events are sorted by ts before applying transitions). Late events
     older than an already-taken step cannot rewind it — same stance as
     every watermark-bounded operator here: bounded state wins over
-    unbounded-history reprocessing, and the availableNow replay in
-    tests/test_streaming.py pins exact parity with the batch query on
-    full history."""
+    unbounded-history reprocessing.
+
+    ORDERING REQUIREMENT: events are sorted by ts only WITHIN each
+    micro-batch; the state machine cannot rewind across batches. Exact
+    parity with the batch events_funnel_depth therefore requires the
+    source to deliver each user's events in event-time order across
+    batch boundaries (Kafka partitioned by user_id with in-order
+    producers, or a single-batch availableNow replay — what
+    tests/test_streaming.py uses). A replay that splits a user's
+    history across micro-batches out of event-time order may take a
+    different (still monotone) path; run with a ts-ordered source when
+    batch parity matters."""
 
     def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):  # noqa: F821
         import pandas as pd

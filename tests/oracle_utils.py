@@ -56,6 +56,34 @@ _HAZARD_DUCK_TYPES = {
 }
 
 
+def assert_spark_output_types(sdf, name: str = "?") -> None:
+    """Fail if an oracle-gated Spark result carries a column type the
+    driver's canonicalizer cannot hash.
+
+    The driver collects results to pandas and does a ``sort_values`` over
+    every column before hashing; an array/map/struct cell arrives as a
+    Python list/dict and pandas raises ``TypeError: unhashable type`` —
+    exactly how doc_pack_concat went red in round 4 (the local gate's
+    ``_norm`` tuple-ification masked it, the same local-stronger-than-
+    driver failure class as round 3's q12 HUGEINT). Oracle-gated queries
+    must emit scalars only: join arrays into strings (numeric-sort first
+    so both engines order identically), or keep the complex-typed form in
+    a rows-only query.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    hazards = [
+        (f.name, f.dataType.simpleString())
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not hazards, (
+        f"{name}: complex-typed output columns break the driver's pandas "
+        f"canonicalizer (unhashable cells): {hazards}. Emit scalars — e.g. "
+        f"array_join(array_sort(...), ' ')."
+    )
+
+
 def assert_oracle_types(con: duckdb.DuckDBPyConnection, sql: str, name: str = "?") -> None:
     """Fail if the oracle SQL produces a result type Spark cannot emit.
 
@@ -77,6 +105,7 @@ def assert_oracle_types(con: duckdb.DuckDBPyConnection, sql: str, name: str = "?
 
 def compare(spark, sql: str, query_fn, sf_dir: str, name: str = "?") -> None:
     sdf = query_fn(spark, sf_dir)
+    assert_spark_output_types(sdf, name)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 

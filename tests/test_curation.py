@@ -191,6 +191,7 @@ def test_pack_concat_consistent_with_bins(spark):
     assert len(concat) == len(expect)
     for r in concat:
         members = sorted(expect[(r["pack_shard"], r["bin_id"])])
-        assert list(r["doc_ids"]) == [d for d, _ in members]
+        # doc_ids is a numeric-sorted, space-joined string (driver-safe)
+        assert [int(d) for d in r["doc_ids"].split()] == [d for d, _ in members]
         assert r["n_docs"] == len(members)
         assert r["total_tokens"] == sum(t for _, t in members)

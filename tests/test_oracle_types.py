@@ -34,6 +34,42 @@ def test_all_registered_oracles_have_spark_representable_types():
         con.close()
 
 
+def test_all_oracle_gated_spark_queries_emit_scalars_only(spark):
+    # Round-4 regression class: the driver's pandas canonicalizer cannot
+    # hash array/map/struct cells (doc_pack_concat went red on
+    # ``TypeError: unhashable type: 'list'``). Every oracle-gated query's
+    # Spark schema must be scalar-only; rows-only queries may keep
+    # complex types.
+    from tests.oracle_utils import assert_spark_output_types
+
+    oracles = registry.all_oracles()
+    failures = []
+    for name, fn in registry.all_queries().items():
+        if name not in oracles:
+            continue
+        try:
+            assert_spark_output_types(fn(spark, SF_DIR), name)
+        except AssertionError as exc:
+            failures.append(str(exc))
+    assert not failures, "\n".join(failures)
+
+
+def test_array_typed_graded_output_is_rejected(spark):
+    from pyspark.sql import functions as F
+
+    from tests.oracle_utils import assert_spark_output_types
+
+    bad = spark.range(3).agg(F.collect_list("id").alias("ids"))
+    with pytest.raises(AssertionError, match="unhashable"):
+        assert_spark_output_types(bad, "regression_doc_pack_concat_shape")
+    good = bad.select(
+        F.array_join(
+            F.transform(F.array_sort("ids"), lambda x: x.cast("string")), " "
+        ).alias("ids")
+    )
+    assert_spark_output_types(good, "regression_doc_pack_concat_shape_join")
+
+
 def test_uncast_conditional_sum_is_rejected():
     # Regression pin for the exact q12 failure shape: an uncast integer sum
     # comes back HUGEINT and must be refused before value comparison.

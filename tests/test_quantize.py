@@ -20,7 +20,8 @@ def test_qvec_range_and_saturation(spark):
     rows = quantize.embedding_quantize_int8(spark, SF_CORRECT).collect()
     assert rows
     for r in rows:
-        assert all(-127 <= q <= 127 for q in r["qvec"]), r["vec_id"]
+        # qvec is a space-joined string (driver-canonicalizer-safe)
+        assert all(-127 <= int(q) <= 127 for q in r["qvec"].split()), r["vec_id"]
         # absmax scheme: at least one element saturates (no zero vectors
         # in the driver data, asserted by the scale fallback never firing)
         assert r["n_sat"] >= 1, r["vec_id"]

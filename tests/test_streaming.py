@@ -124,7 +124,12 @@ def test_stream_stateful_running_stats(spark):
 
 def test_stream_funnel_matches_batch(spark):
     """availableNow replay of the stateful funnel equals the batch
-    events_funnel_depth on the same files (full-history parity)."""
+    events_funnel_depth on the same files (full-history parity).
+
+    Parity holds because this replay delivers each user's full history
+    in ONE ts-ordered micro-batch (the funnel state machine cannot
+    rewind across batches — see funnel_depths' ORDERING REQUIREMENT).
+    Production parity needs a per-user event-time-ordered source."""
     from pyspark.sql import functions as F
 
     from dic_a1_spark.operators.events import events_funnel_depth
