@@ -456,6 +456,15 @@ def minhash_label_groups(docs: DataFrame, n_iter: int = 3) -> DataFrame:
 
 
 def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only BY NECESSITY, not omission: DuckDB cannot compute
+    xxhash64, and the only candidate surrogate oracle — connected
+    components of the EXACT-Jaccard pair graph — is sound only when LSH
+    candidate recall is exactly 1.0, which the driver data falsifies
+    (lsh_recall_report measures 0.96 at sf0.01: one true pair misses
+    its band bucket, so the exact-graph components differ from this
+    query's output by design). The shared band-join + label-propagation
+    logic is instead hash-certified through the md5-affine twins
+    (dedup_minhash_md5_pairs / _groups in operators/lsh.py)."""
     return minhash_label_groups(load_table(spark, sf_dir, "documents"))
 
 

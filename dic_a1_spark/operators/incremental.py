@@ -44,13 +44,20 @@ INC_MOD = 8
 INC_REM = 3
 
 
-def _hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+def content_key() -> "F.Column":
+    """Order-insensitive tokenset md5 over `text` — the content identity
+    shared by the batch queries here and the streaming admission twin
+    (streaming/jobs.py:incremental_admission); a single definition so the
+    two surfaces cannot fork."""
     toks = F.filter(tokenize(F.col("text")), lambda w: w != "")
-    key = F.md5(
+    return F.md5(
         F.encode(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))), "UTF-8")
     )
-    return d.withColumn("content_hash", key).withColumn(
+
+
+def _hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.withColumn("content_hash", content_key()).withColumn(
         "is_inc", F.col("doc_id") % INC_MOD == INC_REM
     )
 

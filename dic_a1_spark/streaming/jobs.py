@@ -341,3 +341,72 @@ def funnel_depths(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental dedup (stream-static join + streaming dedup)
+# ---------------------------------------------------------------------------
+
+_DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_increment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet, restricted to the
+    increment residue class of operators/incremental.py — the streaming
+    stand-in for a crawl delivery directory that keeps receiving files."""
+    from dic_a1_spark.operators.incremental import INC_MOD, INC_REM
+
+    raw = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.where(F.col("doc_id") % INC_MOD == INC_REM)
+
+
+def incremental_admission(stream: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators.incremental.dedup_incremental_keep:
+    documents arrive as a stream, the standing corpus is a STATIC frame,
+    and admission = (not content-identical to any corpus doc) AND
+    (first-seen content hash within the stream).
+
+    Spark surfaces exercised: stream-static LEFT ANTI join (stateless —
+    the static side is re-planned per micro-batch, so a growing corpus
+    snapshot is picked up on restart) and streaming dropDuplicates
+    keyed by content hash (state = one row per admitted hash).
+
+    State bound: dropDuplicates state grows with the number of DISTINCT
+    admitted hashes — for a bounded backfill (this test mode) that is
+    increment-sized; a perpetual ingest would use
+    dropDuplicatesWithinWatermark over an ingest-time column to bound it,
+    accepting re-admission beyond the horizon (the corpus anti-join
+    still catches anything the previous COMPACTED corpus absorbed).
+
+    ORDERING: within a micro-batch the file source delivers rows in file
+    order (doc_id ascending in the driver's parquet), so first-seen ==
+    min doc_id and batch parity holds exactly — same stance as
+    funnel_depths' ORDERING REQUIREMENT."""
+    from dic_a1_spark.operators.incremental import _hashed
+
+    corpus_hashes = (
+        _hashed(spark, sf_dir)
+        .where(~F.col("is_inc"))
+        .select("content_hash")
+        .distinct()
+    )
+    from dic_a1_spark.operators.incremental import content_key
+
+    return (
+        stream.withColumn("content_hash", content_key())
+        .join(corpus_hashes, "content_hash", "left_anti")
+        .dropDuplicates(["content_hash"])
+        .select("doc_id", "content_hash", "lang", "source", "n_chars")
+    )

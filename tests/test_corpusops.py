@@ -1,0 +1,81 @@
+"""corpusops: DuckDB value-parity plus the semantic properties the
+oracles can't express (Bloom superset guarantee, quota honoring,
+both-branch liveness of every emitted flag)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dic_a1_spark.operators import corpusops, curation
+from tests.conftest import SF_CORRECT
+from tests.oracle_utils import compare
+
+
+@pytest.mark.parametrize("name", sorted(corpusops.QUERIES))
+def test_oracle_parity(spark, name):
+    compare(spark, corpusops.ORACLES[name], corpusops.QUERIES[name], SF_CORRECT, name)
+
+
+def test_bloom_never_misses_true_contamination(spark):
+    """A Bloom filter admits false positives but NEVER false negatives:
+    every doc the exact shingle-overlap decontamination flags must also
+    be flagged by the Bloom path, and per-doc bloom hits dominate exact
+    overlaps."""
+    exact = {
+        r["doc_id"]: r
+        for r in curation.decontam_ngram_overlap(spark, SF_CORRECT).collect()
+    }
+    bloom = {
+        r["doc_id"]: r for r in corpusops.decontam_bloom(spark, SF_CORRECT).collect()
+    }
+    assert set(exact) == set(bloom)  # same probe population
+    for doc_id, e in exact.items():
+        b = bloom[doc_id]
+        assert b["n_shingles"] == e["n_shingles"]
+        assert b["n_bloom_hits"] >= e["n_overlap"], doc_id
+        if e["contaminated"]:
+            assert b["bloom_contaminated"], doc_id
+    # and the filter is selective enough to be useful on this data: the
+    # false-positive surplus must not flag everything
+    n_exact = sum(1 for e in exact.values() if e["contaminated"])
+    n_bloom = sum(1 for b in bloom.values() if b["bloom_contaminated"])
+    assert n_exact <= n_bloom < len(bloom)
+
+
+def test_domain_quota_honored_and_live(spark):
+    rows = corpusops.domain_quota_cap(spark, SF_CORRECT).collect()
+    kept_by_domain: dict[str, int] = {}
+    for r in rows:
+        if r["domain"] == "(none)":
+            assert r["kept"] and r["rnk"] == 0
+            continue
+        assert r["kept"] == (r["rnk"] <= corpusops.DOMAIN_QUOTA)
+        if r["kept"]:
+            kept_by_domain[r["domain"]] = kept_by_domain.get(r["domain"], 0) + 1
+    assert kept_by_domain, "no URL-bearing docs — decorated view broken"
+    assert all(v <= corpusops.DOMAIN_QUOTA for v in kept_by_domain.values())
+    # both branches live (the Q11-vacuity rule)
+    flags = {r["kept"] for r in rows}
+    assert flags == {True, False}
+
+
+def test_outlier_flag_both_branches_live(spark):
+    rows = corpusops.quality_outlier_zscore(spark, SF_CORRECT).collect()
+    flags = {r["outlier"] for r in rows}
+    assert flags == {True, False}
+    for r in rows:
+        assert r["outlier"] == (abs(r["z_r"]) > corpusops.OUTLIER_Z) or (
+            # rounding can flip the comparison only within half an ulp of
+            # the threshold; allow the boundary band
+            abs(abs(r["z_r"]) - corpusops.OUTLIER_Z) < 5e-5
+        )
+
+
+def test_surprisal_bounds(spark):
+    rows = corpusops.text_unigram_surprisal(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        # every token carries at least 1 bit (floor(N/c) >= 1) and fewer
+        # than 64 (c >= 1 so floor(N/c) <= N < 2^63)
+        assert r["total_bits"] >= r["n_tokens"]
+        assert 1.0 <= r["avg_bits"] < 64.0

@@ -161,3 +161,31 @@ def test_stream_funnel_matches_batch(spark):
     )
     cols = ["user_id", "view_ts", "click_ts", "purchase_ts", "funnel_depth"]
     assert _rows(last, cols) == _rows(want, cols)
+
+
+def test_stream_incremental_admission_matches_batch(spark):
+    """availableNow replay of the stream-static admission equals the
+    batch dedup_incremental_keep on the same files.
+
+    Exact parity (including which doc_id represents each duplicate set)
+    relies on the file source delivering rows in file order — doc_id
+    ascending in the driver's parquet — so first-seen == min doc_id; see
+    incremental_admission's ORDERING note."""
+    from dic_a1_spark.operators.incremental import dedup_incremental_keep
+
+    stream = jobs.read_increment_stream(spark, SF_SMOKE)
+    jobs.run_to_memory(
+        jobs.incremental_admission(stream, spark, SF_SMOKE),
+        "t_inc_admit",
+        output_mode="append",
+    )
+    got = {
+        (r["doc_id"], r["content_hash"], r["lang"], r["source"], r["n_chars"])
+        for r in spark.table("t_inc_admit").collect()
+    }
+    want = {
+        (r["doc_id"], r["content_hash"], r["lang"], r["source"], r["n_chars"])
+        for r in dedup_incremental_keep(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert got, "no admissions — increment residue class empty?"

@@ -89,3 +89,18 @@ def test_state_store_keying(spark):
     # join state on both sides
     assert ssjoin.count("EventTimeWatermark") == 2
     assert "click_ts" in ssjoin and "purchase_ts" in ssjoin
+
+
+def test_incremental_admission_plan_shape(spark):
+    """The admission plan must show (a) streaming dedup state keyed by
+    content_hash and (b) the corpus side as a STATIC subtree (no second
+    streaming source — the whole point of the stream-static design: the
+    corpus is never treated as unbounded input)."""
+    stream = jobs.read_increment_stream(spark, SF_SMOKE)
+    df = jobs.incremental_admission(stream, spark, SF_SMOKE)
+    plan = _analyzed(df)
+    assert "Deduplicate" in plan and "content_hash" in plan
+    assert "LeftAnti" in plan
+    assert plan.count("StreamingRelation") == 1, (
+        "corpus side must be static, not a second stream"
+    )

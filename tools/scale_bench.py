@@ -79,6 +79,12 @@ HEADLINE_DOC_QUERIES = [
     "text_ngram_vocab",
     "docsim_tfidf_topk",
     "dedup_repeated_ngrams",
+    # round-5 tranche: unigram-LM scoring, Bloom decontamination (the
+    # constant-broadcast fast path), domain quotas, outlier flags
+    "text_unigram_surprisal",
+    "decontam_bloom",
+    "domain_quota_cap",
+    "quality_outlier_zscore",
 ]
 
 
