@@ -94,6 +94,7 @@ HEADLINE = [
     "decontam_bloom",
     "domain_quota_cap",
     "quality_outlier_zscore",
+    "knn_cosine_quantized_fast",
 ]
 
 

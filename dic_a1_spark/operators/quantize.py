@@ -261,3 +261,106 @@ ORACLES: dict[str, str] = {
     FROM ranked WHERE rnk <= {TOP_K}
     """,
 }
+
+
+def knn_cosine_quantized_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-matmul twin of knn_cosine_quantized, BIT-IDENTICAL output —
+    the execution shape the 100 TB re-rank stage actually runs (the
+    Column-expression query pays the interpreted F.aggregate fold per
+    element: 11.5 s at 100K vectors; this form streams Arrow batches
+    through one int64 numpy matmul per batch: the SIMD win int8
+    quantization exists to unlock).
+
+    Parity design (the ivf_assignments_fast playbook, but STRONGER here
+    because the scores are integers): dots and self-norms are exact
+    int64 — no accumulation-order hazard at all, matmul == fold by the
+    associativity of integer addition. The single float chain
+    dot / (sqrt(na) * sqrt(nb)) is one divide, two sqrts, one multiply —
+    the same IEEE op sequence as the Column expression, so raw_sim is
+    bit-identical. Per batch only the top TOP_K rows per query (by the
+    final ordering: raw_sim desc, neighbor_id asc) are emitted — the
+    global top-K is a subset of the union of batch top-Ks — and ROUNDING
+    AND RANKING ARE DELEGATED TO SPARK via the same F.round/row_number
+    expressions as the exact query. Registered under the SAME oracle SQL
+    as knn_cosine_quantized (identical output, identical gate)."""
+    import numpy as np
+    import pyspark.sql.types as T
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qz = _with_quantized(e).select("vec_id", "qvec")
+    q_rows = qz.where(F.col("vec_id") < N_QUERIES).collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["qvec"], dtype=np.int64) for r in q_rows])
+    na = (Q * Q).sum(axis=1)
+    keep = na > 0  # zero-norm guard, mirrored from the exact query
+    q_ids, Q, na = q_ids[keep], Q[keep], na[keep]
+    sq_na = np.sqrt(na.astype(np.float64))
+    bc = spark.sparkContext.broadcast((q_ids, Q, sq_na))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("dot", T.LongType()),
+            T.StructField("raw_sim", T.DoubleType()),
+        ]
+    )
+
+    def score_batches(batches):
+        import pandas as pd
+
+        q_ids_, Q_, sq_na_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            B = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["qvec"]]
+            )
+            nbr = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nb = (B * B).sum(axis=1)
+            ok = nb > 0
+            B, nbr, nb = B[ok], nbr[ok], nb[ok]
+            if not len(nbr):
+                continue
+            dots = Q_ @ B.T  # exact int64 — order-free
+            sims = dots.astype(np.float64) / (
+                sq_na_[:, None] * np.sqrt(nb.astype(np.float64))[None, :]
+            )
+            for qi in range(len(q_ids_)):
+                qid = int(q_ids_[qi])
+                mask = nbr != qid
+                s, d, nn = sims[qi][mask], dots[qi][mask], nbr[mask]
+                if not len(nn):
+                    continue
+                # batch top-K by the FINAL ordering (sim desc, id asc)
+                order = np.lexsort((nn, -s))[:TOP_K]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": nn[order],
+                        "dot": d[order],
+                        "raw_sim": s[order],
+                    }
+                )
+
+    cand = qz.mapInPandas(score_batches, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("raw_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("dot").alias("int_dot"),
+            F.round("raw_sim", 4).alias("sim_q8"),
+            "rnk",
+        )
+    )
+
+
+QUERIES["knn_cosine_quantized_fast"] = knn_cosine_quantized_fast
+# Identical output by construction -> the fast twin shares the exact
+# query's oracle verbatim (same gate, same hash).
+ORACLES["knn_cosine_quantized_fast"] = ORACLES["knn_cosine_quantized"]

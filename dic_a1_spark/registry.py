@@ -29,8 +29,10 @@ from pyspark.sql import DataFrame, SparkSession
 #   textstats first-rows pair (cum 16), events first-rows pair (cum 18),
 #   doc_pack_concat fix (cum 19), corpusops — NEW this round — 5
 #   (cum 24), ml_ops 2 (cum 26, rows-only; neardups collapse-expand
-#   rework), then module-rest regrades: curation 8 (cum 34), textstats
-#   9 (cum 43), events 9 (cum 52; the two entries past the window edge,
+#   rework), knn_cosine_quantized_fast — NEW this round, shares the
+#   exact twin's oracle — 1 (cum 27), then module-rest regrades:
+#   curation 8 (cum 35), textstats 9 (cum 44), events 9 (cum 53; the
+#   three entries past the window edge, events_hour_of_day_matrix,
 #   events_first_per_user_type and events_value_percentiles, are
 #   r1/r2-green and unchanged).
 # r4 hash-green blocks (sketches/ngrams/udxf/multimodal/dedup/tpch_full/
@@ -39,7 +41,14 @@ from pyspark.sql import DataFrame, SparkSession
 _MODULES = (
     "dic_a1_spark.operators.scrub",
     "dic_a1_spark.operators.incremental",
-    "dic_a1_spark.operators.quantize",
+    (
+        "dic_a1_spark.operators.quantize",
+        (
+            "embedding_quantize_int8",
+            "quantize_error_certificate",
+            "knn_cosine_quantized",
+        ),
+    ),
     "dic_a1_spark.operators.lexical",
     "dic_a1_spark.operators.evalops",
     ("dic_a1_spark.operators.textstats", ("doc_length_histogram", "text_ngram_vocab")),
@@ -47,6 +56,7 @@ _MODULES = (
     ("dic_a1_spark.operators.curation", ("doc_pack_concat",)),
     "dic_a1_spark.operators.corpusops",
     "dic_a1_spark.operators.ml_ops",
+    "dic_a1_spark.operators.quantize",
     "dic_a1_spark.operators.curation",
     "dic_a1_spark.operators.textstats",
     "dic_a1_spark.operators.events",

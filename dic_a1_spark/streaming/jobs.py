@@ -13,6 +13,16 @@ by running the stream with trigger availableNow over the same files).
 Scale notes: state stores are keyed by (window/session, key) — watermarks
 bound state growth; availableNow backfills replay history with the same
 query that serves the live stream.
+
+API note: Spark 4's transformWithStateInPandas (StatefulProcessor +
+ValueState/ListState/timers) is the successor to applyInPandasWithState
+for custom state. It is deliberately NOT used here: its Python driver
+worker imports google.protobuf, which this environment lacks (verified:
+the query starts and the runner dies with STREAMING_PYTHON_RUNNER_
+INITIALIZATION_FAILURE / ImportError google.protobuf.descriptor), and
+installs are out of scope. applyInPandasWithState carries the custom-
+stateful surface; porting a processor to TWS is mechanical (init gets a
+handle, per-key state objects replace the GroupState tuple).
 """
 
 from __future__ import annotations

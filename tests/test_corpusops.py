@@ -79,3 +79,30 @@ def test_surprisal_bounds(spark):
         # than 64 (c >= 1 so floor(N/c) <= N < 2^63)
         assert r["total_bits"] >= r["n_tokens"]
         assert 1.0 <= r["avg_bits"] < 64.0
+
+
+def test_bloom_bits_side_broadcasts_and_probe_is_hits_only(spark):
+    """Plan pins for the scale claims in SCALING.md: the bits frame (the
+    CONSTANT-bounded Bloom positions) joins by broadcast, and the outlier
+    stats join is a broadcast of the dimension-sized frame."""
+    from dic_a1_spark.plans.explain import formatted_plan, has_broadcast_join
+
+    bloom = corpusops.decontam_bloom(spark, SF_CORRECT)
+    assert has_broadcast_join(bloom)
+    z = corpusops.quality_outlier_zscore(spark, SF_CORRECT)
+    assert has_broadcast_join(z)
+
+
+def test_quota_window_excludes_no_url_class(spark):
+    """The corpus-sized no-URL class must never flow through the domain
+    window (the skew design): its branch of the union carries no Window
+    operator."""
+    from dic_a1_spark.plans.explain import formatted_plan
+
+    import re
+
+    plan = formatted_plan(corpusops.domain_quota_cap(spark, SF_CORRECT))
+    # exactly one Window operator in the whole plan — the
+    # domain-partitioned one (each operator appears once in the tree as
+    # "Window (N)" and once as its "(N) Window" detail header)
+    assert len(re.findall(r"Window \(\d+\)", plan)) == 1

@@ -22,3 +22,52 @@ def test_format_roundtrip(spark, fmt, tmp_path):
     a = sorted(tuple(r) for r in src.collect())
     b = sorted(tuple(r) for r in back.collect())
     assert a == b, f"{fmt} round-trip altered values"
+
+
+def test_python_datasource_matches_native_reviews_reader(spark, tmp_path):
+    """The Spark-4 Python DataSource twin must produce exactly the rows
+    of readers.read_reviews_json (category/reviewText with defaults,
+    malformed lines skipped) — including across byte-range split
+    boundaries (split_bytes is forced tiny so several splits cover the
+    fixture and the straddling-line discipline is exercised)."""
+    import json
+    import random
+
+    from dic_a1_spark.sources import pyds
+    from dic_a1_spark.sources.readers import read_reviews_json
+
+    rng = random.Random(99)
+    lines = []
+    for i in range(300):
+        rec = {"reviewText": f"text {i} " + "x" * rng.randint(0, 120)}
+        if i % 5:
+            rec["category"] = f"cat{i % 7}"
+        if i % 31 == 0:
+            rec.pop("reviewText")
+        lines.append(json.dumps(rec))
+        if i % 13 == 0:
+            lines.append('{"category": "oops", broken')
+        if i % 41 == 0:
+            lines.append('[1, 2, 3]')  # valid JSON, not a record
+    path = tmp_path / "reviews.json"
+    path.write_text("\n".join(lines) + "\n")
+
+    pyds.register(spark)
+    got_df = (
+        spark.read.format("reviews_jsonl")
+        .option("path", str(path))
+        .option("split_bytes", 512)
+        .load()
+    )
+    # several splits actually in play
+    assert got_df.rdd.getNumPartitions() > 3
+    got = sorted(
+        (r["category"], r["reviewText"]) for r in got_df.collect()
+    )
+    want = sorted(
+        (r["category"], r["reviewText"])
+        for r in read_reviews_json(spark, str(path))
+        .select("category", "reviewText")
+        .collect()
+    )
+    assert got == want and len(got) > 250

@@ -102,3 +102,19 @@ def test_quantize_fuzz_matches_python_reference(spark):
         assert got[i][0] == scale, (i, got[i][0], scale)
         assert got[i][1] == want, (i, v, got[i][1], want)
         assert all(-Q_MAX - 1 <= q <= Q_MAX + 1 for q in want)
+
+
+def test_quantized_knn_fast_twin_is_bit_identical(spark):
+    """The batch-matmul twin must equal the Column-expression query
+    EXACTLY (integer dots have no accumulation-order hazard; the one
+    float chain repeats the same IEEE op sequence)."""
+    exact = sorted(
+        map(tuple, quantize.knn_cosine_quantized(spark, SF_CORRECT).collect())
+    )
+    fast = sorted(
+        map(
+            tuple,
+            quantize.knn_cosine_quantized_fast(spark, SF_CORRECT).collect(),
+        )
+    )
+    assert exact == fast

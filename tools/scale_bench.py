@@ -226,6 +226,7 @@ def main() -> None:
         "knn_cosine_ivf",
         "embedding_quantize_int8",
         "knn_cosine_quantized",
+        "knn_cosine_quantized_fast",
     ]:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
