@@ -95,6 +95,7 @@ HEADLINE = [
     "domain_quota_cap",
     "quality_outlier_zscore",
     "knn_cosine_quantized_fast",
+    "corpus_hygiene_pipeline",
 ]
 
 

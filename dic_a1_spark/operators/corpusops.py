@@ -543,3 +543,78 @@ ORACLES["decontam_bloom_fp_report"] = f"""
                  / CAST(count(*) AS DOUBLE), 4) AS fp_rate
     FROM j
 """
+
+
+def corpus_hygiene_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four hygiene gates of this module composed into ONE lazy DAG —
+    the admission pass a corpus runs after curation.py's pipeline:
+
+        Bloom decontamination (not bloom_contaminated)
+        AND domain quota (kept)
+        AND token-count outlier screen (not outlier)
+
+    with the unigram-surprisal score carried through as the per-doc
+    quality feature a downstream mixture sampler weights by. Each stage
+    is itself a registered, oracle-gated query; this entry proves they
+    COMPOSE — one DAG, one driver hash over the final verdict frame (the
+    curation_pipeline posture). Population semantics (deliberate,
+    mirrored by the composed oracle): the frame covers the Bloom probe
+    population — corpus docs (doc_id >= BENCH_DOCS) with at least
+    SHINGLE_WIDTH tokens — inner-joined to the other gates; "too short
+    to decontaminate" is treated as "not admitted", the conservative
+    choice. Output is one row per probed doc with each gate's verdict
+    and the final admitted flag, so a red gate is attributable."""
+    bloom = decontam_bloom(spark, sf_dir).select(
+        "doc_id", "bloom_contaminated"
+    )
+    quota = domain_quota_cap(spark, sf_dir).select(
+        "doc_id", "domain", F.col("kept").alias("quota_kept")
+    )
+    outlier = quality_outlier_zscore(spark, sf_dir).select(
+        "doc_id", "source", "outlier"
+    )
+    surprisal = text_unigram_surprisal(spark, sf_dir).select(
+        "doc_id", "avg_bits"
+    )
+    return (
+        bloom.join(quota, "doc_id")
+        .join(outlier, "doc_id")
+        .join(surprisal, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "domain",
+            "bloom_contaminated",
+            "quota_kept",
+            "outlier",
+            "avg_bits",
+            (
+                ~F.col("bloom_contaminated")
+                & F.col("quota_kept")
+                & ~F.col("outlier")
+            ).alias("admitted"),
+        )
+    )
+
+
+QUERIES["corpus_hygiene_pipeline"] = corpus_hygiene_pipeline
+
+# Composed oracle: each stage's certified SQL as a nested-WITH subquery
+# (the decontam_bloom_fp_report device), joined exactly as the DAG joins.
+ORACLES["corpus_hygiene_pipeline"] = f"""
+    WITH bloom AS ({ORACLES["decontam_bloom"]}),
+    quota AS ({ORACLES["domain_quota_cap"]}),
+    outl AS ({ORACLES["quality_outlier_zscore"]}),
+    surp AS ({ORACLES["text_unigram_surprisal"]})
+    SELECT b.doc_id, o.source, q.domain,
+           b.bloom_contaminated,
+           q.kept AS quota_kept,
+           o.outlier,
+           s.avg_bits,
+           (NOT b.bloom_contaminated) AND q.kept AND (NOT o.outlier)
+               AS admitted
+    FROM bloom b
+    JOIN quota q ON b.doc_id = q.doc_id
+    JOIN outl o ON b.doc_id = o.doc_id
+    JOIN surp s ON b.doc_id = s.doc_id
+"""

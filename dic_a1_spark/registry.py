@@ -27,14 +27,14 @@ from pyspark.sql import DataFrame, SparkSession
 #   string fix + zero-norm guard this round), lexical 2 (cum 11; norms
 #   broadcast hints dropped), evalops 3 (cum 14; sizes hints dropped),
 #   textstats first-rows pair (cum 16), events first-rows pair (cum 18),
-#   doc_pack_concat fix (cum 19), corpusops — NEW this round — 5
-#   (cum 24), ml_ops 2 (cum 26, rows-only; neardups collapse-expand
-#   rework), knn_cosine_quantized_fast — NEW this round, shares the
-#   exact twin's oracle — 1 (cum 27), then module-rest regrades:
-#   curation 8 (cum 35), textstats 9 (cum 44), events 9 (cum 53; the
-#   three entries past the window edge, events_hour_of_day_matrix,
-#   events_first_per_user_type and events_value_percentiles, are
-#   r1/r2-green and unchanged).
+#   doc_pack_concat fix (cum 19), corpusops — NEW this round — 6
+#   (cum 25, incl. the composed corpus_hygiene_pipeline), ml_ops 2
+#   (cum 27, rows-only; neardups collapse-expand rework),
+#   knn_cosine_quantized_fast — NEW this round, shares the exact twin's
+#   oracle — 1 (cum 28), then module-rest regrades ordered
+#   oldest-rows-first: curation 8 (cum 36), events 9 (cum 45, r1/r2
+#   rows), textstats 9 (cum 54; the four entries past the window edge
+#   are r3/r4-green and unchanged).
 # r4 hash-green blocks (sketches/ngrams/udxf/multimodal/dedup/tpch_full/
 # similarity/lsh) move back, guarded by pytest + the sf0.1 sweep artifact;
 # chisq/relational/sql_surface/tpch_extra rest on r1-r3 green rows.
@@ -58,8 +58,8 @@ _MODULES = (
     "dic_a1_spark.operators.ml_ops",
     "dic_a1_spark.operators.quantize",
     "dic_a1_spark.operators.curation",
-    "dic_a1_spark.operators.textstats",
     "dic_a1_spark.operators.events",
+    "dic_a1_spark.operators.textstats",
     "dic_a1_spark.operators.sketches",
     "dic_a1_spark.operators.ngrams",
     "dic_a1_spark.operators.udxf",

@@ -106,3 +106,31 @@ def test_quota_window_excludes_no_url_class(spark):
     # domain-partitioned one (each operator appears once in the tree as
     # "Window (N)" and once as its "(N) Window" detail header)
     assert len(re.findall(r"Window \(\d+\)", plan)) == 1
+
+
+def test_hygiene_pipeline_is_conjunction_of_stage_gates(spark):
+    """The composed pipeline's admitted flag must equal the conjunction
+    of the three stage verdicts, row for row, over the Bloom probe
+    population."""
+    stages = {
+        r["doc_id"]: r
+        for r in corpusops.corpus_hygiene_pipeline(spark, SF_CORRECT).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["bloom_contaminated"]
+        for r in corpusops.decontam_bloom(spark, SF_CORRECT).collect()
+    }
+    quota = {
+        r["doc_id"]: r["kept"]
+        for r in corpusops.domain_quota_cap(spark, SF_CORRECT).collect()
+    }
+    outlier = {
+        r["doc_id"]: r["outlier"]
+        for r in corpusops.quality_outlier_zscore(spark, SF_CORRECT).collect()
+    }
+    assert set(stages) == set(bloom)  # pipeline population = probe population
+    for doc_id, r in stages.items():
+        want = (not bloom[doc_id]) and quota[doc_id] and (not outlier[doc_id])
+        assert r["admitted"] == want, doc_id
+    verdicts = {r["admitted"] for r in stages.values()}
+    assert verdicts == {True, False}

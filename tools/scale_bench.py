@@ -85,6 +85,7 @@ HEADLINE_DOC_QUERIES = [
     "decontam_bloom",
     "domain_quota_cap",
     "quality_outlier_zscore",
+    "corpus_hygiene_pipeline",
 ]
 
 
