@@ -96,6 +96,9 @@ HEADLINE = [
     "quality_outlier_zscore",
     "knn_cosine_quantized_fast",
     "corpus_hygiene_pipeline",
+    # simhash md5 certification family (pairs only: the groups twin is a
+    # 16-iteration label-prop certification vehicle, covered by the sweep)
+    "dedup_simhash_md5_pairs",
 ]
 
 

@@ -350,3 +350,249 @@ def _groups_oracle() -> str:
 
 
 ORACLES["dedup_minhash_md5_groups"] = _groups_oracle()
+
+
+# ---------------------------------------------------------------------------
+# SimHash twin over the md5 base family — extends the module's charter
+# (hash-certify the sketch-dedup logic) from MinHash banding to SimHash's
+# bit-vote + chunk-band + hamming-verify pipeline. The production SimHash
+# (dedup.simhash_signatures, 64-bit xxhash64) stays rows-only; this twin
+# reuses ITS plan shape over the 40-bit md5 base so the driver's typed
+# value-hash certifies the shared logic.
+# ---------------------------------------------------------------------------
+
+SIMHASH_MD5_BITS = 40          # md5 base width — packs into a positive bigint
+SIMHASH_MD5_BAND_BITS = 10     # 4 bands of 10 bits
+SIMHASH_MD5_BANDS = SIMHASH_MD5_BITS // SIMHASH_MD5_BAND_BITS
+# Verification threshold. The banding is sound for dist <= 3 (pigeonhole:
+# >= 1 of 4 bands equal), but the driver corpus's 31-word vocabulary
+# collapses the signature space (52.5K IDENTICAL-signature pairs at
+# sf0.1; h<=3 admits 747K pairs) — so the registered threshold is 1,
+# keeping the output (143K rows at sf0.1) verification-bound rather than
+# output-bound while both accept distances (0 and 1) and the rejected
+# candidate mass stay exercised.
+SIMHASH_MD5_HAMMING = 1
+
+
+def _md5_token_bases(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs: array<bigint>) — per-doc DISTINCT md5 bases of the
+    DISTINCT token set (SimHash votes over tokens, not shingles)."""
+    from dic_a1_spark.functions.text import tokens_distinct
+
+    toks = docs.select(
+        "doc_id",
+        F.filter(tokens_distinct(F.col("text")), lambda w: w != "").alias("toks"),
+    ).where(F.size("toks") > 0)
+    return toks.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(toks,"
+            " w -> cast(conv(substr(md5(w), 1, 10), 16, 10) as bigint)))"
+        ).alias("hs"),
+    )
+
+
+def _md5_simhash_signatures(hashed_tokens: DataFrame) -> DataFrame:
+    """(doc_id, sig: bigint) — 40-bit SimHash over the md5 bases,
+    MAP-ONLY exactly like dedup.simhash_signatures (per-bit scalar
+    folds, then a packing sum; all 40 bits fit below 2^40 so the packed
+    signature is a plain positive bigint — none of the production
+    twin's two's-complement sign-bit contortions)."""
+    bit_counts = [
+        F.expr(f"aggregate(hs, 0L, (a, h) -> a + (shiftright(h, {j}) & 1L))").alias(
+            f"c{j}"
+        )
+        for j in range(SIMHASH_MD5_BITS)
+    ]
+    per_bit = hashed_tokens.select(
+        "doc_id", F.size("hs").alias("n"), *bit_counts
+    )
+    sig = None
+    for j in range(SIMHASH_MD5_BITS):
+        term = F.when(
+            F.col(f"c{j}") * 2 > F.col("n"), F.lit(2**j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig = term if sig is None else sig + term
+    return per_bit.select("doc_id", sig.alias("sig"))
+
+
+def dedup_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs under the full value-hash gate: 10-bit
+    chunk banding (a pair within hamming distance SIMHASH_MD5_HAMMING
+    must agree on >= 1 of the 4 chunks), first-matching-band map-side
+    dedup (no distinct() shuffle — the _earlier_band_matches device over
+    band VALUES), then exact hamming verification via
+    bit_count(sig1 XOR sig2). Every step is integer arithmetic both
+    engines execute identically."""
+    from pyspark import StorageLevel
+
+    sig = _md5_simhash_signatures(
+        _md5_token_bases(load_table(spark, sf_dir, "documents"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    band_vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("sig"), SIMHASH_MD5_BAND_BITS * k)
+            .bitwiseAND(F.lit((1 << SIMHASH_MD5_BAND_BITS) - 1))
+            for k in range(SIMHASH_MD5_BANDS)
+        ]
+    )
+    bands = (
+        sig.select("doc_id", "sig", band_vals.alias("bvs"))
+        .select(
+            "doc_id",
+            "sig",
+            "bvs",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(SIMHASH_MD5_BANDS - 1))
+            ).alias("band_id"),
+        )
+        .select(
+            "doc_id",
+            "sig",
+            "bvs",
+            "band_id",
+            F.element_at("bvs", F.col("band_id") + 1).alias("band_val"),
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    earlier = None
+    for j in range(SIMHASH_MD5_BANDS - 1):
+        m = (F.col("a.band_id") > j) & (
+            F.element_at(F.col("a.bvs"), j + 1)
+            == F.element_at(F.col("b.bvs"), j + 1)
+        )
+        earlier = m if earlier is None else (earlier | m)
+    hamming = F.expr("bit_count(s1 ^ s2)")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(~earlier)
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.sig").alias("s1"),
+            F.col("b.sig").alias("s2"),
+        )
+        .where(hamming <= SIMHASH_MD5_HAMMING)
+        .select("doc1", "doc2", hamming.cast("int").alias("hamming"))
+    )
+
+
+# The simhash pair graph is CHAINIER than the minhash one (signatures
+# differing by one bit link transitively), so its components have larger
+# diameter: measured convergence is 13 synchronous min-label rounds at
+# sf0.001/sf0.01/sf0.1 vs the minhash family's < 8. 16 gives margin;
+# Spark's early-exit skips converged iterations and the oracle's extra
+# unrolled iterations are no-ops, so both sides still emit identical
+# labels at any corpus that converges within the budget.
+SIMHASH_LP_ITERS = 16
+
+
+def dedup_simhash_md5_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, group_id): connected components over the verified
+    md5-SimHash pair graph — same construction (and same unrolled
+    fixed-iteration oracle device) as dedup_minhash_md5_groups, so the
+    driver gate certifies label propagation over BOTH sketch families'
+    edges."""
+    from dic_a1_spark.operators.dedup import label_propagate
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_simhash_md5_pairs(spark, sf_dir)
+    bucket = F.struct(F.col("doc1"), F.col("doc2"))
+    edges = pairs.select(
+        F.col("doc1").alias("doc_id"), bucket.alias("bucket")
+    ).unionByName(
+        pairs.select(F.col("doc2").alias("doc_id"), bucket.alias("bucket"))
+    )
+    return label_propagate(d.select("doc_id"), edges, n_iter=SIMHASH_LP_ITERS)
+
+
+QUERIES["dedup_simhash_md5_pairs"] = dedup_simhash_md5_pairs
+QUERIES["dedup_simhash_md5_groups"] = dedup_simhash_md5_groups
+
+from dic_a1_spark.config import duckdb_tokens_sql as _dts  # noqa: E402
+
+_TOKS_SQL = _dts()
+
+ORACLES["dedup_simhash_md5_pairs"] = f"""
+    WITH dtoks AS (
+        SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS w FROM documents
+    ),
+    based AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substring(md5(w), 1, 10)) AS BIGINT) AS base
+        FROM dtoks
+    ),
+    counts AS (
+        SELECT doc_id, j,
+               CAST(sum((base >> j) & 1) AS BIGINT) AS cj,
+               CAST(count(*) AS BIGINT) AS n
+        FROM based CROSS JOIN range({SIMHASH_MD5_BITS}) t(j)
+        GROUP BY doc_id, j
+    ),
+    sigs AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN 2 * cj > n
+                             THEN (CAST(1 AS BIGINT) << j)
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+        FROM counts GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, sig, k,
+               (sig >> ({SIMHASH_MD5_BAND_BITS} * CAST(k AS INTEGER)))
+                   & {(1 << SIMHASH_MD5_BAND_BITS) - 1} AS bval
+        FROM sigs CROSS JOIN range({SIMHASH_MD5_BANDS}) t(k)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+               a.sig AS s1, b.sig AS s2
+        FROM bands a
+        JOIN bands b ON a.k = b.k AND a.bval = b.bval
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT doc1, doc2,
+           CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(s1, s2)) <= {SIMHASH_MD5_HAMMING}
+"""
+
+
+def _simhash_groups_oracle() -> str:
+    """The minhash groups device, over the simhash pair SQL, unrolled to
+    SIMHASH_LP_ITERS (the chainier graph needs 13 measured rounds)."""
+    pairs_sql = ORACLES["dedup_simhash_md5_pairs"]
+    parts = [
+        f"""
+        WITH pairs AS MATERIALIZED (SELECT doc1, doc2 FROM ({pairs_sql})),
+        edges AS MATERIALIZED (
+            SELECT doc1 AS src, doc2 AS dst FROM pairs
+            UNION ALL
+            SELECT doc2 AS src, doc1 AS dst FROM pairs
+        ),
+        lp0 AS MATERIALIZED (SELECT doc_id, doc_id AS label FROM documents)"""
+    ]
+    for k in range(1, SIMHASH_LP_ITERS + 1):
+        parts.append(
+            f""",
+        lp{k} AS MATERIALIZED (
+            SELECT d.doc_id,
+                   least(d.label, coalesce(m.minlab, d.label)) AS label
+            FROM lp{k - 1} d
+            LEFT JOIN (
+                SELECT e.src AS doc_id, min(p.label) AS minlab
+                FROM edges e JOIN lp{k - 1} p ON p.doc_id = e.dst
+                GROUP BY e.src
+            ) m ON m.doc_id = d.doc_id
+        )"""
+        )
+    parts.append(
+        f"\n        SELECT doc_id, label AS group_id FROM lp{SIMHASH_LP_ITERS}"
+    )
+    return "".join(parts)
+
+
+ORACLES["dedup_simhash_md5_groups"] = _simhash_groups_oracle()

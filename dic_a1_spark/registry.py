@@ -31,10 +31,12 @@ from pyspark.sql import DataFrame, SparkSession
 #   (cum 25, incl. the composed corpus_hygiene_pipeline), ml_ops 2
 #   (cum 27, rows-only; neardups collapse-expand rework),
 #   knn_cosine_quantized_fast — NEW this round, shares the exact twin's
-#   oracle — 1 (cum 28), then module-rest regrades ordered
-#   oldest-rows-first: curation 8 (cum 36), events 9 (cum 45, r1/r2
-#   rows), textstats 9 (cum 54; the four entries past the window edge
-#   are r3/r4-green and unchanged).
+#   oracle — 1 (cum 28), simhash md5 twins — NEW this round, the
+#   SimHash analog of the md5-minhash certification family — 2
+#   (cum 30), then module-rest regrades ordered oldest-rows-first:
+#   curation 8 (cum 38), events 9 (cum 47, r1/r2 rows), textstats 9
+#   (cum 56; the six entries past the window edge are r3/r4-green and
+#   unchanged).
 # r4 hash-green blocks (sketches/ngrams/udxf/multimodal/dedup/tpch_full/
 # similarity/lsh) move back, guarded by pytest + the sf0.1 sweep artifact;
 # chisq/relational/sql_surface/tpch_extra rest on r1-r3 green rows.
@@ -57,6 +59,10 @@ _MODULES = (
     "dic_a1_spark.operators.corpusops",
     "dic_a1_spark.operators.ml_ops",
     "dic_a1_spark.operators.quantize",
+    (
+        "dic_a1_spark.operators.lsh",
+        ("dedup_simhash_md5_pairs", "dedup_simhash_md5_groups"),
+    ),
     "dic_a1_spark.operators.curation",
     "dic_a1_spark.operators.events",
     "dic_a1_spark.operators.textstats",

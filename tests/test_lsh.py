@@ -101,3 +101,50 @@ def test_groups_cover_pairs_one_row_per_doc(spark):
     for doc_id, g in labels.items():
         if doc_id not in paired:
             assert g == doc_id
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_simhash_md5_pairs", "dedup_simhash_md5_groups"]
+)
+def test_simhash_md5_matches_oracle(spark, name):
+    compare(spark, lsh.ORACLES[name], lsh.QUERIES[name], SF_CORRECT, name)
+
+
+def test_simhash_md5_pairs_properties(spark):
+    """Verified pairs must honor the hamming bound against independently
+    recomputed signatures, exercise BOTH accept distances, and be
+    symmetric-free (doc1 < doc2 exactly once)."""
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in lsh._md5_simhash_signatures(
+            lsh._md5_token_bases(
+                spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+            )
+        ).collect()
+    }
+    rows = lsh.dedup_simhash_md5_pairs(spark, SF_CORRECT).collect()
+    assert rows
+    seen = set()
+    dists = set()
+    for r in rows:
+        assert r["doc1"] < r["doc2"]
+        key = (r["doc1"], r["doc2"])
+        assert key not in seen, "duplicate pair (band dedup broken)"
+        seen.add(key)
+        h = bin(sigs[r["doc1"]] ^ sigs[r["doc2"]]).count("1")
+        assert h == r["hamming"] <= lsh.SIMHASH_MD5_HAMMING
+        dists.add(h)
+    assert dists == set(range(lsh.SIMHASH_MD5_HAMMING + 1))
+
+
+def test_simhash_md5_groups_cover_pairs(spark):
+    """Two paired docs always share a group; one row per document."""
+    pairs = lsh.dedup_simhash_md5_pairs(spark, SF_CORRECT).collect()
+    groups = {
+        r["doc_id"]: r["group_id"]
+        for r in lsh.dedup_simhash_md5_groups(spark, SF_CORRECT).collect()
+    }
+    n_docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").count()
+    assert len(groups) == n_docs
+    for r in pairs:
+        assert groups[r["doc1"]] == groups[r["doc2"]], (r["doc1"], r["doc2"])

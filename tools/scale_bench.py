@@ -54,9 +54,10 @@ HEADLINE_DOC_QUERIES = [
     # where pair enumeration is inherently quadratic on duplicate clusters
     "dedup_minhash_groups",
     "dedup_simhash_groups",
-    # oracle-gated LSH (md5-affine family) — the hash-verified twin of
-    # dedup_minhash_pairs
+    # oracle-gated LSH (md5-affine families) — the hash-verified twins of
+    # dedup_minhash_pairs / dedup_simhash_pairs
     "dedup_minhash_md5_pairs",
+    "dedup_simhash_md5_pairs",
     # curation tranche: broadcast decontamination, stratified hash
     # rebalance, map-only chunking, and the composed pipeline
     "decontam_ngram_overlap",
