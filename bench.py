@@ -99,6 +99,9 @@ HEADLINE = [
     # simhash md5 certification family (pairs only: the groups twin is a
     # 16-iteration label-prop certification vehicle, covered by the sweep)
     "dedup_simhash_md5_pairs",
+    # dedup_ladder_report runs all four certified group families incl.
+    # the 16-iteration simhash label prop — sweep-covered, too heavy for
+    # the headline wall-clock set
 ]
 
 

@@ -243,3 +243,111 @@ def _oracles() -> dict[str, str]:
 
 
 ORACLES: dict[str, str] = _oracles()
+
+
+def dedup_ladder_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per dedup level — exact text, order-insensitive tokenset,
+    MinHash-LSH, SimHash — with group count, singleton count, largest
+    group, and the dedup ratio (docs removed if one representative per
+    group is kept). The ladder-comparison table a pipeline publishes to
+    choose its dedup aggressiveness; every input here is an
+    oracle-certified query (the sketch levels via the md5 twin families,
+    lsh.py), so the whole report carries the full value-hash gate.
+    Output is exactly 4 rows at any corpus scale; each level's
+    aggregation is a group-size rollup over its (already scale-shaped)
+    groups frame."""
+    from dic_a1_spark.operators.dedup import (
+        dedup_exact_groups,
+        dedup_tokenset_groups,
+    )
+    from dic_a1_spark.operators.lsh import (
+        dedup_minhash_md5_groups,
+        dedup_simhash_md5_groups,
+    )
+
+    def from_sizes(method: str, sizes: DataFrame) -> DataFrame:
+        # sizes: one row per group with column n_docs
+        return sizes.agg(
+            F.lit(method).alias("method"),
+            F.sum("n_docs").alias("n_docs"),
+            F.count("*").alias("n_groups"),
+            F.sum((F.col("n_docs") == 1).cast("long")).alias("n_singletons"),
+            F.max("n_docs").alias("max_group_size"),
+        )
+
+    def from_labels(method: str, labels: DataFrame) -> DataFrame:
+        sizes = labels.groupBy("group_id").agg(F.count("*").alias("n_docs"))
+        return from_sizes(method, sizes)
+
+    report = (
+        from_sizes("exact", dedup_exact_groups(spark, sf_dir).select("n_docs"))
+        .unionByName(
+            from_sizes(
+                "tokenset",
+                dedup_tokenset_groups(spark, sf_dir).select("n_docs"),
+            )
+        )
+        .unionByName(
+            from_labels("minhash_md5", dedup_minhash_md5_groups(spark, sf_dir))
+        )
+        .unionByName(
+            from_labels("simhash_md5", dedup_simhash_md5_groups(spark, sf_dir))
+        )
+    )
+    return report.select(
+        "method",
+        "n_docs",
+        "n_groups",
+        "n_singletons",
+        "max_group_size",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_groups").cast("double") / F.col("n_docs").cast("double"),
+            4,
+        ).alias("dedup_ratio"),
+    )
+
+
+QUERIES["dedup_ladder_report"] = dedup_ladder_report
+
+
+def _ladder_oracle() -> str:
+    from dic_a1_spark.operators.dedup import ORACLES as DEDUP_ORACLES
+    from dic_a1_spark.operators.lsh import ORACLES as LSH_ORACLES
+
+    def stats(method: str, sizes_sql: str) -> str:
+        return f"""
+        SELECT '{method}' AS method,
+               CAST(sum(n_docs) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_singletons,
+               CAST(max(n_docs) AS BIGINT) AS max_group_size,
+               round(1.0 - CAST(count(*) AS DOUBLE)
+                           / CAST(sum(n_docs) AS DOUBLE), 4) AS dedup_ratio
+        FROM ({sizes_sql})"""
+
+    exact = f"SELECT n_docs FROM ({DEDUP_ORACLES['dedup_exact_groups']})"
+    tokenset = f"SELECT n_docs FROM ({DEDUP_ORACLES['dedup_tokenset_groups']})"
+    mh = (
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs FROM ("
+        + LSH_ORACLES["dedup_minhash_md5_groups"]
+        + ") GROUP BY group_id"
+    )
+    sh = (
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs FROM ("
+        + LSH_ORACLES["dedup_simhash_md5_groups"]
+        + ") GROUP BY group_id"
+    )
+    return (
+        stats("exact", exact)
+        + " UNION ALL "
+        + stats("tokenset", tokenset)
+        + " UNION ALL "
+        + stats("minhash_md5", mh)
+        + " UNION ALL "
+        + stats("simhash_md5", sh)
+    )
+
+
+ORACLES["dedup_ladder_report"] = _ladder_oracle()

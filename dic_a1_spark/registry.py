@@ -26,16 +26,17 @@ from pyspark.sql import DataFrame, SparkSession
 #   scrub 3 (cum 3), incremental 3 (cum 6), quantize 3 (cum 9; qvec
 #   string fix + zero-norm guard this round), lexical 2 (cum 11; norms
 #   broadcast hints dropped), evalops 3 (cum 14; sizes hints dropped),
-#   textstats first-rows pair (cum 16), events first-rows pair (cum 18),
-#   doc_pack_concat fix (cum 19), corpusops — NEW this round — 6
-#   (cum 25, incl. the composed corpus_hygiene_pipeline), ml_ops 2
-#   (cum 27, rows-only; neardups collapse-expand rework),
+#   evalops also carries dedup_ladder_report, NEW this round (cum 15),
+#   textstats first-rows pair (cum 17), events first-rows pair (cum 19),
+#   doc_pack_concat fix (cum 20), corpusops — NEW this round — 6
+#   (cum 26, incl. the composed corpus_hygiene_pipeline), ml_ops 2
+#   (cum 28, rows-only; neardups collapse-expand rework),
 #   knn_cosine_quantized_fast — NEW this round, shares the exact twin's
-#   oracle — 1 (cum 28), simhash md5 twins — NEW this round, the
+#   oracle — 1 (cum 29), simhash md5 twins — NEW this round, the
 #   SimHash analog of the md5-minhash certification family — 2
-#   (cum 30), then module-rest regrades ordered oldest-rows-first:
-#   curation 8 (cum 38), events 9 (cum 47, r1/r2 rows), textstats 9
-#   (cum 56; the six entries past the window edge are r3/r4-green and
+#   (cum 31), then module-rest regrades ordered oldest-rows-first:
+#   curation 8 (cum 39), events 9 (cum 48, r1/r2 rows), textstats 9
+#   (cum 57; the seven entries past the window edge are r3/r4-green and
 #   unchanged).
 # r4 hash-green blocks (sketches/ngrams/udxf/multimodal/dedup/tpch_full/
 # similarity/lsh) move back, guarded by pytest + the sf0.1 sweep artifact;

@@ -42,3 +42,33 @@ def test_group_histogram_accounts_for_every_document(spark):
     n_docs = load_table(spark, SF_CORRECT, "documents").count()
     assert sum(r["n_docs_total"] for r in rows) == n_docs
     assert any(r["group_size"] > 1 for r in rows)  # real duplicates exist
+
+
+def test_dedup_ladder_report_oracle(spark):
+    from tests.oracle_utils import compare
+
+    compare(
+        spark,
+        evalops.ORACLES["dedup_ladder_report"],
+        evalops.QUERIES["dedup_ladder_report"],
+        SF_CORRECT,
+        "dedup_ladder_report",
+    )
+
+
+def test_dedup_ladder_monotone_sanity(spark):
+    """Tokenset identity is a refinement of exact identity: its dedup
+    ratio can never be below exact's; every level covers all docs."""
+    rows = {
+        r["method"]: r
+        for r in evalops.QUERIES["dedup_ladder_report"](
+            spark, SF_CORRECT
+        ).collect()
+    }
+    assert set(rows) == {"exact", "tokenset", "minhash_md5", "simhash_md5"}
+    n = {r["n_docs"] for r in rows.values()}
+    assert len(n) == 1  # same corpus under every identity
+    assert rows["tokenset"]["dedup_ratio"] >= rows["exact"]["dedup_ratio"]
+    for r in rows.values():
+        assert r["n_groups"] >= r["n_singletons"]
+        assert r["max_group_size"] >= 1
