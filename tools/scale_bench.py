@@ -54,10 +54,13 @@ HEADLINE_DOC_QUERIES = [
     # where pair enumeration is inherently quadratic on duplicate clusters
     "dedup_minhash_groups",
     "dedup_simhash_groups",
-    # oracle-gated LSH (md5-affine families) — the hash-verified twins of
-    # dedup_minhash_pairs / dedup_simhash_pairs
+    # oracle-gated LSH (md5-affine family) — the hash-verified twin of
+    # dedup_minhash_pairs. The simhash md5 twin is NOT amplified here:
+    # with `factor` exact copies per doc its identical-signature pairs
+    # are C(factor,2)-quadratic (measured 364M rows / 94 s at 250K docs)
+    # — the same output-bound class as the skipped exact-Jaccard run;
+    # the amplified SimHash story is the production pairs/groups above.
     "dedup_minhash_md5_pairs",
-    "dedup_simhash_md5_pairs",
     # curation tranche: broadcast decontamination, stratified hash
     # rebalance, map-only chunking, and the composed pipeline
     "decontam_ngram_overlap",
