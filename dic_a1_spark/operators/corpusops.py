@@ -40,8 +40,11 @@ Scale notes (the 100 TB plan):
     (doc_id, bits) rows.
   - bloom: the bits table is bounded by the CONSTANT BLOOM_M regardless
     of corpus or benchmark size — the one frame in this file a hard
-    F.broadcast is actually justified for. Corpus side is map-only
-    explode + broadcast hash join; nothing corpus-sized ever shuffles.
+    F.broadcast is actually justified for. The corpus-side scan and
+    probe are map-only (explode + broadcast hash join); what SHUFFLES is
+    the hits-only groupBy (the ~load-fraction of corpus positions that
+    survive the semi-join) and the per-doc sizes/hits join — both
+    corpus-proportional with small constant factors, never the text.
   - domain quota: the window partitions by domain; hot domains bound
     the reducer (documented skew ceiling, same stance as dedup.py's
     max_shingle_df). Docs without URLs never enter the window.
@@ -59,7 +62,7 @@ from pyspark.sql import functions as F
 from dic_a1_spark.config import duckdb_tokens_sql
 from dic_a1_spark.functions.text import tokenize
 from dic_a1_spark.operators.curation import BENCH_DOCS, CONTAM_RATIO
-from dic_a1_spark.operators.dedup import _with_shingle_arrays
+from dic_a1_spark.operators.dedup import _SHINGLE_CTE, _with_shingle_arrays
 from dic_a1_spark.operators.scrub import DOMAIN_RE, _decorated
 from dic_a1_spark.sources.readers import load_table
 
@@ -355,49 +358,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontam_bloom_fp_report": decontam_bloom_fp_report,
 }
 
-# Shared shingle CTE (same 3-gram definition as curation's decontam).
-_SH_CTE = f"""
-    WITH toks AS (
-        SELECT doc_id, {_TOKS} AS a FROM documents WHERE len({_TOKS}) >= 3
-    ),
-    pos AS (SELECT doc_id, a, generate_subscripts(a, 1) AS i FROM toks),
-    sh AS (
-        SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS shingle
-        FROM pos WHERE i + 2 <= len(a)
-    )
-"""
+# Shared shingle CTE: dedup.py's fragment (single source of truth for
+# the 3-gram definition; its sizes/shared/jac CTEs go unreferenced here
+# and DuckDB does not evaluate unreferenced CTEs — the lsh.py note).
+_SH_CTE = "WITH " + _SHINGLE_CTE
 
 _BLOOM_POS_SQL = ", ".join(
     f"(({a} * base + {b}) % {_MERSENNE}) % {BLOOM_M}"
     for a, b in zip(_BLOOM_A, _BLOOM_B)
 )
 
-# scrub.py's decorated view, restated (scrub keeps its CTE private to its
-# oracle strings; constants are imported so the derivations cannot fork).
-from dic_a1_spark.operators.scrub import EMAIL_MOD, IP_MOD, URL_MOD  # noqa: E402
-
-_DECOR_CTE = f"""
-    WITH decorated AS (
-        SELECT doc_id, source,
-               text
-               || CASE WHEN doc_id % {EMAIL_MOD} = 0
-                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
-                            || '@mail' || CAST(doc_id % 7 AS VARCHAR)
-                            || '.example.com'
-                       ELSE '' END
-               || CASE WHEN doc_id % {URL_MOD} = 0
-                       THEN ' see https://site' || CAST(doc_id % 13 AS VARCHAR)
-                            || '.example.org/p' || CAST(doc_id AS VARCHAR)
-                       ELSE '' END
-               || CASE WHEN doc_id % {IP_MOD} = 0
-                       THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
-                            || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
-                            || '.' || CAST((doc_id * 13) % 251 AS VARCHAR)
-                       ELSE '' END
-               AS text
-        FROM documents
-    )
-"""
+# scrub.py's decorated view — imported, not restated (one definition).
+from dic_a1_spark.operators.scrub import DECOR_CTE as _DECOR_CTE  # noqa: E402
 
 ORACLES: dict[str, str] = {
     "text_unigram_surprisal": f"""
@@ -434,7 +406,9 @@ ORACLES: dict[str, str] = {
         FROM based
     ),
     bits AS (SELECT DISTINCT p FROM posx WHERE doc_id < {BENCH_DOCS}),
-    sizes AS (
+    -- probe_sizes, not sizes: the shared shingle fragment already
+    -- declares a (unreferenced) sizes CTE
+    probe_sizes AS (
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
         FROM based WHERE doc_id >= {BENCH_DOCS} GROUP BY doc_id
     ),
@@ -452,7 +426,7 @@ ORACLES: dict[str, str] = {
     per_doc AS (
         SELECT s.doc_id, s.n_shingles,
                coalesce(h.n_bloom_hits, CAST(0 AS BIGINT)) AS n_bloom_hits
-        FROM sizes s LEFT JOIN hit_counts h ON s.doc_id = h.doc_id
+        FROM probe_sizes s LEFT JOIN hit_counts h ON s.doc_id = h.doc_id
     )
     SELECT doc_id, n_shingles, n_bloom_hits,
            round(CAST(n_bloom_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 4)

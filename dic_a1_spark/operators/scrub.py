@@ -154,7 +154,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # Shared decorated-view CTE — byte-identical derivation of the injected
 # PII (integer modulo + decimal-cast concat matches Spark exactly).
-_DECOR_CTE = f"""
+# Public: corpusops.py builds its domain-quota oracle over the same
+# decorated view — ONE definition so the derivations cannot fork.
+DECOR_CTE = f"""
     WITH decorated AS (
         SELECT doc_id, source,
                text
@@ -186,7 +188,7 @@ _N_URLS = f"CAST(len(regexp_extract_all(text, '{URL_RE}')) AS INTEGER)"
 _N_IPS = f"CAST(len(regexp_extract_all({_AFTER_EMAIL}, '{IP_RE}')) AS INTEGER)"
 
 ORACLES: dict[str, str] = {
-    "text_pii_scrub": _DECOR_CTE
+    "text_pii_scrub": DECOR_CTE
     + f"""
     SELECT doc_id, source,
            {_N_EMAILS} AS n_emails,
@@ -195,7 +197,7 @@ ORACLES: dict[str, str] = {
            regexp_replace({_AFTER_EMAIL}, '{IP_RE}', '<IP>', 'g') AS clean_text
     FROM decorated
     """,
-    "text_pii_summary": _DECOR_CTE
+    "text_pii_summary": DECOR_CTE
     + f"""
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -207,7 +209,7 @@ ORACLES: dict[str, str] = {
     FROM decorated
     GROUP BY source
     """,
-    "text_url_domains": _DECOR_CTE
+    "text_url_domains": DECOR_CTE
     + f"""
     , hits AS (
         SELECT doc_id,

@@ -88,6 +88,8 @@ def _load() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[s
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     origin: dict[str, str] = {}
+    declared_oracles: dict[str, set[str]] = {}  # modname -> oracle keys
+    declared_queries: dict[str, set[str]] = {}  # modname -> query names
     for entry in _MODULES:
         modname, only = (entry, None) if isinstance(entry, str) else entry
         try:
@@ -96,6 +98,8 @@ def _load() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[s
             continue  # module not built yet (incremental rounds)
         mod_queries = getattr(mod, "QUERIES", {})
         mod_oracles = getattr(mod, "ORACLES", {})
+        declared_oracles[modname] = set(mod_oracles)
+        declared_queries[modname] = set(mod_queries)
         if only is not None:
             missing = [n for n in only if n not in mod_queries]
             if missing:
@@ -118,9 +122,25 @@ def _load() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[s
             origin[name] = modname
             if name in mod_oracles:
                 oracles[name] = mod_oracles[name]
-    unknown = set(oracles) - set(queries)
-    if unknown:
-        raise ValueError(f"oracles without queries: {sorted(unknown)}")
+    # Completeness guard: a (module, names) selection MUST be completed by
+    # a later bare entry — otherwise the module's remaining queries would
+    # silently vanish from driver grading (no duplicate error fires).
+    for modname, declared in declared_queries.items():
+        dropped = [n for n in declared if n not in queries]
+        if dropped:
+            raise ValueError(
+                f"{modname}: queries never registered (selection without a "
+                f"completing bare entry?): {sorted(dropped)}"
+            )
+    # Orphan-oracle guard: every oracle key a module declares must name a
+    # registered query — a typo'd ORACLES key would otherwise silently
+    # degrade that query from value-hash-gated to rows-only.
+    for modname, keys in declared_oracles.items():
+        orphans = keys - set(queries)
+        if orphans:
+            raise ValueError(
+                f"{modname}: oracles without queries: {sorted(orphans)}"
+            )
     return queries, oracles
 
 

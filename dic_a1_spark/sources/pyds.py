@@ -19,11 +19,23 @@ finish it). That is precisely the HDFS/TextInputFormat split discipline,
 so the source parallelizes like a native scan instead of funneling the
 file through one task — the #1 failure mode of naive custom readers.
 
-Semantics mirrored from read_reviews_json:
+Semantics mirrored from read_reviews_json (probed against the native
+reader, tests/test_formats.py):
   - malformed JSON lines are skipped, not failed;
   - non-object JSON (arrays/scalars parse fine but aren't records) is
     skipped the same way Spark's PERMISSIVE mode nulls them out;
-  - defaults: ``category -> 'Unknown'``, ``reviewText -> ''``.
+  - defaults apply to MISSING/null fields only — ``category -> 
+    'Unknown'``, ``reviewText -> ''`` — while an explicit empty string
+    stays empty (the native reader's coalesce is null-only);
+  - non-string field values keep their JSON text (Spark's StringType
+    parse keeps the raw token: 123 -> "123", ["a"] -> '["a"]'),
+    re-serialized compactly here. CONTRACT BOUNDARY: for non-canonical
+    source formatting (1.50, spaced arrays) the native reader preserves
+    the original bytes while this one normalizes through json.dumps —
+    byte parity is guaranteed for canonically-formatted JSON, which the
+    parity test pins. Line termination: LF and CRLF (binary readline);
+    lone-CR files are out of scope (the Hadoop LineRecordReader under
+    spark.read.text also treats them differently per codec).
 Only the two columns the pipeline consumes are emitted — a custom
 source should project at the source, not ship dead fields.
 """
@@ -38,6 +50,17 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 # Target bytes per input split. Small so the driver's KB-scale fixtures
 # still exercise the multi-split path; production would use 128 MB.
 SPLIT_BYTES = 64 * 1024
+
+
+def _string_field(rec: dict, key: str, default: str) -> str:
+    """Null-only default + raw-JSON-text coercion, matching from_json's
+    StringType semantics (see module docstring's contract boundary)."""
+    v = rec.get(key)
+    if v is None:
+        return default
+    if isinstance(v, str):
+        return v
+    return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
 
 
 class _Split(InputPartition):
@@ -82,8 +105,8 @@ class ReviewsJsonlReader(DataSourceReader):
                 if not isinstance(rec, dict):
                     continue
                 yield (
-                    rec.get("category") or "Unknown",
-                    rec.get("reviewText") or "",
+                    _string_field(rec, "category", "Unknown"),
+                    _string_field(rec, "reviewText", ""),
                 )
 
 

@@ -382,29 +382,51 @@ def read_increment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.where(F.col("doc_id") % INC_MOD == INC_REM)
 
 
+_ADMIT_STATE_SCHEMA = StructType(
+    [
+        StructField("min_doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+_ADMIT_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("content_hash", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
 def incremental_admission(stream: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of operators.incremental.dedup_incremental_keep:
     documents arrive as a stream, the standing corpus is a STATIC frame,
     and admission = (not content-identical to any corpus doc) AND
-    (first-seen content hash within the stream).
+    (min-doc_id representative of each content hash within the stream).
 
     Spark surfaces exercised: stream-static LEFT ANTI join (stateless —
     the static side is re-planned per micro-batch, so a growing corpus
-    snapshot is picked up on restart) and streaming dropDuplicates
-    keyed by content hash (state = one row per admitted hash).
+    snapshot is picked up on restart) and a custom stateful min-tracker
+    via applyInPandasWithState keyed by content hash.
 
-    State bound: dropDuplicates state grows with the number of DISTINCT
-    admitted hashes — for a bounded backfill (this test mode) that is
-    increment-sized; a perpetual ingest would use
-    dropDuplicatesWithinWatermark over an ingest-time column to bound it,
-    accepting re-admission beyond the horizon (the corpus anti-join
-    still catches anything the previous COMPACTED corpus absorbed).
+    The representative is the MIN doc_id, held in state and re-emitted
+    (update mode) whenever a smaller one arrives — NOT first-arrival
+    dropDuplicates, which keys the survivor to partition interleaving
+    (two duplicate docs in different input splits can reach the dedup
+    state higher-id-first) and so cannot promise batch parity. The min
+    is order-free: the final state equals the batch query's
+    row_number-over-doc_id representative under ANY delivery order or
+    split layout; consumers take the last update per hash.
 
-    ORDERING: within a micro-batch the file source delivers rows in file
-    order (doc_id ascending in the driver's parquet), so first-seen ==
-    min doc_id and batch parity holds exactly — same stance as
-    funnel_depths' ORDERING REQUIREMENT."""
-    from dic_a1_spark.operators.incremental import _hashed
+    State bound: one row per distinct admitted hash — increment-sized
+    for a bounded backfill; a perpetual ingest bounds it with a state
+    TTL / watermark horizon, accepting re-admission beyond it (the
+    corpus anti-join still catches anything the previous COMPACTED
+    corpus absorbed)."""
+    from dic_a1_spark.operators.incremental import _hashed, content_key
 
     corpus_hashes = (
         _hashed(spark, sf_dir)
@@ -412,11 +434,41 @@ def incremental_admission(stream: DataFrame, spark: SparkSession, sf_dir: str) -
         .select("content_hash")
         .distinct()
     )
-    from dic_a1_spark.operators.incremental import content_key
+    fresh = stream.withColumn("content_hash", content_key()).join(
+        corpus_hashes, "content_hash", "left_anti"
+    )
 
-    return (
-        stream.withColumn("content_hash", content_key())
-        .join(corpus_hashes, "content_hash", "left_anti")
-        .dropDuplicates(["content_hash"])
-        .select("doc_id", "content_hash", "lang", "source", "n_chars")
+    def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):  # noqa: F821
+        import pandas as pd
+
+        (content_hash,) = key
+        best = tuple(state.get) if state.exists else None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            row = pdf.loc[pdf["doc_id"].idxmin()]
+            if best is None or int(row["doc_id"]) < best[0]:
+                best = (
+                    int(row["doc_id"]),
+                    row["lang"],
+                    row["source"],
+                    int(row["n_chars"]),
+                )
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "doc_id": [best[0]],
+                "content_hash": [content_hash],
+                "lang": [best[1]],
+                "source": [best[2]],
+                "n_chars": [best[3]],
+            }
+        )
+
+    return fresh.groupBy("content_hash").applyInPandasWithState(
+        update,
+        outputStructType=_ADMIT_OUT_SCHEMA,
+        stateStructType=_ADMIT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

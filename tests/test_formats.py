@@ -49,6 +49,16 @@ def test_python_datasource_matches_native_reviews_reader(spark, tmp_path):
             lines.append('{"category": "oops", broken')
         if i % 41 == 0:
             lines.append('[1, 2, 3]')  # valid JSON, not a record
+    # the probed edge shapes (see pyds module docstring): null-only
+    # defaults, explicit empty strings, non-string values kept as their
+    # canonical JSON text
+    lines += [
+        '{"category": "", "reviewText": "empty cat stays empty"}',
+        '{"category": null, "reviewText": "null cat defaults"}',
+        '{"category": 123, "reviewText": 456}',
+        '{"category": ["a","b"], "reviewText": true}',
+        '{"category": "ok", "reviewText": ""}',
+    ]
     path = tmp_path / "reviews.json"
     path.write_text("\n".join(lines) + "\n")
 

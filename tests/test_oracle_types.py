@@ -91,3 +91,33 @@ def test_uncast_conditional_sum_is_rejected():
         assert_oracle_types(con, good, "regression_q12_shape_cast")
     finally:
         con.close()
+
+
+def test_registry_guards_catch_orphans_and_dropped_selections(monkeypatch):
+    """The loader must refuse (a) an oracle key naming no registered
+    query (typo'd ORACLES assignment -> silent rows-only degradation)
+    and (b) a (module, names) selection never completed by a bare entry
+    (remaining queries silently vanish from driver grading)."""
+    import types
+
+    import dic_a1_spark.registry as reg
+
+    fake = types.ModuleType("fake_ops")
+    fake.QUERIES = {"q_a": lambda s, d: None, "q_b": lambda s, d: None}
+    fake.ORACLES = {"q_a": "SELECT 1", "q_typo": "SELECT 2"}
+    import sys
+
+    monkeypatch.setitem(sys.modules, "fake_ops", fake)
+
+    monkeypatch.setattr(reg, "_MODULES", ("fake_ops",))
+    with pytest.raises(ValueError, match="oracles without queries"):
+        reg._load()
+
+    fake.ORACLES = {"q_a": "SELECT 1"}
+    monkeypatch.setattr(reg, "_MODULES", (("fake_ops", ("q_a",)),))
+    with pytest.raises(ValueError, match="never registered"):
+        reg._load()
+
+    monkeypatch.setattr(reg, "_MODULES", (("fake_ops", ("q_a",)), "fake_ops"))
+    qs, os_ = reg._load()
+    assert set(qs) == {"q_a", "q_b"} and list(qs)[0] == "q_a"

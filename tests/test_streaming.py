@@ -165,23 +165,35 @@ def test_stream_funnel_matches_batch(spark):
 
 def test_stream_incremental_admission_matches_batch(spark):
     """availableNow replay of the stream-static admission equals the
-    batch dedup_incremental_keep on the same files.
+    batch dedup_incremental_keep on the same files — exactly, including
+    which doc_id represents each duplicate set: the stateful min-tracker
+    is order-free, so parity holds under ANY delivery order or input
+    split layout (unlike a first-arrival dropDuplicates). Updates may
+    appear once per micro-batch; the final (min-doc_id) state is the
+    last update per hash."""
+    from pyspark.sql import functions as F
 
-    Exact parity (including which doc_id represents each duplicate set)
-    relies on the file source delivering rows in file order — doc_id
-    ascending in the driver's parquet — so first-seen == min doc_id; see
-    incremental_admission's ORDERING note."""
     from dic_a1_spark.operators.incremental import dedup_incremental_keep
 
     stream = jobs.read_increment_stream(spark, SF_SMOKE)
     jobs.run_to_memory(
         jobs.incremental_admission(stream, spark, SF_SMOKE),
         "t_inc_admit",
-        output_mode="append",
+        output_mode="update",
+    )
+    last = (
+        spark.table("t_inc_admit")
+        .groupBy("content_hash")
+        .agg(
+            F.min(
+                F.struct("doc_id", "lang", "source", "n_chars")
+            ).alias("s")
+        )
+        .select("content_hash", "s.doc_id", "s.lang", "s.source", "s.n_chars")
     )
     got = {
         (r["doc_id"], r["content_hash"], r["lang"], r["source"], r["n_chars"])
-        for r in spark.table("t_inc_admit").collect()
+        for r in last.collect()
     }
     want = {
         (r["doc_id"], r["content_hash"], r["lang"], r["source"], r["n_chars"])

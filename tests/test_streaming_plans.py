@@ -99,7 +99,7 @@ def test_incremental_admission_plan_shape(spark):
     stream = jobs.read_increment_stream(spark, SF_SMOKE)
     df = jobs.incremental_admission(stream, spark, SF_SMOKE)
     plan = _analyzed(df)
-    assert "Deduplicate" in plan and "content_hash" in plan
+    assert "FlatMapGroupsInPandasWithState" in plan and "content_hash" in plan
     assert "LeftAnti" in plan
     assert plan.count("StreamingRelation") == 1, (
         "corpus side must be static, not a second stream"
