@@ -148,3 +148,63 @@ def test_simhash_md5_groups_cover_pairs(spark):
     assert len(groups) == n_docs
     for r in pairs:
         assert groups[r["doc1"]] == groups[r["doc2"]], (r["doc1"], r["doc2"])
+
+
+def test_simhash_md5_signature_fuzz_matches_python_reference(spark):
+    """Adversarial token multisets through the Column-expression 40-bit
+    SimHash must match a plain-Python reference computing the identical
+    md5-base derivation and majority vote — the same cross-engine parity
+    argument the DuckDB oracle rests on, exercised on tie-heavy and
+    single-token inputs the driver corpus never produces."""
+    import hashlib
+    import random
+
+    rng = random.Random(20260814)
+    # letter-only vocab: the shared tokenizer strips digits/punct, so
+    # tokens must survive translate() unchanged for the reference to
+    # mirror the Spark side byte-for-byte
+    import itertools
+
+    vocab = [
+        "".join(p) for p in itertools.product("abcde", repeat=3)
+    ][:40] + ["é", "ß", "日本", "x" * 50]
+    docs = [
+        ["solo"],                          # single token: sig == base's bits
+        ["a", "b"],                        # every bit vote is an exact tie -> 0
+        vocab[:4] * 3,                     # duplicates collapse (distinct)
+    ]
+    for _ in range(100):
+        docs.append(rng.sample(vocab, rng.randint(1, 12)))
+
+    def base(w: str) -> int:
+        return int(hashlib.md5(w.encode()).hexdigest()[:10], 16)
+
+    def ref_sig(words: list[str]) -> int:
+        bases = sorted({base(w) for w in words})
+        n = len(bases)
+        sig = 0
+        for j in range(lsh.SIMHASH_MD5_BITS):
+            c = sum((b >> j) & 1 for b in bases)
+            if 2 * c > n:
+                sig |= 1 << j
+        return sig
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in lsh._md5_simhash_signatures(lsh._md5_token_bases(df)).collect()
+    }
+    from dic_a1_spark.functions.text import tokenize  # noqa: F401
+    # the Spark side tokenizes `text`; mirror it: our vocab avoids the
+    # tokenizer's stripped charset except case (lower() applied)
+    for i, words in enumerate(docs):
+        toks = [w.lower() for w in words]
+        assert got[i] == ref_sig(toks), (i, words)
+    # the exact-tie document must vote every bit to 0 only where bits
+    # disagree; re-check directly
+    a, b = base("a"), base("b")
+    expect_ab = a & b  # tie (2*1 == 2) -> 0 unless both bases share the bit
+    assert got[1] == expect_ab
