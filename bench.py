@@ -102,6 +102,9 @@ HEADLINE = [
     # dedup_ladder_report runs all four certified group families incl.
     # the 16-iteration simhash label prop — sweep-covered, too heavy for
     # the headline wall-clock set
+    # round 5: product quantization (ADC shortlist + exact re-rank)
+    "embedding_pq_codes",
+    "knn_cosine_pq",
 ]
 
 

@@ -34,9 +34,10 @@ from pyspark.sql import DataFrame, SparkSession
 #   knn_cosine_quantized_fast — NEW this round, shares the exact twin's
 #   oracle — 1 (cum 29), simhash md5 twins — NEW this round, the
 #   SimHash analog of the md5-minhash certification family — 2
-#   (cum 31), then module-rest regrades ordered oldest-rows-first:
-#   curation 8 (cum 39), events 9 (cum 48, r1/r2 rows), textstats 9
-#   (cum 57; the seven entries past the window edge are r3/r4-green and
+#   (cum 31), product quantization — NEW this round — 3 (cum 34), then
+#   module-rest regrades ordered oldest-rows-first: curation 8
+#   (cum 42), events 9 (cum 51, r1/r2 rows; the last entry sits at the
+#   window edge), textstats 9 (past the edge, r3/r4-green and
 #   unchanged).
 # r4 hash-green blocks (sketches/ngrams/udxf/multimodal/dedup/tpch_full/
 # similarity/lsh) move back, guarded by pytest + the sf0.1 sweep artifact;
@@ -64,6 +65,7 @@ _MODULES = (
         "dic_a1_spark.operators.lsh",
         ("dedup_simhash_md5_pairs", "dedup_simhash_md5_groups"),
     ),
+    "dic_a1_spark.operators.pq",
     "dic_a1_spark.operators.curation",
     "dic_a1_spark.operators.events",
     "dic_a1_spark.operators.textstats",

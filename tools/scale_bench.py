@@ -232,6 +232,8 @@ def main() -> None:
         "embedding_quantize_int8",
         "knn_cosine_quantized",
         "knn_cosine_quantized_fast",
+        "embedding_pq_codes",
+        "knn_cosine_pq",
     ]:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
