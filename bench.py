@@ -104,6 +104,7 @@ HEADLINE = [
     # the headline wall-clock set
     # round 5: product quantization (ADC shortlist + exact re-rank)
     "embedding_pq_codes",
+    "embedding_pq_codes_fast",
     "knn_cosine_pq",
 ]
 

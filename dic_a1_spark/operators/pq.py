@@ -366,3 +366,97 @@ ORACLES: dict[str, str] = {
     FROM pq_ranked WHERE rank <= {TOP_K}
     """,
 }
+
+
+def embedding_pq_codes_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of embedding_pq_codes, BIT-IDENTICAL output — the
+    production assignment shape (the ivf_assignments_fast /
+    knn_cosine_quantized_fast playbook): the N x M x PQ_K row
+    enumeration becomes one Arrow batch pass with the codebook on the
+    driver (M x PQ_K = 1024 subvectors — the documented constant
+    collect bound).
+
+    Parity design: d2 repeats the Column expression's EXACT float
+    recipe — each of the three dot products accumulates
+    DIMENSION-BY-DIMENSION (acc += x[:, i] * y[:, i], the
+    _dot_seq_batch order; never a BLAS matmul, whose pairwise summation
+    rounds differently), then da + db - 2.0*dab in the same
+    association — so distances are bit-identical and the argmin with
+    lowest-code tiebreak picks identical codes. Registered under the
+    SAME oracle SQL as embedding_pq_codes."""
+    import numpy as np
+    import pyspark.sql.types as T
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb_rows = (
+        e.where(F.col("vec_id") < PQ_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    order = np.argsort([r["vec_id"] for r in cb_rows])
+    C = np.stack(
+        [np.asarray(cb_rows[i]["embedding"], dtype=np.float64) for i in order]
+    )  # (K, D) in ascending code order
+
+    def seq_dot(A, B):
+        acc = np.zeros(A.shape[0], dtype=np.float64)
+        for i in range(A.shape[1]):
+            acc += A[:, i] * B[:, i]
+        return acc
+
+    # per-subspace codebook self-norms, sequential order
+    cb_sub = [
+        C[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for m in range(PQ_M)
+    ]
+    cb_norm = [seq_dot(s, s) for s in cb_sub]
+    bc = spark.sparkContext.broadcast((cb_sub, cb_norm))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("codes", T.StringType()),
+        ]
+    )
+
+    def assign_batches(batches):
+        import pandas as pd
+
+        cb_sub_, cb_norm_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            n = len(V)
+            codes = np.zeros((n, PQ_M), dtype=np.int64)
+            for m in range(PQ_M):
+                vs = V[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+                va = seq_dot(vs, vs)  # (n,)
+                # d2[n, k] = va + cb_norm[k] - 2 * dot(vs, cb[k]),
+                # each dot accumulated dimension-by-dimension
+                d2 = np.empty((n, PQ_K), dtype=np.float64)
+                for k in range(PQ_K):
+                    ck = cb_sub_[m][k]
+                    dab = np.zeros(n, dtype=np.float64)
+                    for i in range(PQ_SUBDIM):
+                        dab += vs[:, i] * ck[i]
+                    d2[:, k] = va + cb_norm_[m][k] - 2.0 * dab
+                # argmin with lowest-code tiebreak: np.argmin returns the
+                # FIRST minimal index, which is the lowest code id
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "codes": [" ".join(map(str, row)) for row in codes],
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        assign_batches, out_schema
+    )
+
+
+QUERIES["embedding_pq_codes_fast"] = embedding_pq_codes_fast
+# Identical output by construction -> shares the exact query's oracle.
+ORACLES["embedding_pq_codes_fast"] = ORACLES["embedding_pq_codes"]

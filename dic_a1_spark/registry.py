@@ -34,11 +34,11 @@ from pyspark.sql import DataFrame, SparkSession
 #   knn_cosine_quantized_fast — NEW this round, shares the exact twin's
 #   oracle — 1 (cum 29), simhash md5 twins — NEW this round, the
 #   SimHash analog of the md5-minhash certification family — 2
-#   (cum 31), product quantization — NEW this round — 3 (cum 34), then
-#   module-rest regrades ordered oldest-rows-first: curation 8
-#   (cum 42), events 9 (cum 51, r1/r2 rows; the last entry sits at the
-#   window edge), textstats 9 (past the edge, r3/r4-green and
-#   unchanged).
+#   (cum 31), product quantization — NEW this round — 4 incl. the
+#   bit-identical batch assignment twin (cum 35), then module-rest
+#   regrades ordered oldest-rows-first: curation 8 (cum 43), events 9
+#   (cum 52, r1/r2 rows; the last two sit past the window edge),
+#   textstats 9 (past the edge, r3/r4-green and unchanged).
 # r4 hash-green blocks (sketches/ngrams/udxf/multimodal/dedup/tpch_full/
 # similarity/lsh) move back, guarded by pytest + the sf0.1 sweep artifact;
 # chisq/relational/sql_surface/tpch_extra rest on r1-r3 green rows.

@@ -52,3 +52,15 @@ def test_pq_rerank_recall_vs_fp32(spark):
     assert len(got) == len(fp)
     recall = len(fp & got) / len(fp)
     assert recall >= 0.85, f"PQ rerank top-{TOP_K} recall {recall:.2f}"
+
+
+def test_pq_codes_fast_twin_is_bit_identical(spark):
+    """The Arrow-batched assignment must equal the Column-expression
+    query exactly (sequential-fold distances, first-minimum tiebreak)."""
+    exact = sorted(
+        map(tuple, pq.embedding_pq_codes(spark, SF_CORRECT).collect())
+    )
+    fast = sorted(
+        map(tuple, pq.embedding_pq_codes_fast(spark, SF_CORRECT).collect())
+    )
+    assert exact == fast

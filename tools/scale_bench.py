@@ -233,6 +233,7 @@ def main() -> None:
         "knn_cosine_quantized",
         "knn_cosine_quantized_fast",
         "embedding_pq_codes",
+        "embedding_pq_codes_fast",
         "knn_cosine_pq",
     ]:
         spark.catalog.clearCache()
