@@ -156,9 +156,44 @@ def dedup_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@K of the PQ shortlist+re-rank pipeline vs fp32
+    brute force — the audit that sizes PQ_SHORTLIST (the quantized
+    report's posture, for the third compression family)."""
+    from dic_a1_spark.operators.pq import knn_cosine_pq
+    from dic_a1_spark.operators.similarity import TOP_K, knn_cosine_bruteforce
+
+    fp = knn_cosine_bruteforce(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("fp_neighbor")
+    )
+    pqk = knn_cosine_pq(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("pq_neighbor")
+    )
+    matched = fp.join(
+        pqk,
+        (fp["query_id"] == pqk["query_id"])
+        & (fp["fp_neighbor"] == pqk["pq_neighbor"]),
+    ).groupBy(fp["query_id"].alias("query_id")).agg(
+        F.count("*").alias("n_matched")
+    )
+    return (
+        fp.select("query_id")
+        .distinct()
+        .join(matched, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            F.round(
+                F.coalesce("n_matched", F.lit(0)) / F.lit(float(TOP_K)), 4
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_recall_report": lsh_recall_report,
     "quantized_knn_recall_report": quantized_knn_recall_report,
+    "pq_knn_recall_report": pq_knn_recall_report,
     "dedup_group_size_histogram": dedup_group_size_histogram,
 }
 
@@ -166,6 +201,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 def _oracles() -> dict[str, str]:
     from dic_a1_spark.operators.dedup import JACCARD_THRESHOLD
     from dic_a1_spark.operators.lsh import ORACLES as LSH_ORACLES
+    from dic_a1_spark.operators.pq import ORACLES as PQ_ORACLES
     from dic_a1_spark.operators.quantize import ORACLES as Q_ORACLES
     from dic_a1_spark.operators.similarity import ORACLES as SIM_ORACLES
     from dic_a1_spark.operators.dedup import ORACLES as DEDUP_ORACLES
@@ -223,6 +259,28 @@ def _oracles() -> dict[str, str]:
                 SELECT fp.query_id, count(*) AS n_matched
                 FROM fp JOIN q8 ON fp.query_id = q8.query_id
                                 AND fp.neighbor_id = q8.neighbor_id
+                GROUP BY fp.query_id
+            )
+            SELECT f.query_id,
+                   COALESCE(m.n_matched, 0) AS n_matched,
+                   round(CAST(COALESCE(m.n_matched, 0) AS DOUBLE)
+                         / {_TOP_K_F}, 4) AS recall_at_k
+            FROM (SELECT DISTINCT query_id FROM fp) f
+            LEFT JOIN m ON m.query_id = f.query_id
+        """,
+        "pq_knn_recall_report": f"""
+            WITH fp AS (
+                SELECT query_id, neighbor_id
+                FROM ({SIM_ORACLES["knn_cosine_bruteforce"]})
+            ),
+            pqk AS (
+                SELECT query_id, neighbor_id
+                FROM ({PQ_ORACLES["knn_cosine_pq"]})
+            ),
+            m AS (
+                SELECT fp.query_id, count(*) AS n_matched
+                FROM fp JOIN pqk ON fp.query_id = pqk.query_id
+                                 AND fp.neighbor_id = pqk.neighbor_id
                 GROUP BY fp.query_id
             )
             SELECT f.query_id,

@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 #   scrub 3 (cum 3), incremental 3 (cum 6), quantize 3 (cum 9; qvec
 #   string fix + zero-norm guard this round), lexical 2 (cum 11; norms
 #   broadcast hints dropped), evalops 3 (cum 14; sizes hints dropped),
-#   evalops also carries dedup_ladder_report, NEW this round (cum 15),
+#   evalops also carries dedup_ladder_report + pq_knn_recall_report,
+#   both NEW this round (cum 16),
 #   textstats first-rows pair (cum 17), events first-rows pair (cum 19),
 #   doc_pack_concat fix (cum 20), corpusops — NEW this round — 6
 #   (cum 26, incl. the composed corpus_hygiene_pipeline), ml_ops 2
@@ -34,10 +35,10 @@ from pyspark.sql import DataFrame, SparkSession
 #   knn_cosine_quantized_fast — NEW this round, shares the exact twin's
 #   oracle — 1 (cum 29), simhash md5 twins — NEW this round, the
 #   SimHash analog of the md5-minhash certification family — 2
-#   (cum 31), product quantization — NEW this round — 4 incl. the
-#   bit-identical batch assignment twin (cum 35), then module-rest
-#   regrades ordered oldest-rows-first: curation 8 (cum 43), events 9
-#   (cum 52, r1/r2 rows; the last two sit past the window edge),
+#   (cum 32), product quantization — NEW this round — 4 incl. the
+#   bit-identical batch assignment twin (cum 36), then module-rest
+#   regrades ordered oldest-rows-first: curation 8 (cum 44), events 9
+#   (cum 53, r1/r2 rows; the last three sit past the window edge),
 #   textstats 9 (past the edge, r3/r4-green and unchanged).
 # r4 hash-green blocks (sketches/ngrams/udxf/multimodal/dedup/tpch_full/
 # similarity/lsh) move back, guarded by pytest + the sf0.1 sweep artifact;
