@@ -105,9 +105,12 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity-proxy quality score (high avg bits = rare-word soup, low =
     boilerplate), computed against the corpus's own unigram counts.
 
-    surprisal_bits(w) = bit-length(floor(N / c(w))) ~ log2(N/c(w)) + 1,
-    an exact bigint in both engines (the lexical.py idf trick), so the
-    per-doc total is exact and only the final avg division is float."""
+    surprisal_bits(w) = bit-length(N div c(w)) ~ log2(N/c(w)) + 1, an
+    exact bigint in both engines (the lexical.py idf trick; N div c is
+    true integer division — Spark ``div`` / DuckDB ``//`` — so the bit
+    length is exact at any corpus size, with no double-rounding flips at
+    power-of-two boundaries past 2^53 tokens), so the per-doc total is
+    exact and only the final avg division is float."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
@@ -118,15 +121,7 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hint — vocabulary grows sublinearly but unboundedly, AQE decides.
     bits_tbl = counts.crossJoin(F.broadcast(total)).select(
         "word",
-        F.length(
-            F.bin(
-                F.floor(
-                    F.col("n_total").cast("double") / F.col("c").cast("double")
-                )
-            )
-        )
-        .cast("long")
-        .alias("bits"),
+        F.length(F.bin(F.expr("n_total div c"))).cast("long").alias("bits"),
     )
     return (
         tok.join(bits_tbl, "word")
@@ -380,10 +375,9 @@ ORACLES: dict[str, str] = {
         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM counts),
         bits AS (
             SELECT word,
-                   CAST(length(bin(CAST(floor(
-                       CAST((SELECT n_total FROM tot) AS DOUBLE)
-                       / CAST(c AS DOUBLE)
-                   ) AS BIGINT))) AS BIGINT) AS bits
+                   CAST(length(bin(
+                       (SELECT n_total FROM tot) // c
+                   )) AS BIGINT) AS bits
             FROM counts
         )
         SELECT t.doc_id,

@@ -81,10 +81,14 @@ class ReviewsJsonlReader(DataSourceReader):
         size = os.path.getsize(self.path)
         n = max(1, (size + self.split_bytes - 1) // self.split_bytes)
         step = (size // n) + 1
-        return [
-            _Split(self.path, i * step, min((i + 1) * step, size))
+        # step = size//n + 1 can overshoot (size=8, n=4 -> step=3 puts
+        # split 3 at start=9 > end=8); clamping start and dropping empty
+        # ranges avoids scheduling dead tasks for those splits.
+        splits = [
+            _Split(self.path, min(i * step, size), min((i + 1) * step, size))
             for i in range(n)
         ]
+        return [s for s in splits if s.start < s.end] or splits[:1]
 
     def read(self, split: _Split):
         with open(split.path, "rb") as f:

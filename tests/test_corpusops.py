@@ -85,7 +85,7 @@ def test_bloom_bits_side_broadcasts_and_probe_is_hits_only(spark):
     """Plan pins for the scale claims in SCALING.md: the bits frame (the
     CONSTANT-bounded Bloom positions) joins by broadcast, and the outlier
     stats join is a broadcast of the dimension-sized frame."""
-    from dic_a1_spark.plans.explain import formatted_plan, has_broadcast_join
+    from dic_a1_spark.plans.explain import has_broadcast_join
 
     bloom = corpusops.decontam_bloom(spark, SF_CORRECT)
     assert has_broadcast_join(bloom)

@@ -69,6 +69,12 @@ def main() -> int:
             n_fail += 1
         entry["sec"] = round(time.perf_counter() - t0, 2)
         results[name] = entry
+        # A few entries persist() intermediates (lsh md5 signatures,
+        # decontam_bloom arrays, ml_ops features) and can't unpersist
+        # before their action runs; dropping cached blocks between
+        # entries keeps a 150-query sweep from accumulating
+        # MEMORY_AND_DISK blocks (same hygiene as tools/scale_bench.py).
+        spark.catalog.clearCache()
         status = "ok" if "err" not in entry else "FAIL"
         print(f"# {name}: {status} ({entry['sec']}s)", file=sys.stderr, flush=True)
 
