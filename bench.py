@@ -106,6 +106,10 @@ HEADLINE = [
     "embedding_pq_codes",
     "embedding_pq_codes_fast",
     "knn_cosine_pq",
+    # round 6: corpus line dedup (CCNet-style boilerplate scrub) and
+    # SemDeDup (cluster-local semantic dedup over embeddings)
+    "line_dedup_kept",
+    "semdedup_keep",
 ]
 
 

@@ -1,0 +1,256 @@
+"""Mixture planning — deciding HOW MUCH of each domain/language a
+training run consumes. The pipeline's dedup/scrub stages decide what is
+admissible; these operators turn the admissible corpus census into an
+integer token-allocation plan:
+
+  - `domain_mix_allocation`: largest-remainder apportionment of a fixed
+    token budget across sources, proportional to observed token counts.
+    Pure BIGINT arithmetic end-to-end (quota = (budget*c) div C, leftover
+    seats by remainder rank), so the plan is exactly reproducible and the
+    allocations sum to the budget by construction.
+  - `lang_temperature_mix`: UniMax/mC4-style temperature sampling —
+    w_l = c_l^(1/T) flattens the language distribution (T>1 upsamples
+    tails); reports sampling probability and effective epochs per
+    language.
+  - `mix_epoch_plan`: the temperature plan over sources with an epoch
+    cap (a domain is never repeated more than MAX_EPOCHS times, the
+    standard guard against memorizing small high-weight domains).
+
+Scale shape: each operator is one partial-agg census (shuffle keyed by
+source/lang, combiner collapses before the exchange) over a
+corpus-sized scan, followed by arithmetic on a DOMAIN-sized frame
+(thousands of rows at worst). The census-total joins are 1-row or
+domain-sized crossJoins — broadcast by construction, never
+corpus-proportional. Window totals over the domain frame stay on a
+single post-agg partition.
+
+Float parity note: the temperature path is double arithmetic; Spark and
+DuckDB expressions are written with IDENTICAL association
+(pow -> ratio -> multiply -> divide, in that order) so results are
+bit-equal, per the repo's oracle-parity rules.
+
+Reference scope: the reference engine (mrjob chi-square pipeline) has no
+mixture surface; this module is part of the training-data-pipeline
+extension mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dic_a1_spark.config import duckdb_tokens_sql
+from dic_a1_spark.functions.text import tokenize
+from dic_a1_spark.sources.readers import load_table
+
+# Token budget being apportioned (plan-level constant; real runs pass
+# their own). Small enough that budget * per-domain token counts stay
+# far inside BIGINT at any census this repo sees.
+TOKEN_BUDGET = 1_000_000
+# Sampling temperature: w = c^(1/T). T=2 is a mild flatten (sqrt).
+MIX_TEMPERATURE = 2.0
+# Epoch ceiling for the capped plan.
+MAX_EPOCHS = 4.0
+
+
+def _source_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, c_tokens): one partial-agg shuffle keyed by source."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("source", F.size(tokenize(F.col("text"))).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("bigint").alias("c_tokens"))
+    )
+
+
+def domain_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of TOKEN_BUDGET across
+    sources. All-BIGINT: quota = (budget*c) div C; the leftover
+    budget - sum(quota) seats go to the largest remainders
+    (budget*c - quota*C), ties broken by source name. sum(alloc_tokens)
+    == TOKEN_BUDGET exactly."""
+    c = _source_census(spark, sf_dir)
+    tot = c.agg(F.sum("c_tokens").cast("bigint").alias("c_total"))
+    q = (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "quota",
+            F.expr(f"CAST({TOKEN_BUDGET} AS BIGINT) * c_tokens div c_total"),
+        )
+        .withColumn(
+            "remainder",
+            F.expr(
+                f"CAST({TOKEN_BUDGET} AS BIGINT) * c_tokens - quota * c_total"
+            ),
+        )
+    )
+    w_all = Window.partitionBy()
+    ranked = q.withColumn(
+        "leftover", F.lit(TOKEN_BUDGET) - F.sum("quota").over(w_all)
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy().orderBy(
+                F.desc("remainder"), F.asc("source")
+            )
+        ),
+    )
+    return ranked.select(
+        "source",
+        "c_tokens",
+        "quota",
+        "remainder",
+        (
+            F.col("quota")
+            + (F.col("rnk") <= F.col("leftover")).cast("bigint")
+        ).alias("alloc_tokens"),
+    )
+
+
+def lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling table: w = c^(1/T),
+    p = w / sum(w), effective epochs = budget * p / c. Association is
+    fixed (see module docstring) for bit parity with the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select("lang", F.size(tokenize(F.col("text"))).alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("c_tokens"),
+        )
+    )
+    w = F.pow(
+        F.col("c_tokens").cast("double"), F.lit(1.0 / MIX_TEMPERATURE)
+    )
+    weighted = c.withColumn("w", w)
+    tot = weighted.agg(F.sum("w").alias("w_total"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "c_tokens",
+            F.round(F.col("w") / F.col("w_total"), 6).alias("p_sample"),
+            F.round(
+                F.lit(float(TOKEN_BUDGET))
+                * (F.col("w") / F.col("w_total"))
+                / F.col("c_tokens").cast("double"),
+                4,
+            ).alias("eff_epochs"),
+        )
+    )
+
+
+def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped temperature plan over sources: epochs = least(MAX_EPOCHS,
+    budget * (w/sum(w)) / c); planned_tokens = floor(epochs * c) as
+    BIGINT (floor BEFORE the cast — the repo's float-parity rule)."""
+    c = _source_census(spark, sf_dir)
+    weighted = c.withColumn(
+        "w",
+        F.pow(F.col("c_tokens").cast("double"), F.lit(1.0 / MIX_TEMPERATURE)),
+    )
+    tot = weighted.agg(F.sum("w").alias("w_total"))
+    epochs_raw = (
+        F.lit(float(TOKEN_BUDGET))
+        * (F.col("w") / F.col("w_total"))
+        / F.col("c_tokens").cast("double")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "c_tokens",
+            F.round(F.col("w") / F.col("w_total"), 6).alias("p_target"),
+            F.round(
+                F.least(F.lit(MAX_EPOCHS), epochs_raw), 4
+            ).alias("epochs"),
+            F.floor(
+                F.least(F.lit(MAX_EPOCHS), epochs_raw)
+                * F.col("c_tokens").cast("double")
+            )
+            .cast("bigint")
+            .alias("planned_tokens"),
+        )
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "domain_mix_allocation": domain_mix_allocation,
+    "lang_temperature_mix": lang_temperature_mix,
+    "mix_epoch_plan": mix_epoch_plan,
+}
+
+_TOKS = duckdb_tokens_sql()
+
+_SRC_CENSUS = f"""
+    WITH census AS (
+        SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS c_tokens
+        FROM documents GROUP BY source
+    )
+"""
+
+ORACLES: dict[str, str] = {
+    "domain_mix_allocation": _SRC_CENSUS
+    + f"""
+    , tot AS (SELECT CAST(sum(c_tokens) AS BIGINT) AS c_total FROM census),
+    q AS (
+        SELECT source, c_tokens,
+               CAST({TOKEN_BUDGET} AS BIGINT) * c_tokens // c_total AS quota,
+               CAST({TOKEN_BUDGET} AS BIGINT) * c_tokens
+                   - (CAST({TOKEN_BUDGET} AS BIGINT) * c_tokens // c_total)
+                     * c_total AS remainder
+        FROM census CROSS JOIN tot
+    ),
+    ranked AS (
+        SELECT *,
+               CAST({TOKEN_BUDGET} AS BIGINT) - sum(quota) OVER () AS leftover,
+               row_number() OVER (ORDER BY remainder DESC, source ASC) AS rnk
+        FROM q
+    )
+    SELECT source, c_tokens, quota, remainder,
+           quota + CAST(CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc_tokens
+    FROM ranked
+    """,
+    "lang_temperature_mix": f"""
+    WITH census AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({_TOKS})) AS BIGINT) AS c_tokens
+        FROM documents GROUP BY lang
+    ),
+    weighted AS (
+        SELECT *, pow(CAST(c_tokens AS DOUBLE), {1.0 / MIX_TEMPERATURE!r}) AS w
+        FROM census
+    ),
+    tot AS (SELECT sum(w) AS w_total FROM weighted)
+    SELECT lang, n_docs, c_tokens,
+           round(w / w_total, 6) AS p_sample,
+           round(CAST({TOKEN_BUDGET} AS DOUBLE) * (w / w_total)
+                 / CAST(c_tokens AS DOUBLE), 4) AS eff_epochs
+    FROM weighted CROSS JOIN tot
+    """,
+    "mix_epoch_plan": _SRC_CENSUS
+    + f"""
+    , weighted AS (
+        SELECT *, pow(CAST(c_tokens AS DOUBLE), {1.0 / MIX_TEMPERATURE!r}) AS w
+        FROM census
+    ),
+    tot AS (SELECT sum(w) AS w_total FROM weighted)
+    SELECT source, c_tokens,
+           round(w / w_total, 6) AS p_target,
+           round(least({MAX_EPOCHS!r},
+                       CAST({TOKEN_BUDGET} AS DOUBLE) * (w / w_total)
+                       / CAST(c_tokens AS DOUBLE)), 4) AS epochs,
+           CAST(floor(least({MAX_EPOCHS!r},
+                            CAST({TOKEN_BUDGET} AS DOUBLE) * (w / w_total)
+                            / CAST(c_tokens AS DOUBLE))
+                      * CAST(c_tokens AS DOUBLE)) AS BIGINT)
+               AS planned_tokens
+    FROM weighted CROSS JOIN tot
+    """,
+}

@@ -21,51 +21,43 @@ from pyspark.sql import DataFrame, SparkSession
 # module's later bare entry picks up the rest) — this gives the rotation
 # per-QUERY window control instead of per-module granularity.
 #
-# ROUND-5 ROTATION (executes the plan staged in r4): front every entry
-# the driver has never graded plus everything edited this round —
-#   scrub 3 (cum 3), incremental 3 (cum 6), quantize 3 (cum 9; qvec
-#   string fix + zero-norm guard this round), lexical 2 (cum 11; norms
-#   broadcast hints dropped), evalops 3 (cum 14; sizes hints dropped),
-#   evalops also carries dedup_ladder_report + pq_knn_recall_report,
-#   both NEW this round (cum 16),
-#   textstats first-rows pair (cum 17), events first-rows pair (cum 19),
-#   doc_pack_concat fix (cum 20), corpusops — NEW this round — 6
-#   (cum 26, incl. the composed corpus_hygiene_pipeline), ml_ops 2
-#   (cum 28, rows-only; neardups collapse-expand rework),
-#   knn_cosine_quantized_fast — NEW this round, shares the exact twin's
-#   oracle — 1 (cum 29), simhash md5 twins — NEW this round, the
-#   SimHash analog of the md5-minhash certification family — 2
-#   (cum 32), product quantization — NEW this round — 4 incl. the
-#   bit-identical batch assignment twin (cum 36), then module-rest
-#   regrades ordered oldest-rows-first: curation 8 (cum 44), events 9
-#   (cum 53, r1/r2 rows; the last three sit past the window edge),
-#   textstats 9 (past the edge, r3/r4-green and unchanged).
-# r4 hash-green blocks (sketches/ngrams/udxf/multimodal/dedup/tpch_full/
-# similarity/lsh) move back, guarded by pytest + the sf0.1 sweep artifact;
-# chisq/relational/sql_surface/tpch_extra rest on r1-r3 green rows.
+# ROUND-6 ROTATION. Cross-round coverage entering this round is COMPLETE
+# (all 151 entries driver-graded, 142/142 oracle queries hash-green at
+# least once, 9 rows-only by design — CORRECTNESS_r01..r05). The r6
+# window therefore fronts (a) everything NEW this round, (b) re-grades of
+# modules edited since their last green row, then (c) oldest-green-first
+# re-certification:
+#   linededup — NEW this round — 3 (cum 3),
+#   semdedup — NEW this round — 3 (cum 6),
+#   sampling — NEW this round (cum varies; module may not exist yet —
+#   registry skips missing modules so staging is safe),
+#   mixing — NEW this round (same),
+#   corpusops 6 re-grade (surprisal moved to integer division in
+#   `4cbb3dc`), lsh md5-simhash 2 re-grade (persist-lifetime edit, same
+#   commit), then oldest-rows-first: chisq 5 (r1/r2 rows),
+#   sql_surface 6, tpch_extra 5, relational 32 (r1-r3 rows; the window
+#   edge lands mid-relational — its tail plus everything below rests on
+#   r3-r5 green rows, pytest, and the committed sf0.1 sweep).
 _MODULES = (
-    "dic_a1_spark.operators.scrub",
-    "dic_a1_spark.operators.incremental",
-    (
-        "dic_a1_spark.operators.quantize",
-        (
-            "embedding_quantize_int8",
-            "quantize_error_certificate",
-            "knn_cosine_quantized",
-        ),
-    ),
-    "dic_a1_spark.operators.lexical",
-    "dic_a1_spark.operators.evalops",
-    ("dic_a1_spark.operators.textstats", ("doc_length_histogram", "text_ngram_vocab")),
-    ("dic_a1_spark.operators.events", ("events_gapfill_hourly", "events_funnel_depth")),
-    ("dic_a1_spark.operators.curation", ("doc_pack_concat",)),
+    "dic_a1_spark.operators.linededup",
+    "dic_a1_spark.operators.semdedup",
+    "dic_a1_spark.operators.sampling",
+    "dic_a1_spark.operators.mixing",
     "dic_a1_spark.operators.corpusops",
-    "dic_a1_spark.operators.ml_ops",
-    "dic_a1_spark.operators.quantize",
     (
         "dic_a1_spark.operators.lsh",
         ("dedup_simhash_md5_pairs", "dedup_simhash_md5_groups"),
     ),
+    "dic_a1_spark.operators.chisq",
+    "dic_a1_spark.operators.sql_surface",
+    "dic_a1_spark.operators.tpch_extra",
+    "dic_a1_spark.operators.relational",
+    "dic_a1_spark.operators.scrub",
+    "dic_a1_spark.operators.incremental",
+    "dic_a1_spark.operators.quantize",
+    "dic_a1_spark.operators.lexical",
+    "dic_a1_spark.operators.evalops",
+    "dic_a1_spark.operators.ml_ops",
     "dic_a1_spark.operators.pq",
     "dic_a1_spark.operators.curation",
     "dic_a1_spark.operators.events",
@@ -78,10 +70,6 @@ _MODULES = (
     "dic_a1_spark.operators.tpch_full",
     "dic_a1_spark.operators.similarity",
     "dic_a1_spark.operators.lsh",
-    "dic_a1_spark.operators.tpch_extra",
-    "dic_a1_spark.operators.sql_surface",
-    "dic_a1_spark.operators.chisq",
-    "dic_a1_spark.operators.relational",
 )
 
 

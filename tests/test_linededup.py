@@ -1,0 +1,64 @@
+"""Oracle + semantics checks for corpus-level line deduplication."""
+
+from __future__ import annotations
+
+import pytest
+
+from dic_a1_spark.operators import linededup
+from dic_a1_spark.plans.explain import formatted_plan
+from tests.conftest import SF_CORRECT
+from tests.oracle_utils import compare
+
+
+@pytest.mark.parametrize("name", sorted(linededup.ORACLES))
+def test_linededup_oracle(spark, name):
+    compare(
+        spark, linededup.ORACLES[name], linededup.QUERIES[name], SF_CORRECT, name
+    )
+
+
+def test_stats_nonvacuous(spark):
+    """Both the kept and dropped branches must be populated at sf0.01 —
+    the Q11-vacuity rule (LINE_LEN is calibrated for this)."""
+    r = linededup.line_dedup_stats(spark, SF_CORRECT).collect()[0]
+    assert r["dup_lines"] > 0
+    assert r["dropped_instances"] > 0
+    assert 0.0 < r["kept_ratio"] < 1.0
+    assert r["total_instances"] > r["dropped_instances"]
+
+
+def test_kept_covers_every_document_and_respects_census(spark):
+    """Row-count parity with the corpus: line dedup edits documents, it
+    never drops rows. Docs that lose lines and docs that keep all lines
+    must both exist."""
+    from dic_a1_spark.sources.readers import load_table
+
+    kept = linededup.line_dedup_kept(spark, SF_CORRECT)
+    rows = kept.collect()
+    n_docs = load_table(spark, SF_CORRECT, "documents").count()
+    assert len(rows) == n_docs
+    assert any(r["n_kept"] < r["n_lines"] for r in rows)
+    assert any(r["n_kept"] == r["n_lines"] for r in rows)
+    assert all(0 <= r["n_kept"] <= r["n_lines"] for r in rows)
+    # Reassembly arithmetic: text_clean word count == n_kept * LINE_LEN
+    # except possibly the doc's short last line.
+    for r in rows:
+        n_words = len(r["text_clean"].split()) if r["text_clean"] else 0
+        hi = r["n_kept"] * linededup.LINE_LEN
+        assert hi - linededup.LINE_LEN < n_words <= hi or r["n_kept"] == 0
+
+
+def test_hot_lines_sorted_and_all_duplicated(spark):
+    rows = linededup.line_dedup_hot_lines(spark, SF_CORRECT).collect()
+    assert 0 < len(rows) <= linededup.HOT_K
+    keys = [(-r["n_docs"], -r["n_inst"], r["line_text"]) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r["n_docs"] >= linededup.DUP_DOCS for r in rows)
+
+
+def test_line_construction_is_map_only(spark):
+    """The synthetic-line view must not shuffle: tokenize + window count +
+    slice are array expressions over the scan (module docstring, scale
+    shape step 1)."""
+    plan = formatted_plan(linededup._lines(spark, SF_CORRECT))
+    assert "Exchange" not in plan
