@@ -37,6 +37,7 @@ from dic_a1_spark.operators.similarity import (
     _cosine_pre,
     _norm,
     ivf_assignments,
+    ivf_assignments_fast,
 )
 from dic_a1_spark.sources.readers import load_table
 
@@ -48,16 +49,30 @@ from dic_a1_spark.sources.readers import load_table
 SEMDEDUP_SIM = 0.35
 
 
-def _cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cluster_pairs(
+    spark: SparkSession, sf_dir: str, *, ivf_k: int | None = None
+) -> DataFrame:
     """All ordered within-cluster pairs (i < j) with rounded cosine —
-    one shuffle on centroid_id; quadratic only inside a cluster."""
+    one shuffle on centroid_id; quadratic only inside a cluster.
+
+    ``ivf_k=None`` (the registered/oracle path) uses the exact
+    fixed-first-K assignment subtree; passing an int switches to the
+    matmul assignment twin (driver-certified bit-identical) with that
+    many clusters — the scale path, where K grows with the corpus so
+    cluster size (and the quadratic term) stays bounded
+    (tools/scale_bench.py sizes it)."""
     e = load_table(spark, sf_dir, "embeddings")
     vec = e.select(
         "vec_id",
         F.col("embedding").alias("v"),
         _norm(F.col("embedding")).alias("vn"),
     )
-    asg = ivf_assignments(spark, sf_dir).select("vec_id", "centroid_id")
+    if ivf_k is None:
+        asg = ivf_assignments(spark, sf_dir).select("vec_id", "centroid_id")
+    else:
+        asg = ivf_assignments_fast(spark, sf_dir, ivf_k=ivf_k).select(
+            "vec_id", "centroid_id"
+        )
     side = asg.join(vec, "vec_id")
     left = side.select(
         F.col("vec_id").alias("i"),
@@ -104,13 +119,21 @@ def semdedup_dropped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("dropped_id", "witness_id", "sim")
 
 
-def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semdedup_keep(
+    spark: SparkSession, sf_dir: str, *, ivf_k: int | None = None
+) -> DataFrame:
     """Full corpus with the kept flag: vec_id, centroid_id, label, kept.
-    kept=false iff an earlier-id same-cluster vector is >= tau similar."""
+    kept=false iff an earlier-id same-cluster vector is >= tau similar.
+    ``ivf_k`` as in `_cluster_pairs` (None = registered exact path)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    asg = ivf_assignments(spark, sf_dir).select("vec_id", "centroid_id")
+    if ivf_k is None:
+        asg = ivf_assignments(spark, sf_dir).select("vec_id", "centroid_id")
+    else:
+        asg = ivf_assignments_fast(spark, sf_dir, ivf_k=ivf_k).select(
+            "vec_id", "centroid_id"
+        )
     dropped = (
-        _cluster_pairs(spark, sf_dir)
+        _cluster_pairs(spark, sf_dir, ivf_k=ivf_k)
         .where(F.col("sim") >= SEMDEDUP_SIM)
         .select(F.col("j").alias("vec_id"))
         .distinct()

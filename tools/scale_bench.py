@@ -90,6 +90,17 @@ HEADLINE_DOC_QUERIES = [
     "domain_quota_cap",
     "quality_outlier_zscore",
     "corpus_hygiene_pipeline",
+    # round-6 tranche: corpus line dedup (adversarial here — every line
+    # recurs `factor` times, so ~everything is boilerplate and the
+    # kept-filter join runs at full tilt), leakage-safe splits over
+    # factor-sized tokenset groups, deterministic sampling, and the
+    # domain-census mixture planners
+    "line_dedup_kept",
+    "line_dedup_stats",
+    "split_leakage_safe_assign",
+    "sample_per_group_hash",
+    "domain_mix_allocation",
+    "mix_epoch_plan",
 ]
 
 
@@ -261,6 +272,27 @@ def main() -> None:
     }
     print(
         f"# embedding_neardup_blocked_k{scaled_k}: {sec}s, {rows_out} rows",
+        file=sys.stderr,
+        flush=True,
+    )
+
+    # SemDeDup at scale: the registered fixed-K query is quadratic inside
+    # clusters (like blocked near-dup), so the honest scale number grows
+    # K with the corpus — same sizing formula as scaled_k above — via the
+    # bit-identical matmul assignment twin.
+    from dic_a1_spark.operators.semdedup import semdedup_keep
+
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    rows_out = semdedup_keep(spark, args.work_dir, ivf_k=scaled_k).count()
+    sec = round(time.perf_counter() - t0, 3)
+    emb_queries[f"semdedup_keep_k{scaled_k}"] = {
+        "sec": sec,
+        "rows_out": rows_out,
+        "vecs_per_sec": round(n_vecs / sec, 1) if sec > 0 else None,
+    }
+    print(
+        f"# semdedup_keep_k{scaled_k}: {sec}s, {rows_out} rows",
         file=sys.stderr,
         flush=True,
     )
