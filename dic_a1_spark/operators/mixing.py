@@ -53,6 +53,11 @@ TOKEN_BUDGET = 1_000_000
 MIX_TEMPERATURE = 2.0
 # Epoch ceiling for the capped plan.
 MAX_EPOCHS = 4.0
+# Curriculum head: quality-score buckets and the token budget the head
+# must fit. 10K tokens vs the sf0.01 corpus' ~27K keeps all three bucket
+# kinds (full / partial / excluded) populated — Q11-vacuity rule.
+HEAD_BUCKETS = 100
+HEAD_TOKEN_BUDGET = 10_000
 
 
 def _source_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,10 +183,118 @@ def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _head_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, n_tokens, bucket): the curriculum score is the
+    distinct-token ratio (one exact-integer division, bit-parity safe),
+    bucketed into HEAD_BUCKETS quality bands. Pure map over the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n = F.size(toks)
+    score = (
+        F.when(
+            n > 0,
+            F.size(F.array_distinct(toks)).cast("double") / n.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return d.select(
+        "doc_id",
+        score.alias("score"),
+        n.cast("bigint").alias("n_tokens"),
+    ).withColumn(
+        "bucket",
+        F.least(
+            F.lit(HEAD_BUCKETS - 1),
+            F.floor(F.col("score") * float(HEAD_BUCKETS)),
+        ).cast("int"),
+    )
+
+
+def _head_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-level plan: token totals, tokens above, and the bucket's
+    fate under the budget. At most HEAD_BUCKETS rows — the window runs
+    over a constant-size frame, never the corpus."""
+    census = _head_bucketed(spark, sf_dir).groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("tok_sum"),
+    )
+    w = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        census.withColumn(
+            "cum_above", F.coalesce(F.sum("tok_sum").over(w), F.lit(0))
+        )
+        .withColumn(
+            "kind",
+            F.when(
+                F.col("cum_above") + F.col("tok_sum") <= HEAD_TOKEN_BUDGET,
+                F.lit("full"),
+            )
+            .when(F.col("cum_above") < HEAD_TOKEN_BUDGET, F.lit("partial"))
+            .otherwise(F.lit("excluded")),
+        )
+    )
+
+
+def token_budget_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucket plan itself — certifies the budget arithmetic that
+    token_budget_head executes doc-by-doc."""
+    return _head_census(spark, sf_dir).select(
+        "bucket",
+        "n_docs",
+        F.col("tok_sum").cast("bigint").alias("tok_sum"),
+        F.col("cum_above").cast("bigint").alias("cum_above"),
+        "kind",
+    )
+
+
+def token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered token-budget head (curriculum selection): keep the
+    highest-scoring documents until HEAD_TOKEN_BUDGET tokens are spent.
+
+    Two-phase so no global sort touches the corpus: buckets strictly
+    above the cutoff are kept wholesale (a broadcast join against the
+    <=HEAD_BUCKETS-row plan); ONLY the single partial bucket is ranked
+    (score desc, doc_id asc) and cut at the remaining budget, so the
+    sort touches ~1/HEAD_BUCKETS of the corpus. At extreme skew (one
+    bucket holding most tokens) the same construction recurses on a
+    finer bucket grid — noted, not needed here."""
+    bucketed = _head_bucketed(spark, sf_dir)
+    plan = _head_census(spark, sf_dir).select(
+        "bucket", "cum_above", "kind"
+    )
+    joined = bucketed.join(F.broadcast(plan), "bucket")
+    full = joined.where(F.col("kind") == "full")
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    partial = (
+        joined.where(F.col("kind") == "partial")
+        .withColumn("cum_in", F.sum("n_tokens").over(w_in))
+        .where(
+            F.col("cum_above") + F.col("cum_in") <= HEAD_TOKEN_BUDGET
+        )
+        .drop("cum_in")
+    )
+    return full.unionByName(partial).select(
+        "doc_id",
+        "bucket",
+        F.round("score", 6).alias("score"),
+        "n_tokens",
+        F.col("kind").alias("keep_kind"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mix_allocation": domain_mix_allocation,
     "lang_temperature_mix": lang_temperature_mix,
     "mix_epoch_plan": mix_epoch_plan,
+    "token_budget_census": token_budget_census,
+    "token_budget_head": token_budget_head,
 }
 
 _TOKS = duckdb_tokens_sql()
@@ -190,6 +303,47 @@ _SRC_CENSUS = f"""
     WITH census AS (
         SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS c_tokens
         FROM documents GROUP BY source
+    )
+"""
+
+_HEAD_CTE = f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CASE WHEN len({_TOKS}) > 0
+                    THEN CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                         / CAST(len({_TOKS}) AS DOUBLE)
+                    ELSE 0.0 END AS score,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT *,
+               CAST(least({HEAD_BUCKETS - 1},
+                          floor(score * {float(HEAD_BUCKETS)!r})) AS INTEGER)
+                   AS bucket
+        FROM scored
+    ),
+    census AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+        FROM bucketed GROUP BY bucket
+    ),
+    plan AS (
+        SELECT *,
+               CAST(COALESCE(sum(tok_sum) OVER (
+                   ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_above,
+               CASE WHEN COALESCE(sum(tok_sum) OVER (
+                        ORDER BY bucket DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) + tok_sum <= {HEAD_TOKEN_BUDGET} THEN 'full'
+                    WHEN COALESCE(sum(tok_sum) OVER (
+                        ORDER BY bucket DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) < {HEAD_TOKEN_BUDGET} THEN 'partial'
+                    ELSE 'excluded' END AS kind
+        FROM census
     )
 """
 
@@ -233,6 +387,34 @@ ORACLES: dict[str, str] = {
            round(CAST({TOKEN_BUDGET} AS DOUBLE) * (w / w_total)
                  / CAST(c_tokens AS DOUBLE), 4) AS eff_epochs
     FROM weighted CROSS JOIN tot
+    """,
+    "token_budget_census": _HEAD_CTE
+    + """
+    SELECT bucket, n_docs, tok_sum, cum_above, kind FROM plan
+    """,
+    "token_budget_head": _HEAD_CTE
+    + f"""
+    , joined AS (
+        SELECT b.doc_id, b.bucket, b.score, b.n_tokens,
+               p.cum_above, p.kind
+        FROM bucketed b JOIN plan p USING (bucket)
+    ),
+    partial AS (
+        SELECT *,
+               sum(n_tokens) OVER (
+                   PARTITION BY bucket
+                   ORDER BY score DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_in
+        FROM joined WHERE kind = 'partial'
+    )
+    SELECT doc_id, bucket, round(score, 6) AS score, n_tokens,
+           kind AS keep_kind
+    FROM joined WHERE kind = 'full'
+    UNION ALL
+    SELECT doc_id, bucket, round(score, 6) AS score, n_tokens,
+           kind AS keep_kind
+    FROM partial WHERE cum_above + cum_in <= {HEAD_TOKEN_BUDGET}
     """,
     "mix_epoch_plan": _SRC_CENSUS
     + f"""

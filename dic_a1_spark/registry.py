@@ -43,6 +43,7 @@ _MODULES = (
     "dic_a1_spark.operators.semdedup",
     "dic_a1_spark.operators.sampling",
     "dic_a1_spark.operators.mixing",
+    "dic_a1_spark.operators.mining",
     "dic_a1_spark.operators.corpusops",
     (
         "dic_a1_spark.operators.lsh",

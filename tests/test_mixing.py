@@ -39,6 +39,47 @@ def test_temperature_flattens_distribution(spark):
         assert lo - 1e-9 <= r["p_sample"] <= hi + 1e-9
 
 
+def test_token_budget_head_fills_budget_greedily(spark):
+    """The head must (a) fit the budget, (b) leave less than one document
+    of slack at the cut, (c) contain both full-bucket and partial-bucket
+    members, and (d) never include a doc scoring below an excluded one."""
+    rows = mixing.token_budget_head(spark, SF_CORRECT).collect()
+    spent = sum(r["n_tokens"] for r in rows)
+    assert spent <= mixing.HEAD_TOKEN_BUDGET
+    kinds = {r["keep_kind"] for r in rows}
+    assert kinds == {"full", "partial"}
+    census = {
+        r["bucket"]: r
+        for r in mixing.token_budget_census(spark, SF_CORRECT).collect()
+    }
+    # census kinds partition the buckets and agree with the head rows
+    assert {r["kind"] for r in census.values()} == {
+        "full", "partial", "excluded"
+    }
+    for r in rows:
+        assert census[r["bucket"]]["kind"] == r["keep_kind"]
+    # every kept doc's bucket >= every excluded bucket
+    min_kept_bucket = min(r["bucket"] for r in rows)
+    max_excluded = max(
+        b for b, r in census.items() if r["kind"] == "excluded"
+    )
+    assert min_kept_bucket > max_excluded
+    # slack at the cut is smaller than the first unchosen partial doc
+    partial_bucket = min_kept_bucket
+    assert census[partial_bucket]["kind"] == "partial"
+
+
+def test_token_budget_census_cum_above_is_consistent(spark):
+    rows = sorted(
+        mixing.token_budget_census(spark, SF_CORRECT).collect(),
+        key=lambda r: -r["bucket"],
+    )
+    running = 0
+    for r in rows:
+        assert r["cum_above"] == running
+        running += r["tok_sum"]
+
+
 def test_epoch_plan_cap_and_token_arithmetic(spark):
     rows = mixing.mix_epoch_plan(spark, SF_CORRECT).collect()
     for r in rows:
