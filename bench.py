@@ -106,10 +106,12 @@ HEADLINE = [
     "embedding_pq_codes",
     "embedding_pq_codes_fast",
     "knn_cosine_pq",
-    # round 6: corpus line dedup (CCNet-style boilerplate scrub) and
-    # SemDeDup (cluster-local semantic dedup over embeddings)
+    # round 6: corpus line dedup (CCNet-style boilerplate scrub),
+    # SemDeDup (cluster-local semantic dedup over embeddings), and the
+    # batch ADC twin of PQ retrieval
     "line_dedup_kept",
     "semdedup_keep",
+    "knn_cosine_pq_fast",
 ]
 
 

@@ -56,15 +56,22 @@ DUP_DOCS = 2
 HOT_K = 20
 
 
-def _lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, line_pos, line_text): the deterministic synthetic-line
-    view. Map-only: tokenize -> window count -> slice, no shuffle."""
+def _doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks, n_lines): the pre-explode per-document frame.
+    Map-only over the scan — reused by line_dedup_kept so per-doc
+    n_lines never requires re-aggregating the exploded line frame."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", tokenize(F.col("text")).alias("toks")).select(
+    return d.select("doc_id", tokenize(F.col("text")).alias("toks")).select(
         "doc_id",
         "toks",
         F.expr(f"(size(toks) + {LINE_LEN - 1}) div {LINE_LEN}").alias("n_lines"),
     )
+
+
+def _lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, line_pos, line_text): the deterministic synthetic-line
+    view. Map-only: tokenize -> window count -> slice, no shuffle."""
+    tok = _doc_lines(spark, sf_dir)
     return (
         tok.where(F.col("n_lines") > 0)
         .select(
@@ -120,7 +127,13 @@ def line_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text_clean"),
     )
-    base = lines.groupBy("doc_id").agg(F.max("n_lines").alias("n_lines"))
+    # Per-doc n_lines comes from the pre-explode frame: a map-only scan,
+    # not a groupBy over the exploded lines (saves a corpus-sized shuffle).
+    base = (
+        _doc_lines(spark, sf_dir)
+        .where(F.col("n_lines") > 0)
+        .select("doc_id", "n_lines")
+    )
     return (
         base.join(rebuilt, "doc_id", "left")
         .select(

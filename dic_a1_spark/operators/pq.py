@@ -368,6 +368,48 @@ ORACLES: dict[str, str] = {
 }
 
 
+def _np_seq_dot(A, B):
+    """Row-wise dot accumulated DIMENSION-BY-DIMENSION — the numpy
+    replica of the Column expression's sequential F.aggregate fold
+    (never a BLAS matmul, whose pairwise summation rounds differently)."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for i in range(A.shape[1]):
+        acc += A[:, i] * B[:, i]
+    return acc
+
+
+def _np_codebook_parts(C):
+    """Per-subspace codebook views + self-norms (sequential order) from
+    the (K, D) float64 codebook matrix."""
+    cb_sub = [C[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for m in range(PQ_M)]
+    cb_norm = [_np_seq_dot(s, s) for s in cb_sub]
+    return cb_sub, cb_norm
+
+
+def _np_assign_codes(V, cb_sub, cb_norm):
+    """(n, PQ_M) code matrix for a (n, D) float64 batch — the exact
+    query's d2 recipe (three sequential folds, da + db - 2*dab) with
+    np.argmin's first-minimal-index = lowest-code tiebreak."""
+    import numpy as np
+
+    n = len(V)
+    codes = np.zeros((n, PQ_M), dtype=np.int64)
+    for m in range(PQ_M):
+        vs = V[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        va = _np_seq_dot(vs, vs)
+        d2 = np.empty((n, PQ_K), dtype=np.float64)
+        for k in range(PQ_K):
+            ck = cb_sub[m][k]
+            dab = np.zeros(n, dtype=np.float64)
+            for i in range(PQ_SUBDIM):
+                dab += vs[:, i] * ck[i]
+            d2[:, k] = va + cb_norm[m][k] - 2.0 * dab
+        codes[:, m] = d2.argmin(axis=1)
+    return codes
+
+
 def embedding_pq_codes_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of embedding_pq_codes, BIT-IDENTICAL output — the
     production assignment shape (the ivf_assignments_fast /
@@ -398,17 +440,7 @@ def embedding_pq_codes_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         [np.asarray(cb_rows[i]["embedding"], dtype=np.float64) for i in order]
     )  # (K, D) in ascending code order
 
-    def seq_dot(A, B):
-        acc = np.zeros(A.shape[0], dtype=np.float64)
-        for i in range(A.shape[1]):
-            acc += A[:, i] * B[:, i]
-        return acc
-
-    # per-subspace codebook self-norms, sequential order
-    cb_sub = [
-        C[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for m in range(PQ_M)
-    ]
-    cb_norm = [seq_dot(s, s) for s in cb_sub]
+    cb_sub, cb_norm = _np_codebook_parts(C)
     bc = spark.sparkContext.broadcast((cb_sub, cb_norm))
 
     out_schema = T.StructType(
@@ -428,23 +460,7 @@ def embedding_pq_codes_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
             V = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
-            n = len(V)
-            codes = np.zeros((n, PQ_M), dtype=np.int64)
-            for m in range(PQ_M):
-                vs = V[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
-                va = seq_dot(vs, vs)  # (n,)
-                # d2[n, k] = va + cb_norm[k] - 2 * dot(vs, cb[k]),
-                # each dot accumulated dimension-by-dimension
-                d2 = np.empty((n, PQ_K), dtype=np.float64)
-                for k in range(PQ_K):
-                    ck = cb_sub_[m][k]
-                    dab = np.zeros(n, dtype=np.float64)
-                    for i in range(PQ_SUBDIM):
-                        dab += vs[:, i] * ck[i]
-                    d2[:, k] = va + cb_norm_[m][k] - 2.0 * dab
-                # argmin with lowest-code tiebreak: np.argmin returns the
-                # FIRST minimal index, which is the lowest code id
-                codes[:, m] = d2.argmin(axis=1)
+            codes = _np_assign_codes(V, cb_sub_, cb_norm_)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
@@ -460,3 +476,137 @@ def embedding_pq_codes_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["embedding_pq_codes_fast"] = embedding_pq_codes_fast
 # Identical output by construction -> shares the exact query's oracle.
 ORACLES["embedding_pq_codes_fast"] = ORACLES["embedding_pq_codes"]
+
+
+def knn_cosine_pq_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of knn_cosine_pq, BIT-IDENTICAL output — the ADC
+    stage as production runs it: one Arrow pass assigns codes
+    (`_np_assign_codes`, the certified recipe), gathers the
+    reconstruction row straight from the driver-broadcast codebook, and
+    scores ADC cosine per batch, emitting only the per-batch top
+    PQ_SHORTLIST rows per query (the knn_cosine_quantized_fast
+    playbook: the global shortlist is a subset of the union of batch
+    shortlists).
+
+    Parity design: ADC sims repeat the Column expression's float recipe
+    — dot products accumulate dimension-by-dimension (`_np_seq_dot`),
+    then dab / (sqrt(qq) * sqrt(rr)) in the same op order — so the
+    global shortlist window (same ordering expressions) picks the
+    IDENTICAL shortlist, and the exact re-rank stage is the same
+    DataFrame subtree as the exact query (rounding and ranking
+    delegated to Spark). Registered under the SAME oracle SQL as
+    knn_cosine_pq."""
+    import numpy as np
+    import pyspark.sql.types as T
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb_rows = (
+        e.where(F.col("vec_id") < PQ_K).select("vec_id", "embedding").collect()
+    )
+    order = np.argsort([r["vec_id"] for r in cb_rows])
+    C = np.stack(
+        [np.asarray(cb_rows[i]["embedding"], dtype=np.float64) for i in order]
+    )
+    cb_sub, cb_norm = _np_codebook_parts(C)
+
+    q_rows = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
+    sq_qn = np.sqrt(_np_seq_dot(Q, Q))
+    bc = spark.sparkContext.broadcast((cb_sub, cb_norm, C, q_ids, Q, sq_qn))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("adc_sim", T.DoubleType()),
+        ]
+    )
+
+    def score_batches(batches):
+        import pandas as pd
+
+        cb_sub_, cb_norm_, C_, q_ids_, Q_, sq_qn_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            nbr = pdf["vec_id"].to_numpy(dtype=np.int64)
+            codes = _np_assign_codes(V, cb_sub_, cb_norm_)
+            # Reconstruction: gather codebook subvectors per chosen code.
+            R = np.empty_like(V)
+            for m in range(PQ_M):
+                R[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] = cb_sub_[m][
+                    codes[:, m]
+                ]
+            sq_rn = np.sqrt(_np_seq_dot(R, R))
+            for qi in range(len(q_ids_)):
+                qid = int(q_ids_[qi])
+                # dab accumulated dimension-by-dimension (fold order)
+                dab = np.zeros(len(R), dtype=np.float64)
+                for i in range(R.shape[1]):
+                    dab += Q_[qi, i] * R[:, i]
+                sims = dab / (sq_qn_[qi] * sq_rn)
+                mask = nbr != qid
+                s, nn = sims[mask], nbr[mask]
+                if not len(nn):
+                    continue
+                pick = np.lexsort((nn, -s))[:PQ_SHORTLIST]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": nn[pick],
+                        "adc_sim": s[pick],
+                    }
+                )
+
+    cand = e.select("vec_id", "embedding").mapInPandas(
+        score_batches, out_schema
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_sim"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        cand.withColumn("srank", F.row_number().over(w_short))
+        .where(F.col("srank") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    queries = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("qe"),
+    )
+    exact_side = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("ne_exact"),
+    )
+    exact = _dot(F.col("qe"), F.col("ne_exact")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot(F.col("ne_exact"), F.col("ne_exact")))
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.join(F.broadcast(queries), "query_id")
+        .join(exact_side, "neighbor_id")
+        .select("query_id", "neighbor_id", exact.alias("sim_raw"))
+        .withColumn("rank", F.row_number().over(w_final))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim_raw", 4).alias("sim_pq"),
+            "rank",
+        )
+    )
+
+
+QUERIES["knn_cosine_pq_fast"] = knn_cosine_pq_fast
+# Identical output by construction -> shares the exact query's oracle.
+ORACLES["knn_cosine_pq_fast"] = ORACLES["knn_cosine_pq"]

@@ -44,6 +44,8 @@ _MODULES = (
     "dic_a1_spark.operators.sampling",
     "dic_a1_spark.operators.mixing",
     "dic_a1_spark.operators.mining",
+    # knn_cosine_pq_fast — NEW this round, shares the exact twin's oracle
+    ("dic_a1_spark.operators.pq", ("knn_cosine_pq_fast",)),
     "dic_a1_spark.operators.corpusops",
     (
         "dic_a1_spark.operators.lsh",

@@ -64,3 +64,13 @@ def test_pq_codes_fast_twin_is_bit_identical(spark):
         map(tuple, pq.embedding_pq_codes_fast(spark, SF_CORRECT).collect())
     )
     assert exact == fast
+
+
+def test_knn_pq_fast_twin_is_bit_identical(spark):
+    """The ADC batch twin must reproduce knn_cosine_pq row-for-row —
+    same shortlist (bit-equal ADC sims), same exact re-rank."""
+    exact = sorted(map(tuple, pq.knn_cosine_pq(spark, SF_CORRECT).collect()))
+    fast = sorted(
+        map(tuple, pq.knn_cosine_pq_fast(spark, SF_CORRECT).collect())
+    )
+    assert exact == fast

@@ -246,6 +246,7 @@ def main() -> None:
         "embedding_pq_codes",
         "embedding_pq_codes_fast",
         "knn_cosine_pq",
+        "knn_cosine_pq_fast",
     ]:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
