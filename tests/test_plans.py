@@ -110,3 +110,57 @@ def test_q13_join_side_predicate_preserves_customers(spark):
     )
     # both scans pruned to the referenced columns
     assert any("c_custkey" in s and "c_name" not in s for s in a["read_schemas"])
+
+
+def test_line_dedup_census_join_not_hint_pinned(spark):
+    """Both sides of the kept-filter join are corpus-proportional: the
+    plan must not pin a broadcast there (AQE may still pick one at tiny
+    SF — the pin we forbid is the HINT, visible as a broadcast join at
+    the analysis stage when AQE is bypassed). Structural proxy: the
+    exploded-line frame is map-only (no exchange below the census agg),
+    and per-doc n_lines never costs a second corpus aggregation —
+    exchanges stay at the census + kept/rebuilt/base joins."""
+    a = _audit(spark, "line_dedup_kept")
+    assert a["exchanges"] <= 4
+    # the scan reads only (doc_id, text)
+    assert all("struct<doc_id:bigint,text:string>" == s for s in a["read_schemas"])
+
+
+def test_sample_per_group_uses_window_group_limit(spark):
+    """The rank <= K predicate must push into the window as a partial
+    top-K (WindowGroupLimit), so the shuffle carries at most K rows per
+    (source, map partition)."""
+    from dic_a1_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(all_queries()["sample_per_group_hash"](spark, SF_CORRECT))
+    assert "WindowGroupLimit" in plan
+    a = _audit(spark, "sample_per_group_hash")
+    assert a["exchanges"] == 1
+
+
+def test_mixing_census_joins_are_broadcast(spark):
+    """Mixture planners aggregate once, then every join runs on a
+    domain-sized frame — the totals crossJoin must be a broadcast, never
+    a shuffle of the census."""
+    for name in ("domain_mix_allocation", "lang_temperature_mix", "mix_epoch_plan"):
+        a = _audit(spark, name)
+        assert a["broadcast_join"], name
+
+
+def test_token_budget_head_plan_shape(spark):
+    """The bucket plan joins broadcast (<=100 rows) and only the partial
+    bucket is ranked: no global-sort exchange over the corpus."""
+    from dic_a1_spark.plans.explain import formatted_plan
+
+    a = _audit(spark, "token_budget_head")
+    assert a["broadcast_join"]
+    plan = formatted_plan(all_queries()["token_budget_head"](spark, SF_CORRECT))
+    # a global Sort with no partition keys would appear as a rangepartitioning
+    # exchange over the full doc frame
+    assert "rangepartitioning" not in plan.lower().replace("_", "")
+
+
+def test_hard_negatives_broadcasts_queries(spark):
+    a = _audit(spark, "embedding_hard_negatives")
+    assert a["broadcast_join"]
+    assert a["exchanges"] == 1  # only the per-query top-k window
