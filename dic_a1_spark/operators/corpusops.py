@@ -586,3 +586,161 @@ ORACLES["corpus_hygiene_pipeline"] = f"""
     JOIN outl o ON b.doc_id = o.doc_id
     JOIN surp s ON b.doc_id = s.doc_id
 """
+
+
+# --- round 6: vocabulary coverage + the one-row corpus datacard --------
+
+# Tokenizer-vocabulary size for the OOV audit. 25 of the sf corpus' 31
+# distinct words: the 6 rarest words fall out-of-vocabulary, so both
+# the in-vocab and OOV branches are populated (Q11-vacuity rule). At
+# production scale V is the trained tokenizer's vocab (bounded, e.g.
+# 32K-256K) — still a constant-size broadcast.
+VOCAB_V = 25
+
+
+def vocab_topv_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus' own top-V
+    word vocabulary — the coverage audit run before freezing a tokenizer
+    (a rising OOV rate flags domain drift).
+
+    Scale shape: the vocabulary census is one explode-groupBy shuffle
+    (map-side combine carries (word, count)); top-V is sort+limit —
+    Spark executes TakeOrderedAndProject (per-partition partial top-V,
+    no global sort materialization); the per-doc probe is a broadcast
+    join against the CONSTANT V-row vocabulary, then one per-doc
+    aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
+    )
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(VOCAB_V)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus summary a dataset release publishes: sizes,
+    vocabulary, duplicate census, and lexical density. Every figure is
+    integer-derived (counts, distinct hash counts, and ONE division of
+    two exact bigint sums for density) so the row is engine-exact.
+
+    Scale shape: one pass over the scan computes the per-doc frame
+    (token counts + content hashes, map-only), collapsed by a single
+    global aggregate; the distinct-word count is a second explode-agg;
+    the two 1-row frames crossJoin broadcast-for-free."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    per_doc = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).cast("bigint").alias("n"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("nd"),
+        F.md5(F.encode("text", "UTF-8")).alias("text_hash"),
+        F.md5(
+            F.encode(
+                F.concat_ws(" ", F.array_sort(F.array_distinct(toks))), "UTF-8"
+            )
+        ).alias("ts_hash"),
+    )
+    doc_agg = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.count("*") - F.countDistinct("text_hash")).alias("exact_dup_docs"),
+        (F.count("*") - F.countDistinct("ts_hash")).alias("tokenset_dup_docs"),
+        F.round(
+            F.sum("nd").cast("double") / F.sum("n").cast("double"), 6
+        ).alias("lexical_density"),
+    )
+    words = d.select(F.explode(toks).alias("w")).agg(
+        F.countDistinct("w").alias("distinct_words")
+    )
+    return doc_agg.crossJoin(F.broadcast(words)).select(
+        "n_docs",
+        "total_tokens",
+        "distinct_words",
+        "n_langs",
+        "n_sources",
+        "exact_dup_docs",
+        "tokenset_dup_docs",
+        "lexical_density",
+    )
+
+
+QUERIES["vocab_topv_oov"] = vocab_topv_oov
+QUERIES["corpus_datacard"] = corpus_datacard
+
+ORACLES["vocab_topv_oov"] = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+    ),
+    vocab AS (
+        SELECT word FROM (
+            SELECT word, count(*) AS cnt FROM tok GROUP BY word
+            ORDER BY cnt DESC, word ASC LIMIT {VOCAB_V}
+        )
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           round(CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS oov_rate
+    FROM tok t LEFT JOIN vocab v USING (word)
+    GROUP BY t.doc_id
+"""
+
+ORACLES["corpus_datacard"] = f"""
+    WITH per_doc AS (
+        SELECT doc_id, lang, source,
+               CAST(len({_TOKS}) AS BIGINT) AS n,
+               CAST(len(list_distinct({_TOKS})) AS BIGINT) AS nd,
+               md5(text) AS text_hash,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+                   AS ts_hash
+        FROM documents
+    ),
+    doc_agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS total_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(count(*) - count(DISTINCT text_hash) AS BIGINT)
+                   AS exact_dup_docs,
+               CAST(count(*) - count(DISTINCT ts_hash) AS BIGINT)
+                   AS tokenset_dup_docs,
+               round(CAST(sum(nd) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+                   AS lexical_density
+        FROM per_doc
+    ),
+    words AS (
+        SELECT CAST(count(DISTINCT w) AS BIGINT) AS distinct_words
+        FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+    )
+    SELECT n_docs, total_tokens, distinct_words, n_langs, n_sources,
+           exact_dup_docs, tokenset_dup_docs, lexical_density
+    FROM doc_agg CROSS JOIN words
+"""

@@ -134,3 +134,30 @@ def test_hygiene_pipeline_is_conjunction_of_stage_gates(spark):
         assert r["admitted"] == want, doc_id
     verdicts = {r["admitted"] for r in stages.values()}
     assert verdicts == {True, False}
+
+
+def test_vocab_oov_branches_and_bounds(spark):
+    """Both OOV branches populated; rates consistent with counts; the
+    vocabulary actually has VOCAB_V entries (corpus vocab is larger)."""
+    rows = corpusops.vocab_topv_oov(spark, SF_CORRECT).collect()
+    assert any(r["n_oov"] > 0 for r in rows)
+    assert any(r["n_oov"] == 0 for r in rows)
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        # Spark rounds HALF_UP, Python round() is banker's — compare to
+        # the unrounded ratio within the rounding quantum instead.
+        assert abs(r["oov_rate"] - r["n_oov"] / r["n_tokens"]) <= 5e-5 + 1e-12
+
+
+def test_datacard_cross_checks_other_operators(spark):
+    """The datacard's figures must agree with the operators they
+    summarize: tokenset dup census vs dedup_tokenset_groups, distinct
+    words vs the OOV census population."""
+    from dic_a1_spark.operators.dedup import dedup_tokenset_groups
+
+    card = corpusops.corpus_datacard(spark, SF_CORRECT).collect()[0]
+    groups = dedup_tokenset_groups(spark, SF_CORRECT).collect()
+    assert card["n_docs"] == sum(r["n_docs"] for r in groups)
+    assert card["tokenset_dup_docs"] == sum(r["n_docs"] - 1 for r in groups)
+    assert card["distinct_words"] > corpusops.VOCAB_V
+    assert 0.0 < card["lexical_density"] < 1.0
