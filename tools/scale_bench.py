@@ -101,6 +101,8 @@ HEADLINE_DOC_QUERIES = [
     "sample_per_group_hash",
     "domain_mix_allocation",
     "mix_epoch_plan",
+    "vocab_topv_oov",
+    "corpus_datacard",
 ]
 
 
