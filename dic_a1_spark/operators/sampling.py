@@ -51,6 +51,8 @@ SAMPLE_K = 5
 # Bernoulli keep threshold on the first 8 md5 hex chars: "40000000" /
 # 2^32 = 25% nominal rate.
 BERNOULLI_BELOW = "40000000"
+# Output shards for the write-path plan.
+N_SHARDS = 16
 
 
 def _split_of(col):
@@ -159,11 +161,58 @@ def sample_bernoulli_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path shard plan: every document maps to one of N_SHARDS
+    output shards by hash (`bigint(first 10 md5 hex chars) mod S`, the
+    lsh.py md5-affine device — exact in both engines), and the plan row
+    per shard reports docs, tokens, chars, and the load factor vs a
+    perfectly uniform spread. This is the repartition-by-key the writer
+    executes plus the imbalance audit that decides whether S needs
+    raising; the shard map is stable under retries and appends (hash,
+    not round-robin).
+
+    Scale shape: one partial-agg shuffle keyed by shard (S groups); the
+    load-factor window runs over the S-row plan frame."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    shard = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 10), 16, 10)"
+        f" as bigint) % {N_SHARDS}"
+    ).cast("int")
+    per_shard = (
+        d.select(
+            shard.alias("shard_id"),
+            F.size(toks).cast("bigint").alias("n"),
+            F.col("n_chars"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return per_shard.select(
+        "shard_id",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        F.round(
+            F.col("n_docs").cast("double")
+            * float(N_SHARDS)
+            / F.sum("n_docs").over(w_all).cast("double"),
+            4,
+        ).alias("load_factor"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage_safe_assign": split_leakage_safe_assign,
     "split_leakage_audit": split_leakage_audit,
     "sample_per_group_hash": sample_per_group_hash,
     "sample_bernoulli_stats": sample_bernoulli_stats,
+    "corpus_shard_plan": corpus_shard_plan,
 }
 
 _TOKS = duckdb_tokens_sql()
@@ -228,6 +277,21 @@ ORACLES: dict[str, str] = {
                ) AS sample_rank
         FROM documents
     ) WHERE sample_rank <= {SAMPLE_K}
+    """,
+    "corpus_shard_plan": f"""
+    WITH per_shard AS (
+        SELECT CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10))
+                         AS BIGINT) % {N_SHARDS} AS INTEGER) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1
+    )
+    SELECT shard_id, n_docs, total_tokens, total_chars,
+           round(CAST(n_docs AS DOUBLE) * {float(N_SHARDS)!r}
+                 / CAST(sum(n_docs) OVER () AS DOUBLE), 4) AS load_factor
+    FROM per_shard
     """,
     "sample_bernoulli_stats": f"""
     SELECT lang,

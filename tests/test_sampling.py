@@ -61,3 +61,15 @@ def test_bernoulli_rate_near_nominal(spark):
     assert 0 < k < n
     # md5 is uniform: the corpus-level rate sits near 25%
     assert 0.15 < k / n < 0.35
+
+
+def test_shard_plan_covers_corpus_uniformly(spark):
+    from dic_a1_spark.sources.readers import load_table
+
+    rows = sampling.corpus_shard_plan(spark, SF_CORRECT).collect()
+    assert len(rows) == sampling.N_SHARDS
+    n_docs = load_table(spark, SF_CORRECT, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # md5 is uniform: no shard should be pathologically hot or empty
+    for r in rows:
+        assert 0.5 < r["load_factor"] < 2.0
