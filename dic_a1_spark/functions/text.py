@@ -37,6 +37,17 @@ def tokenize(col: Column) -> Column:
     return F.split(normalize_text(col), SPARK_WS_REGEX)
 
 
+def tokens_nonempty(col: Column) -> Column:
+    """Tokenize and drop empty tokens — the Spark twin of
+    ``config.duckdb_tokens_sql`` (whose list_filter always drops
+    ``''``). Use THIS, not raw ``tokenize()``, in oracle-gated
+    operators: raw tokenize keeps ''-tokens from leading/trailing
+    separators, forking the two engines' token arrays on any text with
+    edge punctuation (vacuously equal on the driver corpus, a real
+    divergence on general text)."""
+    return F.filter(tokenize(col), lambda w: w != "")
+
+
 def tokens_distinct(col: Column) -> Column:
     """Tokenize with per-document dedup — ``array_distinct`` BEFORE the
     explode is the algebraic form of the reference's in-mapper ``set()``

@@ -60,9 +60,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dic_a1_spark.config import duckdb_tokens_sql
-from dic_a1_spark.functions.text import tokenize
+from dic_a1_spark.functions.text import tokenize, tokens_nonempty
 from dic_a1_spark.operators.curation import BENCH_DOCS, CONTAM_RATIO
-from dic_a1_spark.operators.dedup import _SHINGLE_CTE, _with_shingle_arrays
+from dic_a1_spark.operators.dedup import (
+    _SHINGLE_CTE,
+    _with_shingle_arrays,
+    tokenset_hash,
+)
 from dic_a1_spark.operators.scrub import DOMAIN_RE, _decorated
 from dic_a1_spark.sources.readers import load_table
 
@@ -611,7 +615,7 @@ def vocab_topv_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
-        "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
+        "doc_id", F.explode(tokens_nonempty(F.col("text"))).alias("word")
     )
     vocab = (
         tok.groupBy("word")
@@ -650,7 +654,7 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     global aggregate; the distinct-word count is a second explode-agg;
     the two 1-row frames crossJoin broadcast-for-free."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
+    toks = tokens_nonempty(F.col("text"))
     per_doc = d.select(
         "doc_id",
         "lang",
@@ -658,11 +662,7 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("bigint").alias("n"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("nd"),
         F.md5(F.encode("text", "UTF-8")).alias("text_hash"),
-        F.md5(
-            F.encode(
-                F.concat_ws(" ", F.array_sort(F.array_distinct(toks))), "UTF-8"
-            )
-        ).alias("ts_hash"),
+        tokenset_hash(F.col("text")).alias("ts_hash"),
     )
     doc_agg = per_doc.agg(
         F.count("*").alias("n_docs"),

@@ -493,6 +493,18 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hash_split_col(col) -> "F.Column":
+    """THE hash-split rule: md5 hex prefix of `col` against the fixed
+    train/val thresholds. Single definition shared by doc_split_assign
+    and sampling's leakage-safe splits so the two can never drift."""
+    h = F.substring(F.md5(col.cast("string")), 1, 8)
+    return (
+        F.when(h < F.lit(SPLIT_TRAIN_BELOW), F.lit("train"))
+        .when(h < F.lit(SPLIT_VAL_BELOW), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment: the split is a pure
     function of doc_id (md5 hex prefix against fixed thresholds), so it
@@ -500,15 +512,11 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     new docs and no existing assignment moves, which is why hash splits
     (not rand()) are the only acceptable device at 100 TB."""
     d = load_table(spark, sf_dir, "documents")
-    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
     return d.select(
         "doc_id",
         "lang",
         "source",
-        F.when(h < F.lit(SPLIT_TRAIN_BELOW), F.lit("train"))
-        .when(h < F.lit(SPLIT_VAL_BELOW), F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
+        hash_split_col(F.col("doc_id")).alias("split"),
     )
 
 

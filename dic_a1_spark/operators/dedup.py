@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dic_a1_spark.config import duckdb_tokens_sql
-from dic_a1_spark.functions.text import tokenize
+from dic_a1_spark.functions.text import tokenize, tokens_nonempty
 from dic_a1_spark.sources.readers import load_table
 
 JACCARD_THRESHOLD = 0.5
@@ -40,7 +40,20 @@ MINHASH_ROWS = MINHASH_HASHES // MINHASH_BANDS
 
 
 def _tokens(col: Column) -> Column:
-    return F.filter(tokenize(col), lambda w: w != "")
+    return tokens_nonempty(col)
+
+
+def tokenset_hash(col: Column) -> Column:
+    """md5 over the sorted distinct non-empty token set — the
+    order-insensitive content identity shared by dedup_tokenset_groups,
+    sampling's leakage-safe splits, and corpusops' datacard. ONE
+    construction so the three can never drift apart."""
+    return F.md5(
+        F.encode(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens(col)))),
+            "UTF-8",
+        )
+    )
 
 
 def _with_shingle_arrays(docs: DataFrame) -> DataFrame:
@@ -103,12 +116,7 @@ def dedup_tokenset_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive near-dup groups: md5 over the sorted distinct
     token set — catches duplicates that only shuffled word order."""
     d = load_table(spark, sf_dir, "documents")
-    key = F.md5(
-        F.encode(
-            F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens(F.col("text"))))),
-            "UTF-8",
-        )
-    )
+    key = tokenset_hash(F.col("text"))
     return d.groupBy(key.alias("tokenset_hash")).agg(
         F.min("doc_id").alias("keep_doc_id"),
         F.count("*").alias("n_docs"),

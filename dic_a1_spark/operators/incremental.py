@@ -49,10 +49,9 @@ def content_key() -> "F.Column":
     shared by the batch queries here and the streaming admission twin
     (streaming/jobs.py:incremental_admission); a single definition so the
     two surfaces cannot fork."""
-    toks = F.filter(tokenize(F.col("text")), lambda w: w != "")
-    return F.md5(
-        F.encode(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))), "UTF-8")
-    )
+    from dic_a1_spark.operators.dedup import tokenset_hash
+
+    return tokenset_hash(F.col("text"))
 
 
 def _hashed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dic_a1_spark.config import duckdb_tokens_sql
-from dic_a1_spark.functions.text import tokenize
+from dic_a1_spark.functions.text import tokens_nonempty
 from dic_a1_spark.sources.readers import load_table
 
 # Tokens per synthetic line. 3 is calibrated to the driver vocabulary:
@@ -61,7 +61,7 @@ def _doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only over the scan — reused by line_dedup_kept so per-doc
     n_lines never requires re-aggregating the exploded line frame."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", tokenize(F.col("text")).alias("toks")).select(
+    return d.select("doc_id", tokens_nonempty(F.col("text")).alias("toks")).select(
         "doc_id",
         "toks",
         F.expr(f"(size(toks) + {LINE_LEN - 1}) div {LINE_LEN}").alias("n_lines"),

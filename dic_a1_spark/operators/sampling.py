@@ -42,8 +42,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dic_a1_spark.config import duckdb_tokens_sql
-from dic_a1_spark.functions.text import tokenize
-from dic_a1_spark.operators.curation import SPLIT_TRAIN_BELOW, SPLIT_VAL_BELOW
+from dic_a1_spark.functions.text import tokens_nonempty
+from dic_a1_spark.operators.curation import (
+    SPLIT_TRAIN_BELOW,
+    SPLIT_VAL_BELOW,
+    hash_split_col,
+)
+from dic_a1_spark.operators.dedup import tokenset_hash
 from dic_a1_spark.sources.readers import load_table
 
 # Per-source deterministic sample size.
@@ -56,27 +61,18 @@ N_SHARDS = 16
 
 
 def _split_of(col):
-    """The shared hash-split rule (curation.doc_split_assign)."""
-    h = F.substring(F.md5(col.cast("string")), 1, 8)
-    return (
-        F.when(h < F.lit(SPLIT_TRAIN_BELOW), F.lit("train"))
-        .when(h < F.lit(SPLIT_VAL_BELOW), F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
+    """The shared hash-split rule — curation.hash_split_col itself, not
+    a re-derivation (reviewer-flagged drift hazard)."""
+    return hash_split_col(col)
 
 
 def _grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, group_rep): every document with its tokenset-group
-    representative (min doc_id). Census + co-partitioned join, one
-    shuffle key."""
+    representative (min doc_id), keyed by dedup.tokenset_hash — the
+    SAME construction as dedup_tokenset_groups, imported not re-derived.
+    Census + co-partitioned join, one shuffle key."""
     d = load_table(spark, sf_dir, "documents")
-    key = F.md5(
-        F.encode(
-            F.concat_ws(" ", F.array_sort(F.array_distinct(tokenize(F.col("text"))))),
-            "UTF-8",
-        )
-    )
-    keyed = d.select("doc_id", key.alias("k"))
+    keyed = d.select("doc_id", tokenset_hash(F.col("text")).alias("k"))
     reps = keyed.groupBy("k").agg(F.min("doc_id").alias("group_rep"))
     return keyed.join(reps, "k").select("doc_id", "group_rep")
 
@@ -174,7 +170,7 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one partial-agg shuffle keyed by shard (S groups); the
     load-factor window runs over the S-row plan frame."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
+    toks = tokens_nonempty(F.col("text"))
     shard = F.expr(
         "cast(conv(substr(md5(cast(doc_id as string)), 1, 10), 16, 10)"
         f" as bigint) % {N_SHARDS}"

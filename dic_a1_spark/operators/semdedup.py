@@ -49,8 +49,25 @@ from dic_a1_spark.sources.readers import load_table
 SEMDEDUP_SIM = 0.35
 
 
+def _assign(
+    spark: SparkSession, sf_dir: str, ivf_k: int | None
+) -> DataFrame:
+    """(vec_id, centroid_id): exact fixed-first-K assignment when
+    ivf_k is None (the registered/oracle path), else the certified
+    matmul twin with that many clusters (the scale path)."""
+    if ivf_k is None:
+        return ivf_assignments(spark, sf_dir).select("vec_id", "centroid_id")
+    return ivf_assignments_fast(spark, sf_dir, ivf_k=ivf_k).select(
+        "vec_id", "centroid_id"
+    )
+
+
 def _cluster_pairs(
-    spark: SparkSession, sf_dir: str, *, ivf_k: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    ivf_k: int | None = None,
+    asg: DataFrame | None = None,
 ) -> DataFrame:
     """All ordered within-cluster pairs (i < j) with rounded cosine —
     one shuffle on centroid_id; quadratic only inside a cluster.
@@ -67,12 +84,8 @@ def _cluster_pairs(
         F.col("embedding").alias("v"),
         _norm(F.col("embedding")).alias("vn"),
     )
-    if ivf_k is None:
-        asg = ivf_assignments(spark, sf_dir).select("vec_id", "centroid_id")
-    else:
-        asg = ivf_assignments_fast(spark, sf_dir, ivf_k=ivf_k).select(
-            "vec_id", "centroid_id"
-        )
+    if asg is None:
+        asg = _assign(spark, sf_dir, ivf_k)
     side = asg.join(vec, "vec_id")
     left = side.select(
         F.col("vec_id").alias("i"),
@@ -126,14 +139,12 @@ def semdedup_keep(
     kept=false iff an earlier-id same-cluster vector is >= tau similar.
     ``ivf_k`` as in `_cluster_pairs` (None = registered exact path)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    if ivf_k is None:
-        asg = ivf_assignments(spark, sf_dir).select("vec_id", "centroid_id")
-    else:
-        asg = ivf_assignments_fast(spark, sf_dir, ivf_k=ivf_k).select(
-            "vec_id", "centroid_id"
-        )
+    # ONE assignment subtree, shared by the keep join and the pair stage
+    # (reviewer-flagged: building it twice doubles the most expensive
+    # non-quadratic stage, especially on the scaled-K Arrow path).
+    asg = _assign(spark, sf_dir, ivf_k)
     dropped = (
-        _cluster_pairs(spark, sf_dir, ivf_k=ivf_k)
+        _cluster_pairs(spark, sf_dir, ivf_k=ivf_k, asg=asg)
         .where(F.col("sim") >= SEMDEDUP_SIM)
         .select(F.col("j").alias("vec_id"))
         .distinct()
