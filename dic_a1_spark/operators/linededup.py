@@ -56,22 +56,29 @@ DUP_DOCS = 2
 HOT_K = 20
 
 
-def _doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, toks, n_lines): the pre-explode per-document frame.
-    Map-only over the scan — reused by line_dedup_kept so per-doc
-    n_lines never requires re-aggregating the exploded line frame."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", tokens_nonempty(F.col("text")).alias("toks")).select(
+def _doc_lines_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks, n_lines) from any (doc_id, text)-shaped frame —
+    batch scan or stream alike (pure map, so the streaming twin in
+    streaming/jobs.py reuses it unchanged)."""
+    return docs.select(
+        "doc_id", tokens_nonempty(F.col("text")).alias("toks")
+    ).select(
         "doc_id",
         "toks",
         F.expr(f"(size(toks) + {LINE_LEN - 1}) div {LINE_LEN}").alias("n_lines"),
     )
 
 
-def _lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, line_pos, line_text): the deterministic synthetic-line
-    view. Map-only: tokenize -> window count -> slice, no shuffle."""
-    tok = _doc_lines(spark, sf_dir)
+def _doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks, n_lines): the pre-explode per-document frame.
+    Map-only over the scan — reused by line_dedup_kept so per-doc
+    n_lines never requires re-aggregating the exploded line frame."""
+    return _doc_lines_of(load_table(spark, sf_dir, "documents"))
+
+
+def _lines_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, line_pos, line_text) from any (doc_id, text) frame."""
+    tok = _doc_lines_of(docs)
     return (
         tok.where(F.col("n_lines") > 0)
         .select(
@@ -94,6 +101,13 @@ def _lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("line_text"),
         )
     )
+
+
+def _lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, line_pos, line_text): the deterministic synthetic-line
+    view over the batch scan. Map-only: tokenize -> window count ->
+    slice, no shuffle."""
+    return _lines_of(load_table(spark, sf_dir, "documents"))
 
 
 def _census(lines: DataFrame) -> DataFrame:

@@ -368,6 +368,39 @@ _DOCS_SCHEMA = StructType(
 )
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the FULL documents parquet — the
+    streaming stand-in for continuous corpus delivery (the increment
+    reader below restricts to a residue class for the admission twin)."""
+    return (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def line_instance_census(stream: DataFrame) -> DataFrame:
+    """Streaming twin of linededup's duplicate-line census: synthetic
+    lines are a PURE MAP (the exact `_lines_of` expressions from the
+    batch operator — tokenize, window count, slice — shared, not
+    re-derived), so they stream unchanged; the census is a streaming
+    aggregation keyed by line text.
+
+    Scope: instance counts only (`n_inst`). The batch census' n_docs is
+    count(DISTINCT doc_id), and distinct aggregations are unsupported on
+    streams — a production pipeline runs the doc-level census on the
+    compacted batch corpus and uses this stream for the hot-line
+    monitoring signal. Batch parity of n_inst is pinned in
+    tests/test_streaming.py."""
+    from dic_a1_spark.operators.linededup import _lines_of
+
+    return (
+        _lines_of(stream.select("doc_id", "text"))
+        .groupBy("line_text")
+        .agg(F.count("*").alias("n_inst"))
+    )
+
+
 def read_increment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents parquet, restricted to the
     increment residue class of operators/incremental.py — the streaming

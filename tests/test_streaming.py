@@ -201,3 +201,21 @@ def test_stream_incremental_admission_matches_batch(spark):
     }
     assert got == want
     assert got, "no admissions — increment residue class empty?"
+
+
+def test_stream_line_census_matches_batch(spark):
+    """The round-6 line-dedup census, streamed: map-only line
+    construction shared with the batch operator, streaming groupBy in
+    complete mode equals the batch instance census exactly."""
+    from dic_a1_spark.operators import linededup
+
+    stream = jobs.read_documents_stream(spark, SF_SMOKE)
+    jobs.run_to_memory(jobs.line_instance_census(stream), "t_linecensus")
+    got = _rows(spark.table("t_linecensus"), ["line_text", "n_inst"])
+    want = _rows(
+        linededup._census(linededup._lines(spark, SF_SMOKE)).select(
+            "line_text", "n_inst"
+        ),
+        ["line_text", "n_inst"],
+    )
+    assert got == want and got
