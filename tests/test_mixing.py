@@ -87,3 +87,23 @@ def test_epoch_plan_cap_and_token_arithmetic(spark):
         assert 0 <= r["planned_tokens"] <= mixing.MAX_EPOCHS * r["c_tokens"]
     # the plan never exceeds the budget (capping only removes tokens)
     assert sum(r["planned_tokens"] for r in rows) <= mixing.TOKEN_BUDGET
+
+
+def test_token_budget_head_equals_global_greedy_prefix(spark):
+    """Spec check the two-phase construction against the obvious
+    definition it accelerates: sort ALL docs by (score desc, doc_id asc)
+    and take the maximal prefix fitting the budget. The bucket
+    decomposition must be an exact refactoring of that — the oracle
+    can't catch a construction bug because it mirrors the same
+    two-phase shape."""
+    docs = mixing._head_bucketed(spark, SF_CORRECT).collect()
+    greedy, spent = set(), 0
+    for r in sorted(docs, key=lambda r: (-r["score"], r["doc_id"])):
+        if spent + r["n_tokens"] > mixing.HEAD_TOKEN_BUDGET:
+            break
+        spent += r["n_tokens"]
+        greedy.add(r["doc_id"])
+    head = {
+        r["doc_id"] for r in mixing.token_budget_head(spark, SF_CORRECT).collect()
+    }
+    assert head == greedy
