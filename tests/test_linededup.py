@@ -62,3 +62,44 @@ def test_line_construction_is_map_only(spark):
     shape step 1)."""
     plan = formatted_plan(linededup._lines(spark, SF_CORRECT))
     assert "Exchange" not in plan
+
+
+def test_kept_matches_naive_python_reference(spark):
+    """Spec check against an independent plain-Python implementation:
+    chop each doc's tokens into LINE_LEN windows, census lines across
+    docs, drop lines in >= DUP_DOCS distinct docs, rejoin survivors in
+    order. The SQL oracle mirrors the Spark construction, so only an
+    independent reference catches a construction-level bug."""
+    from collections import defaultdict
+
+    from dic_a1_spark.sources.readers import load_table
+
+    L = linededup.LINE_LEN
+    # reuse the certified tokenizer via Spark once, not a re-derivation
+    from dic_a1_spark.functions.text import tokens_nonempty
+    from pyspark.sql import functions as F
+
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in load_table(spark, SF_CORRECT, "documents")
+        .select("doc_id", tokens_nonempty(F.col("text")).alias("t"))
+        .collect()
+    }
+    lines = {
+        d: [" ".join(t[i : i + L]) for i in range(0, len(t), L)]
+        for d, t in toks.items()
+        if t
+    }
+    docs_per_line = defaultdict(set)
+    for d, ls in lines.items():
+        for line in ls:
+            docs_per_line[line].add(d)
+    want = {}
+    for d, ls in lines.items():
+        kept = [l for l in ls if len(docs_per_line[l]) < linededup.DUP_DOCS]
+        want[d] = (len(ls), len(kept), " ".join(kept))
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["text_clean"])
+        for r in linededup.line_dedup_kept(spark, SF_CORRECT).collect()
+    }
+    assert got == want
