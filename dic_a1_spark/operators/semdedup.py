@@ -179,10 +179,36 @@ def semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Operating points for the threshold sweep, bracketing SEMDEDUP_SIM.
+SWEEP_TAUS = (0.30, 0.35, 0.40)
+
+
+def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row operating-point sweep: how many vectors the greedy rule
+    would drop at each candidate threshold — the audit a pipeline runs
+    to pick tau before committing to a dedup pass.
+
+    Aggregate-once, evaluate-many: the within-cluster pair frame is
+    scored ONCE, reduced to each later-id vector's maximum
+    earlier-neighbor similarity (one groupBy), and every threshold is
+    then a conditional count over that per-vector frame — adding an
+    operating point costs one column, not a recomputation."""
+    p = _cluster_pairs(spark, sf_dir)
+    m = p.groupBy("j").agg(F.max("sim").alias("max_sim"))
+    aggs = [F.count("*").cast("bigint").alias("n_candidates")]
+    for t in SWEEP_TAUS:
+        name = f"dropped_at_{int(round(t * 100)):02d}"
+        aggs.append(
+            F.sum((F.col("max_sim") >= F.lit(t)).cast("long")).alias(name)
+        )
+    return m.agg(*aggs)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_dropped_pairs": semdedup_dropped_pairs,
     "semdedup_keep": semdedup_keep,
     "semdedup_stats": semdedup_stats,
+    "semdedup_threshold_sweep": semdedup_threshold_sweep,
 }
 
 # Oracle restates: fixed-first-K assignment (same CTE family as
@@ -221,7 +247,20 @@ _PAIRS_CTE = f"""
     hits AS (SELECT * FROM pairs WHERE sim >= {SEMDEDUP_SIM})
 """
 
+_SWEEP_COLS = ",\n           ".join(
+    f"CAST(sum(CASE WHEN max_sim >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS dropped_at_{int(round(t * 100)):02d}"
+    for t in SWEEP_TAUS
+)
+
 ORACLES: dict[str, str] = {
+    "semdedup_threshold_sweep": _PAIRS_CTE
+    + f"""
+    , m AS (SELECT j, max(sim) AS max_sim FROM pairs GROUP BY j)
+    SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+           {_SWEEP_COLS}
+    FROM m
+    """,
     "semdedup_dropped_pairs": _PAIRS_CTE
     + """
     , w AS (SELECT j, min(i) AS keeper_hint FROM hits GROUP BY j)

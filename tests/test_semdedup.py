@@ -67,3 +67,17 @@ def test_witness_never_dropped_transitively_ok(spark):
             first_in_cluster[c] = r["vec_id"]
     kept_by_id = {r["vec_id"]: r["kept"] for r in keep}
     assert all(kept_by_id[v] for v in first_in_cluster.values())
+
+
+def test_threshold_sweep_monotone_and_consistent_with_keep(spark):
+    """Sweep counts must be monotone decreasing in tau, and the count at
+    SEMDEDUP_SIM must equal the production keep-pass drop count."""
+    row = semdedup.semdedup_threshold_sweep(spark, SF_CORRECT).collect()[0]
+    counts = [
+        row[f"dropped_at_{int(round(t * 100)):02d}"] for t in semdedup.SWEEP_TAUS
+    ]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] > counts[-1] > 0  # non-vacuous spread
+    at_prod = row[f"dropped_at_{int(round(semdedup.SEMDEDUP_SIM * 100)):02d}"]
+    keep = semdedup.semdedup_keep(spark, SF_CORRECT).collect()
+    assert at_prod == sum(not r["kept"] for r in keep)
