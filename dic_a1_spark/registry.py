@@ -27,18 +27,18 @@ from pyspark.sql import DataFrame, SparkSession
 # window therefore fronts (a) everything NEW this round, (b) re-grades of
 # modules edited since their last green row, then (c) oldest-green-first
 # re-certification:
-#   linededup — NEW — 3 (cum 3), semdedup — NEW — 3 (cum 6),
-#   sampling — NEW — 5 (cum 11, incl. corpus_shard_plan), mixing — NEW
-#   — 5 (cum 16), mining — NEW — 2 (cum 18), knn_cosine_pq_fast — NEW,
-#   shares the exact twin's oracle — 1 (cum 19), corpusops 8 (cum 27:
-#   6 re-grades — surprisal moved to integer division in `4cbb3dc` —
-#   plus the NEW vocab_topv_oov + corpus_datacard), lsh md5-simhash 2
-#   re-grade (persist-lifetime edit, same commit; cum 29), then
-#   oldest-rows-first: chisq 5 (r1/r2 rows; cum 34), sql_surface 6
-#   (cum 40), tpch_extra 5 (cum 45), relational 32 (r1-r3 rows; the
-#   ~50-entry window edge lands mid-relational — its tail plus
-#   everything below rests on r3-r5 green rows, pytest, and the
-#   committed sf0.1 sweep).
+#   linededup — NEW — 3 (cum 3), semdedup — NEW — 4 (cum 7, incl. the
+#   threshold sweep), sampling — NEW — 5 (cum 12, incl.
+#   corpus_shard_plan), mixing — NEW — 5 (cum 17), mining — NEW — 2
+#   (cum 19), knn_cosine_pq_fast — NEW, shares the exact twin's oracle
+#   — 1 (cum 20), corpusops 8 (cum 28: 6 re-grades — surprisal moved to
+#   integer division in `4cbb3dc` — plus the NEW vocab_topv_oov +
+#   corpus_datacard), lsh md5-simhash 2 re-grade (persist-lifetime
+#   edit, same commit; cum 30), then oldest-rows-first: chisq 5 (r1/r2
+#   rows; cum 35), sql_surface 6 (cum 41), tpch_extra 5 (cum 46),
+#   relational 32 (r1-r3 rows; the ~50-entry window edge lands at the
+#   head of relational — its tail plus everything below rests on r3-r5
+#   green rows, pytest, and the committed sf0.1 sweep).
 _MODULES = (
     "dic_a1_spark.operators.linededup",
     "dic_a1_spark.operators.semdedup",
