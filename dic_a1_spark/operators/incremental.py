@@ -36,7 +36,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dic_a1_spark.config import duckdb_tokens_sql
-from dic_a1_spark.functions.text import tokenize
 from dic_a1_spark.sources.readers import load_table
 
 # doc_id % INC_MOD == INC_REM -> the incoming increment (~12.5%).
