@@ -742,3 +742,47 @@ ORACLES["doc_pack_concat"] = f"""
            array_to_string(list_sort(list(doc_id)), ' ') AS doc_ids
     FROM bins GROUP BY pack_shard, bin_id
 """
+
+
+# --- round 6: decontamination operating-point sweep --------------------
+
+# Candidate contamination thresholds bracketing CONTAM_RATIO.
+DECONTAM_SWEEP_TAUS = (0.10, 0.20, 0.30)
+
+
+def decontam_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row operating-point sweep for n-gram decontamination: how many
+    corpus documents each candidate overlap threshold would flag — the
+    audit run before committing to CONTAM_RATIO (the semdedup sweep
+    pattern: the expensive overlap computation runs ONCE, every
+    threshold is a conditional count over the per-doc frame)."""
+    per = decontam_ngram_overlap(spark, sf_dir)
+    # exact-integer ratio, identical division in the oracle
+    ratio = F.col("n_overlap").cast("double") / F.col("n_shingles").cast(
+        "double"
+    )
+    aggs = [F.count("*").cast("bigint").alias("n_docs")]
+    for t in DECONTAM_SWEEP_TAUS:
+        aggs.append(
+            F.sum((ratio >= F.lit(t)).cast("long")).alias(
+                f"flagged_at_{int(round(t * 100)):02d}"
+            )
+        )
+    return per.agg(*aggs)
+
+
+QUERIES["decontam_threshold_sweep"] = decontam_threshold_sweep
+
+_DECONTAM_SWEEP_COLS = ",\n           ".join(
+    f"CAST(sum(CASE WHEN CAST(n_overlap AS DOUBLE)"
+    f" / CAST(n_shingles AS DOUBLE) >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS flagged_at_{int(round(t * 100)):02d}"
+    for t in DECONTAM_SWEEP_TAUS
+)
+
+ORACLES["decontam_threshold_sweep"] = f"""
+    WITH per AS ({ORACLES["decontam_ngram_overlap"]})
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           {_DECONTAM_SWEEP_COLS}
+    FROM per
+"""

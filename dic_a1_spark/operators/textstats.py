@@ -533,3 +533,38 @@ ORACLES["text_ngram_vocab"] = f"""
            TRUE AS hll_in_band
     FROM flat GROUP BY source
 """
+
+
+# --- round 6: language-ID confusion matrix -----------------------------
+
+
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language ID against the
+    table's labels: one row per (labeled, predicted) pair with the count
+    and a correctness flag — the quality report a pipeline publishes
+    before trusting lang-id for filtering or rebalancing decisions.
+    Composition over the certified text_lang_id subtree; dimension-sized
+    output (|langs|^2 at most)."""
+    pred = text_lang_id(spark, sf_dir)
+    return (
+        pred.groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n_docs",
+            (F.col("labeled_lang") == F.col("predicted_lang")).alias("correct"),
+        )
+    )
+
+
+QUERIES["lang_confusion_matrix"] = lang_confusion_matrix
+
+ORACLES["lang_confusion_matrix"] = f"""
+    WITH pred AS ({ORACLES["text_lang_id"]})
+    SELECT labeled_lang, predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           (labeled_lang = predicted_lang) AS correct
+    FROM pred
+    GROUP BY labeled_lang, predicted_lang
+"""

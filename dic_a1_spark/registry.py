@@ -31,14 +31,16 @@ from pyspark.sql import DataFrame, SparkSession
 #   threshold sweep), sampling — NEW — 5 (cum 12, incl.
 #   corpus_shard_plan), mixing — NEW — 5 (cum 17), mining — NEW — 2
 #   (cum 19), knn_cosine_pq_fast — NEW, shares the exact twin's oracle
-#   — 1 (cum 20), corpusops 8 (cum 28: 6 re-grades — surprisal moved to
-#   integer division in `4cbb3dc` — plus the NEW vocab_topv_oov +
-#   corpus_datacard), lsh md5-simhash 2 re-grade (persist-lifetime
-#   edit, same commit; cum 30), then oldest-rows-first: chisq 5 (r1/r2
-#   rows; cum 35), sql_surface 6 (cum 41), tpch_extra 5 (cum 46),
-#   relational 32 (r1-r3 rows; the ~50-entry window edge lands at the
-#   head of relational — its tail plus everything below rests on r3-r5
-#   green rows, pytest, and the committed sf0.1 sweep).
+#   — 1 (cum 20), decontam_threshold_sweep + lang_confusion_matrix —
+#   NEW composition audits — 2 (cum 22), corpusops 8 (cum 30: 6
+#   re-grades — surprisal moved to integer division in `4cbb3dc` —
+#   plus the NEW vocab_topv_oov + corpus_datacard), lsh md5-simhash 2
+#   re-grade (persist-lifetime edit, same commit; cum 32), then
+#   oldest-rows-first: chisq 5 (r1/r2 rows; cum 37), sql_surface 6
+#   (cum 43), tpch_extra 5 (cum 48), relational 32 (r1-r3 rows; the
+#   ~50-entry window edge lands at the head of relational — its tail
+#   plus everything below rests on r3-r5 green rows, pytest, and the
+#   committed sf0.1 sweep).
 _MODULES = (
     "dic_a1_spark.operators.linededup",
     "dic_a1_spark.operators.semdedup",
@@ -47,6 +49,9 @@ _MODULES = (
     "dic_a1_spark.operators.mining",
     # knn_cosine_pq_fast — NEW this round, shares the exact twin's oracle
     ("dic_a1_spark.operators.pq", ("knn_cosine_pq_fast",)),
+    # round-6 composition audits over certified subtrees
+    ("dic_a1_spark.operators.curation", ("decontam_threshold_sweep",)),
+    ("dic_a1_spark.operators.textstats", ("lang_confusion_matrix",)),
     "dic_a1_spark.operators.corpusops",
     (
         "dic_a1_spark.operators.lsh",

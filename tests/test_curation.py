@@ -195,3 +195,21 @@ def test_pack_concat_consistent_with_bins(spark):
         assert [int(d) for d in r["doc_ids"].split()] == [d for d, _ in members]
         assert r["n_docs"] == len(members)
         assert r["total_tokens"] == sum(t for _, t in members)
+
+
+def test_decontam_threshold_sweep_monotone_and_consistent(spark):
+    """Sweep counts monotone decreasing; the CONTAM_RATIO point equals
+    the production decontam query's contaminated count."""
+    row = curation.decontam_threshold_sweep(spark, SF_CORRECT).collect()[0]
+    counts = [
+        row[f"flagged_at_{int(round(t * 100)):02d}"]
+        for t in curation.DECONTAM_SWEEP_TAUS
+    ]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] > counts[-1] > 0
+    at_prod = row[
+        f"flagged_at_{int(round(curation.CONTAM_RATIO * 100)):02d}"
+    ]
+    per = curation.decontam_ngram_overlap(spark, SF_CORRECT).collect()
+    assert at_prod == sum(r["contaminated"] for r in per)
+    assert row["n_docs"] == len(per)

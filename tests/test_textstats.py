@@ -10,3 +10,19 @@ from tests.oracle_utils import compare
 @pytest.mark.parametrize("name", sorted(textstats.QUERIES))
 def test_textstats_oracle(spark, name):
     compare(spark, textstats.ORACLES[name], textstats.QUERIES[name], SF_CORRECT, name)
+
+
+def test_lang_confusion_matrix_sums_and_diagonal(spark):
+    from dic_a1_spark.operators.textstats import (
+        lang_confusion_matrix,
+        text_lang_id,
+    )
+
+    cells = lang_confusion_matrix(spark, SF_CORRECT).collect()
+    pred = text_lang_id(spark, SF_CORRECT).collect()
+    assert sum(r["n_docs"] for r in cells) == len(pred)
+    for r in cells:
+        assert r["correct"] == (r["labeled_lang"] == r["predicted_lang"])
+    # non-vacuous: the matrix has both diagonal and off-diagonal mass
+    assert any(r["correct"] for r in cells)
+    assert any(not r["correct"] for r in cells)
