@@ -569,3 +569,133 @@ ORACLES["events_funnel_depth"] = f"""
     LEFT JOIN s2 USING (user_id)
     LEFT JOIN s3 USING (user_id)
 """
+
+
+# --- round 6: retention cohorts + DAU/WAU stickiness -------------------
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by their first active day,
+    distinct-user counts at each day offset, and the retention rate vs
+    the cohort's size.
+
+    Scale shape: the (user, day) activity grid is ONE distinct
+    aggregation (map-side combine collapses repeat events); first-day
+    per user reuses the same shuffle key; the cohort join is
+    co-partitioned on user_id; the final census is dimension-sized
+    (days x offsets). No corpus-sized window, no broadcast of a
+    user-proportional frame."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    cells = (
+        days.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    return cells.join(sizes, "cohort_day").select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "n_users",
+        "cohort_size",
+        F.round(
+            F.col("n_users").cast("double") / F.col("cohort_size").cast("double"),
+            4,
+        ).alias("retention"),
+    )
+
+
+def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day DAU, trailing-7-day WAU, and the DAU/WAU stickiness
+    ratio. The rolling distinct is NOT a window function (distinct over
+    a sliding range would hold per-day user sets in window state):
+    each (user, day) activity row fans out map-only to the 7 report
+    days it supports, and WAU is then a plain per-day distinct count —
+    partial aggregation collapses duplicates before the shuffle.
+    Report days are restricted to days with actual activity (no
+    zero-DAU gap rows — gap-filling is events_gapfill_hourly's job)."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    dau = days.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    support = days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("report_day"),
+    )
+    wau = (
+        support.groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .withColumnRenamed("report_day", "day")
+    )
+    return dau.join(wau, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        F.round(
+            F.col("dau").cast("double") / F.col("wau").cast("double"), 4
+        ).alias("stickiness"),
+    )
+
+
+QUERIES["events_retention_cohorts"] = events_retention_cohorts
+QUERIES["events_dau_stickiness"] = events_dau_stickiness
+
+ORACLES["events_retention_cohorts"] = """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    first AS (
+        SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_day, CAST(count(DISTINCT user_id) AS BIGINT)
+                   AS cohort_size
+        FROM first GROUP BY cohort_day
+    ),
+    cells AS (
+        SELECT f.cohort_day,
+               CAST(datediff('day', f.cohort_day, d.day) AS INTEGER)
+                   AS day_offset,
+               CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        FROM days d JOIN first f USING (user_id)
+        GROUP BY 1, 2
+    )
+    SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           c.day_offset, c.n_users, s.cohort_size,
+           round(CAST(c.n_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 4)
+               AS retention
+    FROM cells c JOIN sizes s USING (cohort_day)
+"""
+
+ORACLES["events_dau_stickiness"] = """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    dau AS (
+        SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM days GROUP BY day
+    ),
+    support AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                           INTERVAL 1 DAY)) AS DATE)
+                   AS report_day
+        FROM days
+    ),
+    wau AS (
+        SELECT report_day AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM support GROUP BY report_day
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+           round(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 4)
+               AS stickiness
+    FROM dau d JOIN wau w USING (day)
+"""

@@ -32,15 +32,15 @@ from pyspark.sql import DataFrame, SparkSession
 #   corpus_shard_plan), mixing — NEW — 5 (cum 17), mining — NEW — 2
 #   (cum 19), knn_cosine_pq_fast — NEW, shares the exact twin's oracle
 #   — 1 (cum 20), decontam_threshold_sweep + lang_confusion_matrix —
-#   NEW composition audits — 2 (cum 22), corpusops 8 (cum 30: 6
+#   NEW composition audits — 2 (cum 22), events retention cohorts +
+#   DAU/WAU stickiness — NEW — 2 (cum 24), corpusops 8 (cum 32: 6
 #   re-grades — surprisal moved to integer division in `4cbb3dc` —
 #   plus the NEW vocab_topv_oov + corpus_datacard), lsh md5-simhash 2
-#   re-grade (persist-lifetime edit, same commit; cum 32), then
-#   oldest-rows-first: chisq 5 (r1/r2 rows; cum 37), sql_surface 6
-#   (cum 43), tpch_extra 5 (cum 48), relational 32 (r1-r3 rows; the
-#   ~50-entry window edge lands at the head of relational — its tail
-#   plus everything below rests on r3-r5 green rows, pytest, and the
-#   committed sf0.1 sweep).
+#   re-grade (persist-lifetime edit, same commit; cum 34), then
+#   oldest-rows-first: chisq 5 (r1/r2 rows; cum 39), sql_surface 6
+#   (cum 45), tpch_extra 5 (cum 50 — the window edge), relational 32
+#   and everything below rest on r3-r5 green rows, pytest, and the
+#   committed sf0.1 sweep.
 _MODULES = (
     "dic_a1_spark.operators.linededup",
     "dic_a1_spark.operators.semdedup",
@@ -52,6 +52,11 @@ _MODULES = (
     # round-6 composition audits over certified subtrees
     ("dic_a1_spark.operators.curation", ("decontam_threshold_sweep",)),
     ("dic_a1_spark.operators.textstats", ("lang_confusion_matrix",)),
+    # round-6 event analytics: cohort retention + DAU/WAU stickiness
+    (
+        "dic_a1_spark.operators.events",
+        ("events_retention_cohorts", "events_dau_stickiness"),
+    ),
     "dic_a1_spark.operators.corpusops",
     (
         "dic_a1_spark.operators.lsh",

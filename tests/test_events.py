@@ -61,3 +61,31 @@ def test_funnel_steps_are_ordered(spark):
         # strictly increasing and prefix-shaped (no purchase without click)
         assert present == sorted(present)
         assert ts[: len(present)] == present
+
+
+def test_retention_cohorts_invariants(spark):
+    from dic_a1_spark.operators.events import events_retention_cohorts
+
+    rows = events_retention_cohorts(spark, SF_CORRECT).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert 0 <= r["n_users"] <= r["cohort_size"]
+        assert r["day_offset"] >= 0
+        by_cohort.setdefault(r["cohort_day"], {})[r["day_offset"]] = r
+    for cells in by_cohort.values():
+        # offset 0 is the cohort itself: full retention by definition
+        assert cells[0]["n_users"] == cells[0]["cohort_size"]
+        assert cells[0]["retention"] == 1.0
+
+
+def test_dau_stickiness_bounds(spark):
+    from dic_a1_spark.operators.events import events_dau_stickiness
+
+    rows = events_dau_stickiness(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["dau"] <= r["wau"]
+        assert 0.0 < r["stickiness"] <= 1.0
+    # non-vacuous: the trailing window actually exceeds a single day
+    assert any(r["wau"] > r["dau"] for r in rows)
