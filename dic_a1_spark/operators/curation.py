@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dic_a1_spark.config import DUCKDB_WS_REGEX, duckdb_tokens_sql
+from dic_a1_spark.functions.sweeps import sweep_agg_columns, sweep_sql_columns
 from dic_a1_spark.functions.text import tokenize
 from dic_a1_spark.operators.dedup import SHINGLE_WIDTH, _with_shingle_arrays
 from dic_a1_spark.sources.readers import load_table
@@ -762,22 +763,20 @@ def decontam_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     )
     aggs = [F.count("*").cast("bigint").alias("n_docs")]
-    for t in DECONTAM_SWEEP_TAUS:
-        aggs.append(
-            F.sum((ratio >= F.lit(t)).cast("long")).alias(
-                f"flagged_at_{int(round(t * 100)):02d}"
-            )
-        )
+    aggs += sweep_agg_columns(
+        DECONTAM_SWEEP_TAUS, lambda t: ratio >= F.lit(t), "flagged"
+    )
     return per.agg(*aggs)
 
 
 QUERIES["decontam_threshold_sweep"] = decontam_threshold_sweep
 
-_DECONTAM_SWEEP_COLS = ",\n           ".join(
-    f"CAST(sum(CASE WHEN CAST(n_overlap AS DOUBLE)"
-    f" / CAST(n_shingles AS DOUBLE) >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
-    f" AS flagged_at_{int(round(t * 100)):02d}"
-    for t in DECONTAM_SWEEP_TAUS
+_DECONTAM_SWEEP_COLS = sweep_sql_columns(
+    DECONTAM_SWEEP_TAUS,
+    lambda t: (
+        f"CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= {t}"
+    ),
+    "flagged",
 )
 
 ORACLES["decontam_threshold_sweep"] = f"""

@@ -588,8 +588,12 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
     first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    # `first` is one row per user, `days` one row per (user, day):
+    # plain counts are exact and skip Spark's distinct-agg expansion on
+    # the corpus-proportional frames (reviewer-flagged). Only wau below
+    # genuinely needs a distinct.
     sizes = first.groupBy("cohort_day").agg(
-        F.countDistinct("user_id").alias("cohort_size")
+        F.count("*").cast("bigint").alias("cohort_size")
     )
     cells = (
         days.join(first, "user_id")
@@ -597,7 +601,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_day",
             F.datediff("day", F.col("cohort_day")).alias("day_offset"),
         )
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        .agg(F.count("*").cast("bigint").alias("n_users"))
     )
     return cells.join(sizes, "cohort_day").select(
         F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
@@ -622,7 +626,7 @@ def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-DAU gap rows — gap-filling is events_gapfill_hourly's job)."""
     e = load_table(spark, sf_dir, "events")
     days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
-    dau = days.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    dau = days.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
     support = days.select(
         "user_id",
         F.explode(
@@ -655,15 +659,14 @@ ORACLES["events_retention_cohorts"] = """
         SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
     ),
     sizes AS (
-        SELECT cohort_day, CAST(count(DISTINCT user_id) AS BIGINT)
-                   AS cohort_size
+        SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
         FROM first GROUP BY cohort_day
     ),
     cells AS (
         SELECT f.cohort_day,
                CAST(datediff('day', f.cohort_day, d.day) AS INTEGER)
                    AS day_offset,
-               CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+               CAST(count(*) AS BIGINT) AS n_users
         FROM days d JOIN first f USING (user_id)
         GROUP BY 1, 2
     )
@@ -679,7 +682,7 @@ ORACLES["events_dau_stickiness"] = """
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
     ),
     dau AS (
-        SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        SELECT day, CAST(count(*) AS BIGINT) AS dau
         FROM days GROUP BY day
     ),
     support AS (

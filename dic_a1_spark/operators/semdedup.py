@@ -32,6 +32,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dic_a1_spark.functions.sweeps import (
+    sweep_agg_columns,
+    sweep_sql_columns,
+)
 from dic_a1_spark.operators.similarity import (
     IVF_K,
     _cosine_pre,
@@ -196,11 +200,9 @@ def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _cluster_pairs(spark, sf_dir)
     m = p.groupBy("j").agg(F.max("sim").alias("max_sim"))
     aggs = [F.count("*").cast("bigint").alias("n_candidates")]
-    for t in SWEEP_TAUS:
-        name = f"dropped_at_{int(round(t * 100)):02d}"
-        aggs.append(
-            F.sum((F.col("max_sim") >= F.lit(t)).cast("long")).alias(name)
-        )
+    aggs += sweep_agg_columns(
+        SWEEP_TAUS, lambda t: F.col("max_sim") >= F.lit(t), "dropped"
+    )
     return m.agg(*aggs)
 
 
@@ -247,10 +249,8 @@ _PAIRS_CTE = f"""
     hits AS (SELECT * FROM pairs WHERE sim >= {SEMDEDUP_SIM})
 """
 
-_SWEEP_COLS = ",\n           ".join(
-    f"CAST(sum(CASE WHEN max_sim >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
-    f" AS dropped_at_{int(round(t * 100)):02d}"
-    for t in SWEEP_TAUS
+_SWEEP_COLS = sweep_sql_columns(
+    SWEEP_TAUS, lambda t: f"max_sim >= {t}", "dropped"
 )
 
 ORACLES: dict[str, str] = {

@@ -407,12 +407,9 @@ def read_increment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in for a crawl delivery directory that keeps receiving files."""
     from dic_a1_spark.operators.incremental import INC_MOD, INC_REM
 
-    raw = (
-        spark.readStream.schema(_DOCS_SCHEMA)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+    return read_documents_stream(spark, sf_dir).where(
+        F.col("doc_id") % INC_MOD == INC_REM
     )
-    return raw.where(F.col("doc_id") % INC_MOD == INC_REM)
 
 
 _ADMIT_STATE_SCHEMA = StructType(

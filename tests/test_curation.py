@@ -4,6 +4,8 @@ language rebalancing, context-window chunking)."""
 from __future__ import annotations
 
 import pytest
+
+from dic_a1_spark.functions.sweeps import tau_label
 from pyspark.sql import functions as F
 
 from dic_a1_spark.operators import curation
@@ -202,14 +204,12 @@ def test_decontam_threshold_sweep_monotone_and_consistent(spark):
     the production decontam query's contaminated count."""
     row = curation.decontam_threshold_sweep(spark, SF_CORRECT).collect()[0]
     counts = [
-        row[f"flagged_at_{int(round(t * 100)):02d}"]
+        row[tau_label("flagged", t)]
         for t in curation.DECONTAM_SWEEP_TAUS
     ]
     assert counts == sorted(counts, reverse=True)
     assert counts[0] > counts[-1] > 0
-    at_prod = row[
-        f"flagged_at_{int(round(curation.CONTAM_RATIO * 100)):02d}"
-    ]
+    at_prod = row[tau_label("flagged", curation.CONTAM_RATIO)]
     per = curation.decontam_ngram_overlap(spark, SF_CORRECT).collect()
     assert at_prod == sum(r["contaminated"] for r in per)
     assert row["n_docs"] == len(per)

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import pytest
 
+from dic_a1_spark.functions.sweeps import tau_label
+
 from dic_a1_spark.operators import semdedup
 from tests.conftest import SF_CORRECT
 from tests.oracle_utils import compare
@@ -74,10 +76,10 @@ def test_threshold_sweep_monotone_and_consistent_with_keep(spark):
     SEMDEDUP_SIM must equal the production keep-pass drop count."""
     row = semdedup.semdedup_threshold_sweep(spark, SF_CORRECT).collect()[0]
     counts = [
-        row[f"dropped_at_{int(round(t * 100)):02d}"] for t in semdedup.SWEEP_TAUS
+        row[tau_label("dropped", t)] for t in semdedup.SWEEP_TAUS
     ]
     assert counts == sorted(counts, reverse=True)
     assert counts[0] > counts[-1] > 0  # non-vacuous spread
-    at_prod = row[f"dropped_at_{int(round(semdedup.SEMDEDUP_SIM * 100)):02d}"]
+    at_prod = row[tau_label("dropped", semdedup.SEMDEDUP_SIM)]
     keep = semdedup.semdedup_keep(spark, SF_CORRECT).collect()
     assert at_prod == sum(not r["kept"] for r in keep)
