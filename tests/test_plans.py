@@ -164,3 +164,29 @@ def test_hard_negatives_broadcasts_queries(spark):
     a = _audit(spark, "embedding_hard_negatives")
     assert a["broadcast_join"]
     assert a["exchanges"] == 1  # only the per-query top-k window
+
+
+def test_round6_audit_ops_plan_budgets(spark):
+    """Exchange budgets for the round-6 audit/analytics operators: these
+    numbers are the designed shuffle counts (censuses + dimension-sized
+    joins); a jump means a corpus-proportional frame started shuffling
+    or a broadcast fell back."""
+    budgets = {
+        "events_retention_cohorts": 5,   # grid distinct, first, sizes, cells, join
+        "events_dau_stickiness": 5,      # grid distinct, dau, wau, join
+        "vocab_topv_oov": 2,             # census + per-doc agg (vocab probe broadcasts)
+        "corpus_datacard": 4,            # doc agg + distinct-words agg + 1-row joins
+        "decontam_threshold_sweep": 3,   # inherited decontam shape + final 1-row agg
+        "lang_confusion_matrix": 1,      # single dimension-sized groupBy
+        "corpus_shard_plan": 2,          # shard census + S-row window
+    }
+    for name, budget in budgets.items():
+        a = _audit(spark, name)
+        assert a["exchanges"] <= budget, (name, a["exchanges"])
+
+
+def test_vocab_probe_is_broadcast(spark):
+    """The V-row vocabulary is a constant-size frame: its probe join
+    must broadcast, never shuffle the exploded corpus tokens on word."""
+    a = _audit(spark, "vocab_topv_oov")
+    assert a["broadcast_join"]
