@@ -785,3 +785,70 @@ ORACLES["decontam_threshold_sweep"] = f"""
            {_DECONTAM_SWEEP_COLS}
     FROM per
 """
+
+
+def decontam_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination incidence per train/val/test split — the leakage
+    report answering 'did benchmark-overlapping documents land in
+    train?'. Composes the decontam verdict with the shared hash-split
+    rule (hash_split_col); output is 3x2 cells at most."""
+    per = decontam_ngram_overlap(spark, sf_dir)
+    return (
+        per.select(
+            hash_split_col(F.col("doc_id")).alias("split"),
+            "contaminated",
+        )
+        .groupBy("split", "contaminated")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packing efficiency: bins produced, tokens packed, and
+    utilization vs bin capacity — the batch-construction metric that
+    decides whether PACK_CAPACITY/PACK_SHARDS need retuning. The
+    count(DISTINCT bin_id) is genuine (bins repeat across member rows);
+    everything else is a partial-agg sum over the doc_pack_bins frame."""
+    bins = doc_pack_bins(spark, sf_dir)
+    return bins.groupBy("pack_shard").agg(
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double")
+            / (
+                F.countDistinct("bin_id").cast("double")
+                * float(PACK_CAPACITY)
+            ),
+            4,
+        ).alias("utilization"),
+    )
+
+
+QUERIES["decontam_by_split"] = decontam_by_split
+QUERIES["pack_efficiency_report"] = pack_efficiency_report
+
+ORACLES["decontam_by_split"] = f"""
+    WITH per AS ({ORACLES["decontam_ngram_overlap"]})
+    SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '{SPLIT_TRAIN_BELOW}' THEN 'train'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '{SPLIT_VAL_BELOW}' THEN 'val'
+                ELSE 'test' END AS split,
+           contaminated,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM per
+    GROUP BY 1, 2
+"""
+
+ORACLES["pack_efficiency_report"] = f"""
+    WITH bins AS ({ORACLES["doc_pack_bins"]})
+    SELECT pack_shard,
+           CAST(count(DISTINCT bin_id) AS BIGINT) AS n_bins,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE)
+                 / (CAST(count(DISTINCT bin_id) AS DOUBLE)
+                    * {float(PACK_CAPACITY)!r}), 4) AS utilization
+    FROM bins GROUP BY pack_shard
+"""

@@ -568,3 +568,38 @@ ORACLES["lang_confusion_matrix"] = f"""
     FROM pred
     GROUP BY labeled_lang, predicted_lang
 """
+
+
+def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility: chars per token — the metric a
+    tokenizer evaluation publishes per language (high fertility = the
+    vocab under-serves that language). One partial-agg census; the
+    ratio is a single division of exact bigint sums."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        F.col("n_chars").cast("bigint").alias("n_ch"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum("n_ch").cast("bigint").alias("total_chars"),
+        F.round(
+            F.sum("n_ch").cast("double") / F.sum("n_tok").cast("double"), 4
+        ).alias("chars_per_token"),
+    )
+
+
+QUERIES["lang_token_fertility"] = lang_token_fertility
+
+ORACLES["lang_token_fertility"] = f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(CAST(sum(n_chars) AS DOUBLE)
+                 / CAST(sum(len({_TOKS})) AS DOUBLE), 4)
+               AS chars_per_token
+    FROM documents GROUP BY lang
+"""

@@ -31,16 +31,17 @@ from pyspark.sql import DataFrame, SparkSession
 #   threshold sweep), sampling — NEW — 5 (cum 12, incl.
 #   corpus_shard_plan), mixing — NEW — 5 (cum 17), mining — NEW — 2
 #   (cum 19), knn_cosine_pq_fast — NEW, shares the exact twin's oracle
-#   — 1 (cum 20), decontam_threshold_sweep + lang_confusion_matrix —
-#   NEW composition audits — 2 (cum 22), events retention cohorts +
-#   DAU/WAU stickiness — NEW — 2 (cum 24), corpusops 8 (cum 32: 6
-#   re-grades — surprisal moved to integer division in `4cbb3dc` —
-#   plus the NEW vocab_topv_oov + corpus_datacard), lsh md5-simhash 2
-#   re-grade (persist-lifetime edit, same commit; cum 34), then
-#   oldest-rows-first: chisq 5 (r1/r2 rows; cum 39), sql_surface 6
-#   (cum 45), tpch_extra 5 (cum 50 — the window edge), relational 32
-#   and everything below rest on r3-r5 green rows, pytest, and the
-#   committed sf0.1 sweep.
+#   — 1 (cum 20), composition audits — NEW — 5 (cum 25:
+#   decontam_threshold_sweep, decontam_by_split, pack_efficiency_report,
+#   lang_confusion_matrix, lang_token_fertility), events retention
+#   cohorts + DAU/WAU stickiness — NEW — 2 (cum 27), corpusops 8
+#   (cum 35: 6 re-grades — surprisal moved to integer division in
+#   `4cbb3dc` — plus the NEW vocab_topv_oov + corpus_datacard), lsh
+#   md5-simhash 2 re-grade (persist-lifetime edit, same commit;
+#   cum 37), then oldest-rows-first: chisq 5 (r1/r2 rows; cum 42),
+#   sql_surface 6 (cum 48), tpch_extra 5 (cum 53 — straddles the
+#   window edge), relational 32 and everything below rest on r3-r5
+#   green rows, pytest, and the committed sf0.1 sweep.
 _MODULES = (
     "dic_a1_spark.operators.linededup",
     "dic_a1_spark.operators.semdedup",
@@ -50,8 +51,18 @@ _MODULES = (
     # knn_cosine_pq_fast — NEW this round, shares the exact twin's oracle
     ("dic_a1_spark.operators.pq", ("knn_cosine_pq_fast",)),
     # round-6 composition audits over certified subtrees
-    ("dic_a1_spark.operators.curation", ("decontam_threshold_sweep",)),
-    ("dic_a1_spark.operators.textstats", ("lang_confusion_matrix",)),
+    (
+        "dic_a1_spark.operators.curation",
+        (
+            "decontam_threshold_sweep",
+            "decontam_by_split",
+            "pack_efficiency_report",
+        ),
+    ),
+    (
+        "dic_a1_spark.operators.textstats",
+        ("lang_confusion_matrix", "lang_token_fertility"),
+    ),
     # round-6 event analytics: cohort retention + DAU/WAU stickiness
     (
         "dic_a1_spark.operators.events",

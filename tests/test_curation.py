@@ -213,3 +213,26 @@ def test_decontam_threshold_sweep_monotone_and_consistent(spark):
     per = curation.decontam_ngram_overlap(spark, SF_CORRECT).collect()
     assert at_prod == sum(r["contaminated"] for r in per)
     assert row["n_docs"] == len(per)
+
+
+def test_decontam_by_split_partitions_the_corpus(spark):
+    cells = curation.decontam_by_split(spark, SF_CORRECT).collect()
+    per = curation.decontam_ngram_overlap(spark, SF_CORRECT).collect()
+    assert sum(r["n_docs"] for r in cells) == len(per)
+    assert sum(
+        r["n_docs"] for r in cells if r["contaminated"]
+    ) == sum(r["contaminated"] for r in per)
+    assert {r["split"] for r in cells} == {"train", "val", "test"}
+
+
+def test_pack_efficiency_consistent_with_bins(spark):
+    rep = curation.pack_efficiency_report(spark, SF_CORRECT).collect()
+    bins = curation.doc_pack_bins(spark, SF_CORRECT).collect()
+    assert sum(r["n_docs"] for r in rep) == len(bins)
+    assert sum(r["total_tokens"] for r in rep) == sum(
+        r["n_tokens"] for r in bins
+    )
+    for r in rep:
+        # a bin never exceeds capacity by more than one document, so
+        # utilization is positive and bounded by ~1 + max_doc/capacity
+        assert 0.0 < r["utilization"] < 2.0

@@ -26,3 +26,15 @@ def test_lang_confusion_matrix_sums_and_diagonal(spark):
     # non-vacuous: the matrix has both diagonal and off-diagonal mass
     assert any(r["correct"] for r in cells)
     assert any(not r["correct"] for r in cells)
+
+
+def test_lang_fertility_consistent_with_corpus(spark):
+    from dic_a1_spark.operators.textstats import lang_token_fertility
+    from dic_a1_spark.sources.readers import load_table
+
+    rows = lang_token_fertility(spark, SF_CORRECT).collect()
+    d = load_table(spark, SF_CORRECT, "documents")
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    for r in rows:
+        assert r["chars_per_token"] > 1.0  # tokens are >=1 char + separator mass
+        assert r["total_chars"] >= r["total_tokens"]
