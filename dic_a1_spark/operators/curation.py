@@ -506,6 +506,20 @@ def hash_split_col(col) -> "F.Column":
     )
 
 
+def hash_split_sql(col_sql: str) -> str:
+    """The DuckDB twin of hash_split_col — the ONE source of the oracle
+    CASE expression (previously copied into three oracles; a change to
+    the split rule must hit exactly two places: the Column above and
+    this string)."""
+    return (
+        f"CASE WHEN substring(md5(CAST({col_sql} AS VARCHAR)), 1, 8)"
+        f" < '{SPLIT_TRAIN_BELOW}' THEN 'train'"
+        f" WHEN substring(md5(CAST({col_sql} AS VARCHAR)), 1, 8)"
+        f" < '{SPLIT_VAL_BELOW}' THEN 'val'"
+        f" ELSE 'test' END"
+    )
+
+
 def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment: the split is a pure
     function of doc_id (md5 hex prefix against fixed thresholds), so it
@@ -727,11 +741,7 @@ ORACLES["text_repetition_ratio"] = f"""
 
 ORACLES["doc_split_assign"] = f"""
     SELECT doc_id, lang, source,
-           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                     < '{SPLIT_TRAIN_BELOW}' THEN 'train'
-                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                     < '{SPLIT_VAL_BELOW}' THEN 'val'
-                ELSE 'test' END AS split
+           {hash_split_sql("doc_id")} AS split
     FROM documents
 """
 
@@ -830,11 +840,7 @@ QUERIES["pack_efficiency_report"] = pack_efficiency_report
 
 ORACLES["decontam_by_split"] = f"""
     WITH per AS ({ORACLES["decontam_ngram_overlap"]})
-    SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                     < '{SPLIT_TRAIN_BELOW}' THEN 'train'
-                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                     < '{SPLIT_VAL_BELOW}' THEN 'val'
-                ELSE 'test' END AS split,
+    SELECT {hash_split_sql("doc_id")} AS split,
            contaminated,
            CAST(count(*) AS BIGINT) AS n_docs
     FROM per

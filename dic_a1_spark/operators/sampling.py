@@ -43,11 +43,7 @@ from pyspark.sql import functions as F
 
 from dic_a1_spark.config import duckdb_tokens_sql
 from dic_a1_spark.functions.text import tokens_nonempty
-from dic_a1_spark.operators.curation import (
-    SPLIT_TRAIN_BELOW,
-    SPLIT_VAL_BELOW,
-    hash_split_col,
-)
+from dic_a1_spark.operators.curation import hash_split_col, hash_split_sql
 from dic_a1_spark.operators.dedup import tokenset_hash
 from dic_a1_spark.sources.readers import load_table
 
@@ -213,13 +209,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _TOKS = duckdb_tokens_sql()
 
-_SPLIT = (
-    "CASE WHEN substring(md5(CAST({c} AS VARCHAR)), 1, 8)"
-    f" < '{SPLIT_TRAIN_BELOW}' THEN 'train'"
-    " WHEN substring(md5(CAST({c} AS VARCHAR)), 1, 8)"
-    f" < '{SPLIT_VAL_BELOW}' THEN 'val'"
-    " ELSE 'test' END"
-)
+# The oracle split CASE comes from the same single source as the
+# Column rule (curation.hash_split_sql).
 
 _GROUPED_CTE = f"""
     WITH keyed AS (
@@ -233,8 +224,8 @@ _GROUPED_CTE = f"""
     ),
     assigned AS (
         SELECT doc_id, group_rep,
-               {_SPLIT.format(c="doc_id")} AS split_naive,
-               {_SPLIT.format(c="group_rep")} AS split_safe
+               {hash_split_sql("doc_id")} AS split_naive,
+               {hash_split_sql("group_rep")} AS split_safe
         FROM grouped
     )
 """

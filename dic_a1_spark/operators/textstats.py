@@ -580,7 +580,10 @@ def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tok"),
         F.col("n_chars").cast("bigint").alias("n_ch"),
-    )
+    ).where(F.col("n_tok") > 0)
+    # the n_tok > 0 guard keeps an all-empty-text language from dividing
+    # by zero, where Spark (NULL) and DuckDB (inf) diverge — and drops
+    # NULL-text rows on both sides identically (reviewer-flagged)
     return per.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
@@ -601,5 +604,7 @@ ORACLES["lang_token_fertility"] = f"""
            round(CAST(sum(n_chars) AS DOUBLE)
                  / CAST(sum(len({_TOKS})) AS DOUBLE), 4)
                AS chars_per_token
-    FROM documents GROUP BY lang
+    FROM documents
+    WHERE len({_TOKS}) > 0
+    GROUP BY lang
 """

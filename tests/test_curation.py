@@ -232,7 +232,10 @@ def test_pack_efficiency_consistent_with_bins(spark):
     assert sum(r["total_tokens"] for r in rep) == sum(
         r["n_tokens"] for r in bins
     )
+    # utilization must equal the ratio the report claims — bin_id
+    # skipping for over-capacity docs means there is NO universal upper
+    # bound (reviewer-flagged), so pin consistency, not a magic 2.0
     for r in rep:
-        # a bin never exceeds capacity by more than one document, so
-        # utilization is positive and bounded by ~1 + max_doc/capacity
-        assert 0.0 < r["utilization"] < 2.0
+        assert r["utilization"] > 0.0
+        expect = r["total_tokens"] / (r["n_bins"] * curation.PACK_CAPACITY)
+        assert abs(r["utilization"] - expect) <= 5e-5 + 1e-12

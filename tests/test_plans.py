@@ -179,6 +179,9 @@ def test_round6_audit_ops_plan_budgets(spark):
         "decontam_threshold_sweep": 3,   # inherited decontam shape + final 1-row agg
         "lang_confusion_matrix": 1,      # single dimension-sized groupBy
         "corpus_shard_plan": 2,          # shard census + S-row window
+        "decontam_by_split": 3,          # inherited decontam shape + cell agg
+        "pack_efficiency_report": 1,     # groupBy reuses the pack window's shard partitioning
+        "lang_token_fertility": 1,       # single per-lang census
     }
     for name, budget in budgets.items():
         a = _audit(spark, name)
