@@ -28,10 +28,14 @@ Why this is feasible in SQL at all:
   steps instead of exponential.
 
 The generated string-hash expression is ~30 KB of SQL and evaluates at
-roughly 4K hashes/s in DuckDB — oracles built on it must hash DISTINCT
+roughly 5K hashes/s in DuckDB — oracles built on it must hash DISTINCT
 strings only (the synthetic corpus has a 31-word vocabulary, so distinct
 tokens/shingles stay square-root-small relative to (doc, token) rows) and
-join hashes back to per-doc rows.
+join hashes back to per-doc rows. Fixed-width folds (the BIGINT chain
+shapes) have a second, ~25x faster emission: :func:`xxh64_fold_layers`
+renders them as liveness-pruned chains of MATERIALIZED projection CTEs
+(plain vectorized HUGEINT arithmetic), which is what the dedup oracles
+use for their per-shingle hash families and band/bucket hashes.
 
 Scale note: this module is VERIFICATION-ONLY plumbing. Production traffic
 runs Spark's JVM-side xxhash64; nothing here ships in a 100 TB plan.
@@ -151,17 +155,21 @@ def _let(var: str, expr: str, body: str) -> str:
     return f"list_transform([{expr}], {var} -> ({body}))[1]"
 
 
+_M32 = (1 << 32) - 1
+
+
 def _s_mulc(e: str, c: int) -> str:
-    """(e * c) mod 2^64 for constant c — split multiply, fits HUGEINT."""
+    """(e * c) mod 2^64 for constant c — split multiply, fits HUGEINT.
+    Bitwise &/>>/<< only: DuckDB's HUGEINT %-and-// go through 128-bit
+    division (~22x slower than the bitwise forms, measured)."""
     return (
-        f"(((({e}) % 4294967296) * {c} + "
-        f"((({e}) // 4294967296) * {c} % 4294967296) * 4294967296) % {_M})"
+        f"(((({e}) & {_M32}) * {c} + "
+        f"((((({e}) >> 32) * {c}) & {_M32}) << 32)) & {_MASK})"
     )
 
 
 def _s_rotl(e: str, r: int) -> str:
-    lo = 1 << (64 - r)
-    return f"(((({e}) % {lo}) * {1 << r} + (({e}) // {lo})))"
+    return f"(((({e}) & {(1 << (64 - r)) - 1}) << {r}) | (({e}) >> {64 - r}))"
 
 
 def _s_xor(a: str, b: str) -> str:
@@ -169,7 +177,7 @@ def _s_xor(a: str, b: str) -> str:
 
 
 def _s_shr(e: str, r: int) -> str:
-    return f"(({e}) // {1 << r})"
+    return f"(({e}) >> {r})"
 
 
 def _s_fmix(h: str, nv) -> str:
@@ -222,7 +230,7 @@ def to_signed_sql(e: str) -> str:
 
 def to_unsigned_sql(e: str) -> str:
     """Signed BIGINT expr -> [0, 2^64) HUGEINT (two's-complement reinterpret)."""
-    return f"((CAST({e} AS HUGEINT) + {_M}) % {_M})"
+    return f"((CAST({e} AS HUGEINT) + {_M}) & {_MASK})"
 
 
 def xxh64_str_sql_unsigned(s: str, seed: int = 42) -> str:
@@ -250,7 +258,7 @@ def xxh64_str_sql_unsigned(s: str, seed: int = 42) -> str:
     )
 
     def _round(a: str, lane: str) -> str:
-        return _s_mulc(_s_rotl(f"((({a}) + {_s_mulc(lane, _P2)}) % {_M})", 31), _P1)
+        return _s_mulc(_s_rotl(f"((({a}) + {_s_mulc(lane, _P2)}) & {_MASK})", 31), _P1)
 
     round_body = (
         "{"
@@ -293,11 +301,11 @@ def xxh64_str_sql_unsigned(s: str, seed: int = 42) -> str:
     st, m0, m1, m2, m3, m4 = nv(), nv(), nv(), nv(), nv(), nv()
     merged = (
         f"(({_s_rotl(f'{st}.v1', 1)} + {_s_rotl(f'{st}.v2', 7)} + "
-        f"{_s_rotl(f'{st}.v3', 12)} + {_s_rotl(f'{st}.v4', 18)}) % {_M})"
+        f"{_s_rotl(f'{st}.v3', 12)} + {_s_rotl(f'{st}.v4', 18)}) & {_MASK})"
     )
 
     def merge_step(hvar: str, v: str) -> str:
-        return f"(({_s_mulc(_s_xor(hvar, _s_round0(v)), _P1)} + {_P4}) % {_M})"
+        return f"(({_s_mulc(_s_xor(hvar, _s_round0(v)), _P1)} + {_P4}) & {_MASK})"
 
     merge_chain = _let(
         m1, merge_step(m0, f"{st}.v1"),
@@ -320,7 +328,7 @@ def xxh64_str_sql_unsigned(s: str, seed: int = 42) -> str:
     wa, wx, wt, wk = nv(), nv(), nv(), nv()
     word_o = f"CAST({base} + {wx}.k * 8 AS BIGINT)"
     word_body = (
-        f"{{'h': (({_s_mulc(_s_rotl(_s_xor(f'{wa}.h', wt), 27), _P1)} + {_P4}) % {_M}), "
+        f"{{'h': (({_s_mulc(_s_rotl(_s_xor(f'{wa}.h', wt), 27), _P1)} + {_P4}) & {_MASK}), "
         f"'k': {wx}.k}}"
     )
     word_lambda = (
@@ -336,7 +344,7 @@ def xxh64_str_sql_unsigned(s: str, seed: int = 42) -> str:
     h2, o4, h3, bstart = nv(), nv(), nv(), nv()
     four = (
         f"(({_s_mulc(_s_rotl(_s_xor(h2, _s_mulc(_s_u32(bs, f'CAST({o4} AS BIGINT)'), _P1)), 23), _P2)} "
-        f"+ {_P3}) % {_M})"
+        f"+ {_P3}) & {_MASK})"
     )
     case4 = f"CASE WHEN ({n} - {o4}) >= 4 THEN {four} ELSE {h2} END"
 
@@ -357,7 +365,7 @@ def xxh64_str_sql_unsigned(s: str, seed: int = 42) -> str:
     core = _let(
         hpre, case_h,
         _let(
-            h1, f"(({hpre} + {n}) % {_M})",
+            h1, f"(({hpre} + {n}) & {_MASK})",
             _let(
                 base, f"(({n} // 32) * 32)",
                 _let(
@@ -404,14 +412,14 @@ def xxh64_long_sql_unsigned(v: str, seed: int | str) -> str:
     if isinstance(seed, int):
         h0 = f"CAST({(seed + _P5 + 8) & _MASK} AS HUGEINT)"
     else:
-        h0 = f"((({seed}) + {_P5 + 8}) % {_M})"
+        h0 = f"((({seed}) + {_P5 + 8}) & {_MASK})"
     return _let(
         uv, to_unsigned_sql(v),
         _let(
             kk, _s_round0(uv),
             _let(
                 hh,
-                f"(({_s_mulc(_s_rotl(_s_xor(h0, kk), 27), _P1)} + {_P4}) % {_M})",
+                f"(({_s_mulc(_s_rotl(_s_xor(h0, kk), 27), _P1)} + {_P4}) & {_MASK})",
                 _s_fmix(hh, nv),
             ),
         ),
@@ -423,6 +431,124 @@ def xxh64_long_sql(v: str, seed: int | str) -> str:
     nv = _namer()
     u = nv()
     return _let(u, xxh64_long_sql_unsigned(v, seed), to_signed_sql(u))
+
+
+def xxh64_fold_layers(
+    cols: list[str], out: str, int_prefix: tuple[int, ...] = (), seed: int = 42
+) -> list[dict[str, str]]:
+    """VECTORIZED twin of :func:`xxh64_longs_chain_sql`: the same
+    left-to-right BIGINT fold, but emitted as an ordered list of
+    projection LAYERS (each a ``{new_col: expr}`` dict referencing only
+    columns from earlier layers / the base relation) instead of one
+    nested scalar expression.
+
+    Why: the scalar form's let-bindings are single-element
+    ``list_transform`` calls, which DuckDB evaluates by ALLOCATING a list
+    per row per binding — measured 17 s for 16 hashes over 16.5 K rows.
+    As chained column projections the whole fold is plain HUGEINT
+    arithmetic (vectorized, no allocation): the same work runs ~100x
+    faster. Feed the layers to :func:`cte_chain`.
+
+    The final layer binds `out` to the SIGNED Bigint hash. Intermediate
+    columns are prefixed ``__{out}_`` — callers merging several folds into
+    shared layers (see :func:`merge_layer_plans`) stay collision-free as
+    long as `out` names are unique.
+    """
+    s: int | str = seed
+    for i in int_prefix:
+        assert isinstance(s, int), "int prefix must precede column exprs"
+        s = py_xxh64_int(i, s)
+    layers: list[dict[str, str]] = []
+    prev_u: str | None = None  # unsigned accumulator column after each round
+    for r, col in enumerate(cols):
+        p = f"__{out}_r{r}"
+        uv, m, kk, g, a, b, u = (
+            f"{p}_uv", f"{p}_m", f"{p}_kk", f"{p}_g", f"{p}_a", f"{p}_b", f"{p}_u"
+        )
+        if prev_u is None:
+            assert isinstance(s, int)
+            h0 = str((s + _P5 + 8) & _MASK)
+        else:
+            h0 = f"(({prev_u} + {_P5 + 8}) & {_MASK})"
+        layers.append({uv: to_unsigned_sql(col)})
+        layers.append({m: _s_mulc(uv, _P2)})
+        layers.append({kk: _s_mulc(_s_rotl(m, 31), _P1)})
+        layers.append(
+            {g: f"(({_s_mulc(_s_rotl(_s_xor(h0, kk), 27), _P1)} + {_P4}) & {_MASK})"}
+        )
+        layers.append({a: _s_mulc(_s_xor(g, _s_shr(g, 33)), _P2)})
+        layers.append({b: _s_mulc(_s_xor(a, _s_shr(a, 29)), _P3)})
+        layers.append({u: _s_xor(b, _s_shr(b, 32))})
+        prev_u = u
+    assert prev_u is not None, "cols must be non-empty"
+    layers.append({out: to_signed_sql(prev_u)})
+    return layers
+
+
+def merge_layer_plans(plans: list[list[dict[str, str]]]) -> list[dict[str, str]]:
+    """Zip several independent layer plans into shared layers (layer k of
+    the result is the union of every plan's layer k) so N folds advance
+    in lockstep through one CTE chain instead of N."""
+    merged: list[dict[str, str]] = []
+    for plan in plans:
+        for k, layer in enumerate(plan):
+            if k == len(merged):
+                merged.append({})
+            for name, expr in layer.items():
+                assert name not in merged[k], f"column collision: {name}"
+                merged[k][name] = expr
+    return merged
+
+
+def cte_chain(
+    base: str,
+    layers: list[dict[str, str]],
+    prefix: str,
+    carry: list[str],
+) -> tuple[str, str]:
+    """Render layers as a chain of MATERIALIZED projection CTEs over
+    relation `base`, LIVENESS-PRUNED: each CTE keeps only `carry`
+    columns plus defined columns still referenced by a LATER layer.
+    Without pruning the chain copies an ever-growing frame (O(layers *
+    width) cells — measured 12 s for a 113-layer 16-fold chain that runs
+    in ~1 s pruned); MATERIALIZED stops DuckDB re-inlining each layer's
+    expression into the next, which would re-grow the expressions the
+    layered form exists to keep flat. Returns (sql_fragment,
+    final_cte_name); the fragment starts with a leading comma so it
+    splices after an existing WITH list. The final CTE exposes `carry`
+    plus every column no later layer consumes (the fold outputs)."""
+    import re
+
+    patterns = {
+        c: re.compile(rf"(?<![A-Za-z0-9_]){re.escape(c)}(?![A-Za-z0-9_])")
+        for layer in layers
+        for c in layer
+    }
+    # last_ref[c]: highest layer index whose exprs reference c; a defined
+    # column no layer references is a fold OUTPUT — kept to the end.
+    last_ref: dict[str, int] = {}
+    for k, layer in enumerate(layers):
+        for c, pat in patterns.items():
+            if any(pat.search(e) for e in layer.values()):
+                last_ref[c] = k
+    frags = []
+    cur = base
+    defined: dict[str, int] = {}  # col -> defining layer
+    for k, layer in enumerate(layers):
+        name = f"{prefix}{k}"
+        keep = [
+            c
+            for c in sorted(defined)
+            if c not in last_ref or last_ref[c] > k  # output, or still live
+        ]
+        cols = ", ".join(
+            [*carry, *keep] + [f"{e} AS {c}" for c, e in layer.items()]
+        )
+        frags.append(f",\n{name} AS MATERIALIZED (SELECT {cols} FROM {cur})")
+        for c in layer:
+            defined[c] = k
+        cur = name
+    return "".join(frags), cur
 
 
 def xxh64_longs_chain_sql(exprs: list[str], int_prefix: tuple[int, ...] = (),
