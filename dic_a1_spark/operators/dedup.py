@@ -13,8 +13,10 @@ Strategy ladder (cheapest first):
   5. SimHash                     — 64-bit sketch + 16-bit-band blocking +
                                    hamming check via xor/bit_count
 
-1-3 carry DuckDB oracles (deterministic, SQL-expressible). 4-5 rest on
-xxhash64, which DuckDB lacks — they get rows-only driver checks plus pytest
+Every level carries a DuckDB oracle. 1-3 are plain SQL; 4-5 rest on
+xxhash64, which DuckDB lacks natively — their oracles are GENERATED from
+functions/xxh64_sql.py (Spark's xxhash64 derived as pure DuckDB HUGEINT
+SQL, bit-parity pinned in tests/test_xxh64_sql.py), on top of pytest
 recall tests against the exact-Jaccard ground truth (tests/test_dedup.py).
 """
 
@@ -192,8 +194,9 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MinHash-LSH (rows-only: xxhash64 has no DuckDB twin; verified in pytest
-# against dedup_jaccard_pairs ground truth)
+# MinHash-LSH (oracle via generated xxhash64 SQL — see the oracle section
+# at the bottom; ALSO verified in pytest against dedup_jaccard_pairs
+# ground truth)
 # ---------------------------------------------------------------------------
 
 def _with_hashed_shingles(
@@ -205,7 +208,8 @@ def _with_hashed_shingles(
     it, so the expensive string arrays never leave the first projection.
     (Two distinct shingles colliding at 64 bits would perturb a verified
     jaccard by one count; at ~50 shingles/doc the chance is ~1e-16 per
-    pair — ignored, and the pairs query is rows-only gated anyway.)"""
+    pair — accepted: the oracle hashes the same universe, so a collision
+    merges identically in both engines and parity is unaffected.)"""
     arrs = _with_shingle_arrays(docs) if shingle_arrays is None else shingle_arrays
     return arrs.select(
         "doc_id", F.expr("transform(shingles, s -> xxhash64(s))").alias("hs")
@@ -464,20 +468,19 @@ def minhash_label_groups(docs: DataFrame, n_iter: int = 3) -> DataFrame:
 
 
 def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only BY NECESSITY, not omission: DuckDB cannot compute
-    xxhash64, and the only candidate surrogate oracle — connected
-    components of the EXACT-Jaccard pair graph — is sound only when LSH
-    candidate recall is exactly 1.0, which the driver data falsifies
-    (lsh_recall_report measures 0.96 at sf0.01: one true pair misses
-    its band bucket, so the exact-graph components differ from this
-    query's output by design). The shared band-join + label-propagation
-    logic is instead hash-certified through the md5-affine twins
-    (dedup_minhash_md5_pairs / _groups in operators/lsh.py)."""
+    """Near-dup groups over the band-bucket graph, under the FULL driver
+    value-hash gate: the oracle (generated, bottom of module) recomputes
+    the xxhash64 band buckets in DuckDB and unrolls the same n_iter=3
+    label-propagation budget. (Rows-only for five rounds — the surrogate
+    exact-Jaccard-component oracle was unsound at LSH recall < 1.0, and
+    only the md5-affine twins in operators/lsh.py certified the shared
+    logic; functions/xxh64_sql.py removed the necessity.)"""
     return minhash_label_groups(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
-# SimHash (rows-only; properties verified in pytest)
+# SimHash (oracle via generated xxhash64 SQL; properties also verified in
+# pytest)
 # ---------------------------------------------------------------------------
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
@@ -638,10 +641,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_keep": dedup_exact_keep,
     "dedup_tokenset_groups": dedup_tokenset_groups,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
-    "dedup_minhash_pairs": dedup_minhash_pairs,  # rows-only (xxhash64)
-    "dedup_minhash_groups": dedup_minhash_groups,  # rows-only (xxhash64)
-    "dedup_simhash_pairs": dedup_simhash_pairs,  # rows-only (xxhash64)
-    "dedup_simhash_groups": dedup_simhash_groups,  # rows-only (xxhash64)
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_minhash_groups": dedup_minhash_groups,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_simhash_groups": dedup_simhash_groups,
 }
 
 _TOKS = duckdb_tokens_sql()
@@ -692,3 +695,289 @@ ORACLES: dict[str, str] = {
         SELECT doc1, doc2, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Generated xxhash64 oracles for the PRODUCTION MinHash/SimHash queries.
+#
+# DuckDB has no xxhash64, so these four queries were rows-only for five
+# rounds ("by necessity"). functions/xxh64_sql.py removed the necessity:
+# it derives Spark's xxhash64 as pure DuckDB SQL (bit-parity pinned in
+# tests/test_xxh64_sql.py), with fixed-width BIGINT folds emitted as
+# vectorized projection-CTE chains. The oracles below re-state the exact
+# production pipelines — same hash family h_i(s) = xxhash64(i, xxhash64(s)),
+# same band hashes, same label-propagation iteration budgets — so the
+# driver's typed value-hash now certifies the REAL production path, not
+# only the md5-affine twins in operators/lsh.py.
+#
+# Cost note: the string hash is the slow part (~5K shingles/s), so every
+# oracle hashes DISTINCT strings once and joins hashes back to per-doc
+# rows; the 16-hash family and band/bucket folds run as vectorized
+# layers. ~6 s at sf0.01, ~12 s at sf0.1 per minhash oracle.
+# ---------------------------------------------------------------------------
+
+def _xxh_minhash_common_ctes() -> str:
+    """CTE fragment (leading comma, splices after _SHINGLE_CTE) defining:
+    xperh  — one row per DISTINCT shingle: signed hash h + p0..p15
+             (p_i = xxhash64(i, h), the production minhash family);
+    xhsh   — (doc_id, h) distinct hashed-shingle rows;
+    xsigs  — (doc_id, s0..s15) per-doc minhash signature
+             (mirrors minhash_signatures: array_min over xxhash64(i, ·))."""
+    from dic_a1_spark.functions.xxh64_sql import (
+        cte_chain,
+        merge_layer_plans,
+        py_xxh64_int,
+        xxh64_fold_layers,
+        xxh64_str_sql,
+    )
+
+    seeds = [py_xxh64_int(i, 42) for i in range(MINHASH_HASHES)]
+    plans = [
+        xxh64_fold_layers(["h"], f"p{i}", seed=seeds[i])
+        for i in range(MINHASH_HASHES)
+    ]
+    frag, last = cte_chain(
+        "xdshh", merge_layer_plans(plans), "xph", carry=["shingle", "h"]
+    )
+    pcols = ", ".join(f"p{i}" for i in range(MINHASH_HASHES))
+    mins = ", ".join(f"min(p.p{i}) AS s{i}" for i in range(MINHASH_HASHES))
+    return f""",
+xdsh AS MATERIALIZED (SELECT DISTINCT shingle FROM sh),
+xdshh AS MATERIALIZED (
+    SELECT shingle, {xxh64_str_sql('shingle')} AS h FROM xdsh
+){frag},
+xperh AS MATERIALIZED (SELECT shingle, h, {pcols} FROM {last}),
+xhsh AS MATERIALIZED (
+    SELECT DISTINCT s.doc_id, p.h FROM sh s JOIN xperh p USING (shingle)
+),
+xsigs AS MATERIALIZED (
+    SELECT s.doc_id, {mins}
+    FROM sh s JOIN xperh p USING (shingle)
+    GROUP BY s.doc_id
+)"""
+
+
+def _xxh_minhash_pairs_oracle() -> str:
+    """Twin of dedup_minhash_pairs: band hashes xxhash64(sig[4b..4b+3]),
+    candidates = distinct same-band matches (the Spark side's
+    first-matching-band device is just a shuffle-free DISTINCT), then
+    exact-Jaccard verification over the hashed-shingle sets with the
+    production's n / (|A| + |B| - n) double arithmetic."""
+    from dic_a1_spark.functions.xxh64_sql import (
+        cte_chain,
+        merge_layer_plans,
+        xxh64_fold_layers,
+    )
+
+    plans = [
+        xxh64_fold_layers(
+            [f"s{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)], f"bh{b}"
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+    frag, last = cte_chain(
+        "xsigs", merge_layer_plans(plans), "xbh",
+        carry=["doc_id"] + [f"s{i}" for i in range(MINHASH_HASHES)],
+    )
+    unpivot = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, bh{b} AS band_hash FROM {last}"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+        WITH {_SHINGLE_CTE}{_xxh_minhash_common_ctes()}{frag},
+xbands AS MATERIALIZED (
+    {unpivot}
+),
+xcand AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM xbands a
+    JOIN xbands b ON a.band_id = b.band_id
+                 AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id
+),
+xshared AS MATERIALIZED (
+    SELECT h1.doc_id AS doc1, h2.doc_id AS doc2, count(*) AS n_shared
+    FROM xhsh h1 JOIN xhsh h2 ON h1.h = h2.h AND h1.doc_id < h2.doc_id
+    GROUP BY h1.doc_id, h2.doc_id
+)
+SELECT doc1, doc2, jaccard FROM (
+    SELECT c.doc1, c.doc2,
+           CAST(x.n_shared AS DOUBLE)
+               / CAST(z1.n_sh + z2.n_sh - x.n_shared AS DOUBLE) AS jaccard
+    FROM xcand c
+    JOIN xshared x ON x.doc1 = c.doc1 AND x.doc2 = c.doc2
+    JOIN sizes z1 ON z1.doc_id = c.doc1
+    JOIN sizes z2 ON z2.doc_id = c.doc2
+)
+WHERE jaccard >= {JACCARD_THRESHOLD}
+    """
+
+
+def _xxh_bipartite_lp_sql(edges_cte: str, n_iter: int) -> str:
+    """Unrolled bipartite min-label propagation over (doc_id, bucket)
+    edges in CTE `edges_cte` — EXACTLY label_propagate's iteration:
+    bucket_label = min(member labels), then label <- least(label,
+    min(bucket labels), with docs outside the graph keeping their own
+    label). Spark's early-exit only skips fixed-point iterations, so a
+    full unroll of the same budget yields identical labels."""
+    parts = [
+        ",\nlp0 AS MATERIALIZED (SELECT doc_id, doc_id AS label FROM documents)"
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f""",
+lp{k} AS MATERIALIZED (
+    SELECT d.doc_id, least(d.label, coalesce(m.minlab, d.label)) AS label
+    FROM lp{k - 1} d
+    LEFT JOIN (
+        SELECT e2.doc_id, min(bm.blab) AS minlab
+        FROM {edges_cte} e2
+        JOIN (
+            SELECT e.bucket, min(p.label) AS blab
+            FROM {edges_cte} e JOIN lp{k - 1} p USING (doc_id)
+            GROUP BY e.bucket
+        ) bm USING (bucket)
+        GROUP BY e2.doc_id
+    ) m USING (doc_id)
+)"""
+        )
+    parts.append(f"\nSELECT doc_id, label AS group_id FROM lp{n_iter}")
+    return "".join(parts)
+
+
+def _xxh_minhash_groups_oracle() -> str:
+    """Twin of dedup_minhash_groups: bucket = xxhash64(b, sig[4b..4b+3])
+    (INT band-id prefix constant-folded into the seed), then the
+    production's n_iter=3 label-propagation budget unrolled."""
+    from dic_a1_spark.functions.xxh64_sql import (
+        cte_chain,
+        merge_layer_plans,
+        xxh64_fold_layers,
+    )
+
+    plans = [
+        xxh64_fold_layers(
+            [f"s{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)],
+            f"bk{b}",
+            int_prefix=(b,),
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+    frag, last = cte_chain(
+        "xsigs", merge_layer_plans(plans), "xbk",
+        carry=["doc_id"] + [f"s{i}" for i in range(MINHASH_HASHES)],
+    )
+    unpivot = "\n    UNION ALL ".join(
+        f"SELECT doc_id, bk{b} AS bucket FROM {last}"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+        WITH {_SHINGLE_CTE}{_xxh_minhash_common_ctes()}{frag},
+xe AS MATERIALIZED (
+    {unpivot}
+){_xxh_bipartite_lp_sql('xe', 3)}
+    """
+
+
+def _xxh_simhash_common_ctes() -> str:
+    """CTE fragment defining xsig: (doc_id, sig BIGINT, usig HUGEINT) —
+    the production 64-bit SimHash (majority vote per bit over DISTINCT
+    token hashes; exact ties -> 0; bit 63 packs as Long.MIN_VALUE via the
+    unsigned-sum -> two's-complement conversion)."""
+    from dic_a1_spark.functions.xxh64_sql import (
+        to_signed_sql,
+        xxh64_str_sql_unsigned,
+    )
+
+    counts = ",\n           ".join(
+        f"sum(CAST((u >> {j}) & 1 AS BIGINT)) AS c{j}" for j in range(64)
+    )
+    pack = " + ".join(
+        f"CASE WHEN 2 * c{j} > n THEN CAST({1 << j} AS HUGEINT)"
+        f" ELSE CAST(0 AS HUGEINT) END"
+        for j in range(64)
+    )
+    return f"""
+xdt AS MATERIALIZED (
+    SELECT doc_id, unnest(list_distinct({_TOKS})) AS w FROM documents
+),
+xwt AS MATERIALIZED (SELECT DISTINCT w FROM xdt),
+xwh AS MATERIALIZED (
+    SELECT w, {xxh64_str_sql_unsigned('w')} AS u FROM xwt
+),
+xcnt AS MATERIALIZED (
+    SELECT d.doc_id, count(*) AS n,
+           {counts}
+    FROM xdt d JOIN xwh h USING (w)
+    GROUP BY d.doc_id
+),
+xusig AS MATERIALIZED (
+    SELECT doc_id, ({pack}) AS usig FROM xcnt
+),
+xsig AS MATERIALIZED (
+    SELECT doc_id, {to_signed_sql('usig')} AS sig, usig FROM xusig
+)"""
+
+
+def _xxh_simhash_pairs_oracle() -> str:
+    """Twin of dedup_simhash_pairs: 16-bit band blocking on the unsigned
+    signature, DISTINCT same-band candidates, hamming via
+    bit_count(xor) <= 3 (both engines: two's-complement popcount)."""
+    unpivot = "\n    UNION ALL ".join(
+        f"SELECT doc_id, sig, {k} AS band_id,"
+        f" CAST((usig >> {16 * k}) & 65535 AS BIGINT) AS band_val FROM xsig"
+        for k in range(4)
+    )
+    return f"""
+        WITH {_xxh_simhash_common_ctes()},
+xsb AS MATERIALIZED (
+    {unpivot}
+),
+xscand AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+           a.sig AS s1, b.sig AS s2
+    FROM xsb a
+    JOIN xsb b ON a.band_id = b.band_id AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+)
+SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+FROM xscand
+WHERE bit_count(xor(s1, s2)) <= 3
+    """
+
+
+def _xxh_simhash_groups_oracle() -> str:
+    """Twin of dedup_simhash_groups: bucket = xxhash64(k, band_val)
+    (INT prefix + BIGINT band value), production n_iter=8 budget."""
+    from dic_a1_spark.functions.xxh64_sql import (
+        cte_chain,
+        merge_layer_plans,
+        xxh64_fold_layers,
+    )
+
+    plans = [
+        xxh64_fold_layers([f"bv{k}"], f"bk{k}", int_prefix=(k,))
+        for k in range(4)
+    ]
+    bvals = ", ".join(
+        f"CAST((usig >> {16 * k}) & 65535 AS BIGINT) AS bv{k}" for k in range(4)
+    )
+    frag, last = cte_chain(
+        "xsbv", merge_layer_plans(plans), "xskk", carry=["doc_id"]
+    )
+    unpivot = "\n    UNION ALL ".join(
+        f"SELECT doc_id, bk{k} AS bucket FROM {last}" for k in range(4)
+    )
+    return f"""
+        WITH {_xxh_simhash_common_ctes()},
+xsbv AS MATERIALIZED (SELECT doc_id, {bvals} FROM xsig){frag},
+xse AS MATERIALIZED (
+    {unpivot}
+){_xxh_bipartite_lp_sql('xse', 8)}
+    """
+
+
+ORACLES["dedup_minhash_pairs"] = _xxh_minhash_pairs_oracle()
+ORACLES["dedup_minhash_groups"] = _xxh_minhash_groups_oracle()
+ORACLES["dedup_simhash_pairs"] = _xxh_simhash_pairs_oracle()
+ORACLES["dedup_simhash_groups"] = _xxh_simhash_groups_oracle()

@@ -1,11 +1,15 @@
 """Oracle-verifiable MinHash-LSH over an md5-derived hash family.
 
 The production MinHash pipeline (operators/dedup.py) uses xxhash64, which
-DuckDB lacks — so its band-join logic has only rows-only driver checks.
-This module re-expresses the SAME pipeline shape (map-only signatures ->
-band-bucket self-join -> exact-Jaccard verification) over a hash family
-both engines compute bit-identically — ONE md5 per shingle feeding an
-affine universal family (constants defined below at _A/_B/_M):
+DuckDB lacks natively — when this module was written its band-join logic
+had only rows-only driver checks, so this module re-expresses the SAME
+pipeline shape (map-only signatures -> band-bucket self-join ->
+exact-Jaccard verification) over a hash family both engines compute
+bit-identically — ONE md5 per shingle feeding an affine universal family
+(constants defined below at _A/_B/_M). (Since then the production
+queries gained their own generated-xxhash64 oracles via
+functions/xxh64_sql.py; this family stays registered as the
+cheap-to-verify twin and the recall-report vehicle.)
 
     base(s)  = bigint(first 10 hex chars of md5(s))        in [0, 2^40)
     h_i(s)   = (A[i] * base(s) + B[i]) mod (2^61 - 1)

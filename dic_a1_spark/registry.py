@@ -38,10 +38,13 @@ from pyspark.sql import DataFrame, SparkSession
 #   (cum 35: 6 re-grades — surprisal moved to integer division in
 #   `4cbb3dc` — plus the NEW vocab_topv_oov + corpus_datacard), lsh
 #   md5-simhash 2 re-grade (persist-lifetime edit, same commit;
-#   cum 37), then oldest-rows-first: chisq 5 (r1/r2 rows; cum 42),
-#   sql_surface 6 (cum 48), tpch_extra 5 (cum 53 — straddles the
-#   window edge), relational 32 and everything below rest on r3-r5
-#   green rows, pytest, and the committed sf0.1 sweep.
+#   cum 37), dedup xxhash64 production family — FIRST-TIME ORACLES via
+#   the generated xxh64 DuckDB SQL (functions/xxh64_sql.py), graded
+#   rows-only in every previous round — 4 (cum 41), then
+#   oldest-rows-first: chisq 5 (r1/r2 rows; cum 46), sql_surface 6
+#   (cum 52 — straddles the window edge), tpch_extra, relational, and
+#   everything below rest on r1-r5 green rows, pytest, and the
+#   committed sf0.1 sweep.
 _MODULES = (
     "dic_a1_spark.operators.linededup",
     "dic_a1_spark.operators.semdedup",
@@ -72,6 +75,16 @@ _MODULES = (
     (
         "dic_a1_spark.operators.lsh",
         ("dedup_simhash_md5_pairs", "dedup_simhash_md5_groups"),
+    ),
+    # production xxhash64 dedup family: first round WITH oracles
+    (
+        "dic_a1_spark.operators.dedup",
+        (
+            "dedup_minhash_pairs",
+            "dedup_minhash_groups",
+            "dedup_simhash_pairs",
+            "dedup_simhash_groups",
+        ),
     ),
     "dic_a1_spark.operators.chisq",
     "dic_a1_spark.operators.sql_surface",
