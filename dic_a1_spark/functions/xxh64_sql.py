@@ -233,11 +233,18 @@ def to_unsigned_sql(e: str) -> str:
     return f"((CAST({e} AS HUGEINT) + {_M}) & {_MASK})"
 
 
-def xxh64_str_sql_unsigned(s: str, seed: int = 42) -> str:
+def xxh64_str_sql_unsigned(s: str, seed: int | str = 42) -> str:
     """DuckDB SQL expr: unsigned XXH64 of the UTF-8 bytes of VARCHAR expr `s`.
 
     Layout mirrors py_xxh64_bytes exactly; byte access goes through
     hex(encode(s)) (DuckDB hex is UPPERCASE) into a HUGEINT byte list.
+
+    `seed` is a Python int (constant-folded) or a SQL expr yielding an
+    UNSIGNED [0, 2^64) HUGEINT. An expression seed is spliced in FIVE
+    places (four stripe-accumulator inits + the short-input base), so
+    pass a cheap reference — a column carrying the previous hash of a
+    multi-string chain (the Spark ``xxhash64(s1, s2, s3)`` shape), not a
+    nested hash expression.
     """
     nv = _namer()
     hx, n, bs = nv(), nv(), nv()
@@ -271,16 +278,20 @@ def xxh64_str_sql_unsigned(s: str, seed: int = 42) -> str:
     stripe_lambda = (
         f"({acc}, {x}) -> list_transform([{lane_struct}], {lanes} -> {round_body})[1]"
     )
-    init_vals = [
-        (seed + _P1 + _P2) & _MASK,
-        (seed + _P2) & _MASK,
-        seed & _MASK,
-        (seed - _P1) & _MASK,
-    ]
+    # Stripe-accumulator inits: (seed + C) mod 2^64 with C in
+    # {P1+P2, P2, 0, 2^64-P1} (the subtraction rewritten as an addition so
+    # expression seeds never go negative).
+    init_cs = [(_P1 + _P2) & _MASK, _P2, 0, (_M - _P1) & _MASK]
+    if isinstance(seed, int):
+        init_exprs = [
+            f"CAST({(seed + c) & _MASK} AS HUGEINT)" for c in init_cs
+        ]
+    else:
+        init_exprs = [f"((({seed}) + {c}) & {_MASK})" for c in init_cs]
     init_struct = (
         "{"
         + ", ".join(
-            [f"'v{j + 1}': CAST({init_vals[j]} AS HUGEINT)" for j in range(4)]
+            [f"'v{j + 1}': {init_exprs[j]}" for j in range(4)]
             + ["'k': CAST(0 AS HUGEINT)"]
         )
         + "}"
@@ -318,9 +329,12 @@ def xxh64_str_sql_unsigned(s: str, seed: int = 42) -> str:
     stripe_expr = f"list_transform([{stripes}], {st} -> ({_let(m0, merged, merge_chain)}))[1]"
 
     hpre = nv()
+    if isinstance(seed, int):
+        short_h = f"CAST({(seed + _P5) & _MASK} AS HUGEINT)"
+    else:
+        short_h = f"((({seed}) + {_P5}) & {_MASK})"
     case_h = (
-        f"CASE WHEN {n} >= 32 THEN ({stripe_expr}) "
-        f"ELSE CAST({(seed + _P5) & _MASK} AS HUGEINT) END"
+        f"CASE WHEN {n} >= 32 THEN ({stripe_expr}) ELSE {short_h} END"
     )
 
     # -- tail: 8-byte words from the stripe boundary, then 4 bytes, then bytes --
@@ -396,7 +410,7 @@ def xxh64_str_sql_unsigned(s: str, seed: int = 42) -> str:
     )
 
 
-def xxh64_str_sql(s: str, seed: int = 42) -> str:
+def xxh64_str_sql(s: str, seed: int | str = 42) -> str:
     """Signed-BIGINT DuckDB twin of Spark ``xxhash64(s)`` for VARCHAR `s`."""
     nv = _namer()
     u = nv()

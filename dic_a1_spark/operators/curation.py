@@ -140,9 +140,11 @@ def decontam_ngram_overlap_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact query, so the pytest value-equality pin compares like with
     like. Overlap counts differ from the exact form only if two distinct
     shingles collide at 64 bits AND straddle the benchmark/corpus split
-    (~1e-9 at test scale), so this is registered rows-only and
-    pytest-pinned value-equal to the exact query at sf0.01 and sf0.1
-    (tests/test_curation.py)."""
+    (~1e-9 at test scale) — the generated oracle (bottom of module)
+    recomputes the SAME xxhash64 triple hashes in DuckDB via
+    functions/xxh64_sql.py, so parity is unaffected by collisions; the
+    query is additionally pytest-pinned value-equal to the exact query
+    at sf0.01 and sf0.1 (tests/test_curation.py)."""
     import numpy as np
     import pandas as pd
     import pyspark.sql.types as T
@@ -564,7 +566,7 @@ def doc_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontam_ngram_overlap": decontam_ngram_overlap,
-    "decontam_ngram_overlap_fast": decontam_ngram_overlap_fast,  # rows-only (xxhash64)
+    "decontam_ngram_overlap_fast": decontam_ngram_overlap_fast,
     "lang_rebalance_sample": lang_rebalance_sample,
     "doc_chunk_windows": doc_chunk_windows,
     "doc_pack_bins": doc_pack_bins,
@@ -858,3 +860,63 @@ ORACLES["pack_efficiency_report"] = f"""
                     * {float(PACK_CAPACITY)!r}), 4) AS utilization
     FROM bins GROUP BY pack_shard
 """
+
+
+def _decontam_fast_oracle() -> str:
+    """Generated oracle for decontam_ngram_overlap_fast: the token-triple
+    hash xxhash64(t1, t2, t3) is a seed-chained string hash (each token's
+    hash seeds the next), recomputed in DuckDB level-by-level over
+    DISTINCT prefixes — t1 (vocabulary-sized), (t1, t2) pairs, then full
+    triples — so the expensive generated string hash runs once per
+    distinct prefix and the chain seed is always a cheap column
+    reference. Sizes/overlap/ratio arithmetic mirrors the certified
+    decontam_ngram_overlap oracle, over per-doc DISTINCT hash sets
+    (= Spark's array_distinct of the hash array)."""
+    from dic_a1_spark.functions.xxh64_sql import (
+        to_signed_sql,
+        xxh64_str_sql_unsigned,
+    )
+
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS a FROM documents),
+        pos AS (SELECT doc_id, a, generate_subscripts(a, 1) AS i FROM toks),
+        tr AS MATERIALIZED (
+            SELECT doc_id, a[i] AS t1, a[i+1] AS t2, a[i+2] AS t3
+            FROM pos WHERE i + 2 <= len(a)
+        ),
+        t1h AS MATERIALIZED (
+            SELECT t1, {xxh64_str_sql_unsigned('t1')} AS h1
+            FROM (SELECT DISTINCT t1 FROM tr)
+        ),
+        t2h AS MATERIALIZED (
+            SELECT d.t1, d.t2, {xxh64_str_sql_unsigned('t2', 'h1')} AS h2
+            FROM (SELECT DISTINCT t1, t2 FROM tr) d JOIN t1h USING (t1)
+        ),
+        t3h AS MATERIALIZED (
+            SELECT d.t1, d.t2, d.t3,
+                   {to_signed_sql(xxh64_str_sql_unsigned('t3', 'h2'))} AS h
+            FROM (SELECT DISTINCT t1, t2, t3 FROM tr) d
+            JOIN t2h USING (t1, t2)
+        ),
+        dh AS MATERIALIZED (
+            SELECT DISTINCT r.doc_id, h.h
+            FROM tr r JOIN t3h h USING (t1, t2, t3)
+        ),
+        bench AS MATERIALIZED (
+            SELECT DISTINCT h FROM dh WHERE doc_id < {BENCH_DOCS}
+        ),
+        per_doc AS (
+            SELECT s.doc_id, count(*) AS n_shingles, count(b.h) AS n_overlap
+            FROM dh s LEFT JOIN bench b ON s.h = b.h
+            WHERE s.doc_id >= {BENCH_DOCS}
+            GROUP BY s.doc_id
+        )
+        SELECT doc_id, n_shingles, n_overlap,
+               round(CAST(n_overlap AS DOUBLE) / n_shingles, 4) AS overlap_ratio,
+               (CAST(n_overlap AS DOUBLE) / n_shingles) >= {CONTAM_RATIO}
+                   AS contaminated
+        FROM per_doc
+    """
+
+
+ORACLES["decontam_ngram_overlap_fast"] = _decontam_fast_oracle()

@@ -41,8 +41,11 @@ from pyspark.sql import DataFrame, SparkSession
 #   cum 37), dedup xxhash64 production family — FIRST-TIME ORACLES via
 #   the generated xxh64 DuckDB SQL (functions/xxh64_sql.py), graded
 #   rows-only in every previous round — 4 (cum 41), then
-#   oldest-rows-first: chisq 5 (r1/r2 rows; cum 46), sql_surface 6
-#   (cum 52 — straddles the window edge), tpch_extra, relational, and
+#   decontam_ngram_overlap_fast — FIRST-TIME ORACLE, seed-chained
+#   generated xxh64 recomputing Spark's xxhash64(t1,t2,t3) triple hash
+#   over distinct prefixes — 1 (cum 42), then oldest-rows-first: chisq 5
+#   (r1/r2 rows; cum 47), sql_surface 6
+#   (cum 53 — straddles the window edge), tpch_extra, relational, and
 #   everything below rest on r1-r5 green rows, pytest, and the
 #   committed sf0.1 sweep.
 _MODULES = (
@@ -85,6 +88,12 @@ _MODULES = (
             "dedup_simhash_pairs",
             "dedup_simhash_groups",
         ),
+    ),
+    # decontam fast path: first round WITH an oracle (seed-chained
+    # generated xxh64 over distinct token-triple prefixes)
+    (
+        "dic_a1_spark.operators.curation",
+        ("decontam_ngram_overlap_fast",),
     ),
     "dic_a1_spark.operators.chisq",
     "dic_a1_spark.operators.sql_surface",
