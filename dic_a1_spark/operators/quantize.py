@@ -129,14 +129,20 @@ def knn_cosine_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes brute-force rescoring viable as the re-rank stage of a 100 TB
     ANN pipeline. All-integer similarity numerators mean the oracle
     comparison is exact by construction, not modulo float folding.
-    Zero-norm vectors are filtered on both probe sides (qq > 0, mirrored
-    in the oracle): an all-zero embedding would yield NaN similarity,
-    where Spark's NaN ordering (greatest) and DuckDB's diverge."""
+    Zero-norm vectors are filtered on both probe sides (absmax > 0 on
+    the raw column, equivalent to the oracle's qq > 0): an all-zero
+    embedding would yield NaN similarity, where Spark's NaN ordering
+    (greatest) and DuckDB's diverge."""
     e = load_table(spark, sf_dir, "embeddings")
+    # Zero-norm guard BEFORE quantizing, on the raw column: qq > 0 iff
+    # absmax(embedding) > 0 (any nonzero absmax quantizes its witness
+    # element to +/-127, so qq >= 127^2). Filtering on qq itself inlined
+    # the whole quantize+fold chain into the predicate and cost 3x the
+    # query (r5 bench regression: 1.96 -> 6.1 s at sf0.1).
+    e = e.where(F.array_max(F.transform("embedding", F.abs)) > 0)
     qz = _with_quantized(e).select(
         "vec_id", "qvec", _int_dot(F.col("qvec"), F.col("qvec")).alias("qq")
     )
-    qz = qz.where(F.col("qq") > 0)
     queries = qz.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("qvec").alias("qa"),
