@@ -82,9 +82,19 @@ def _with_shingle_arrays(docs: DataFrame) -> DataFrame:
 
 
 def _with_shingles(docs: DataFrame) -> DataFrame:
-    """doc_id + exploded DISTINCT shingles (the inverted-index form)."""
+    """doc_id + exploded DISTINCT shingles (the inverted-index form).
+
+    explode_OUTER, not explode: InferFiltersFromGenerate turns a plain
+    explode into a `size(shingles) > 0 AND isnotnull(shingles)` filter
+    below the Generate, and CollapseProject inlines the whole
+    non-cheap shingle expression into that predicate — where the
+    interpreter re-runs tokenization per lambda element (measured 19 s
+    of pure filter overhead on 5K docs at sf0.1; 0.9 s with the outer
+    form). The outer form is row-identical here: _with_shingle_arrays
+    keeps only docs with >= SHINGLE_WIDTH tokens, so every array has
+    >= 1 element and no null-shingle row is ever produced."""
     return _with_shingle_arrays(docs).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+        "doc_id", F.explode_outer("shingles").alias("shingle")
     )
 
 
