@@ -112,6 +112,9 @@ HEADLINE = [
     "line_dedup_kept",
     "semdedup_keep",
     "knn_cosine_pq_fast",
+    # round 6: cross-document exact-substring span dedup (Lee et al.
+    # ExactSubstr, windowed form)
+    "substr_dup_spans",
 ]
 
 
