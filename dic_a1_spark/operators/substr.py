@@ -199,10 +199,45 @@ def substr_hot_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def substr_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applies the span worklist: for every AFFECTED document, the text
+    with all duplicated spans removed — (doc_id, n_tokens, n_removed,
+    kept_text). Works in token space (kept_text re-joins the surviving
+    tokens with single spaces; unaffected documents pass through a real
+    pipeline untouched via anti-join, so they are not re-emitted here).
+    The per-doc span list is bounded by document length, so the
+    collect_list and the per-token exists() probe are O(doc), never
+    corpus-shaped."""
+    d = load_table(spark, sf_dir, "documents")
+    spans = substr_dup_spans(spark, sf_dir).groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sp")
+    )
+    toks = d.select("doc_id", tokens_nonempty(F.col("text")).alias("toks"))
+    kept = F.expr(
+        "filter(toks, (x, i) -> NOT exists(sp,"
+        " s -> i + 1 >= s.span_start AND i + 1 <= s.span_end))"
+    )
+    return (
+        toks.join(spans, "doc_id")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            kept.alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.size("kept")).alias("n_removed"),
+            F.concat_ws(" ", F.col("kept")).alias("kept_text"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substr_dup_spans": substr_dup_spans,
     "substr_dup_stats": substr_dup_stats,
     "substr_hot_spans": substr_hot_spans,
+    "substr_scrub_text": substr_scrub_text,
 }
 
 
@@ -233,11 +268,11 @@ def _wins_cte() -> str:
     """
 
 
-def _spans_oracle() -> str:
+def _spans_chain() -> str:
+    """CTE chain from `wins` to `islands` — shared by the spans and
+    scrub oracles."""
     w = SUBSTR_WIDTH
-    return (
-        _wins_cte()
-        + f""",
+    return f""",
         dup AS (
             SELECT h FROM wins GROUP BY h
             HAVING count(DISTINCT doc_id) >= 2
@@ -263,11 +298,46 @@ def _spans_oracle() -> str:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS island
             FROM flagged
-        )
+        )"""
+
+
+def _spans_oracle() -> str:
+    w = SUBSTR_WIDTH
+    return (
+        _wins_cte()
+        + _spans_chain()
+        + f"""
         SELECT doc_id, min(pos) AS span_start,
                CAST(max(pos) + {w - 1} AS INTEGER) AS span_end,
                count(*) AS n_windows
         FROM islands GROUP BY doc_id, island
+    """
+    )
+
+
+def _scrub_oracle() -> str:
+    w = SUBSTR_WIDTH
+    return (
+        _wins_cte()
+        + _spans_chain()
+        + f""",
+        spans AS (
+            SELECT doc_id, min(pos) AS s,
+                   CAST(max(pos) + {w - 1} AS INTEGER) AS e
+            FROM islands GROUP BY doc_id, island
+        ),
+        per_doc AS (
+            SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp
+            FROM spans GROUP BY doc_id
+        )
+        SELECT t.doc_id, len(t.a) AS n_tokens,
+               len(t.a) - len(list_filter(t.a, (x, i) ->
+                   len(list_filter(p.sp, z -> i >= z.s AND i <= z.e)) = 0
+               )) AS n_removed,
+               coalesce(array_to_string(list_filter(t.a, (x, i) ->
+                   len(list_filter(p.sp, z -> i >= z.s AND i <= z.e)) = 0
+               ), ' '), '') AS kept_text
+        FROM toks t JOIN per_doc p USING (doc_id)
     """
     )
 
@@ -320,4 +390,5 @@ ORACLES: dict[str, str] = {
     "substr_dup_spans": _spans_oracle(),
     "substr_dup_stats": _stats_oracle(),
     "substr_hot_spans": _hot_oracle(),
+    "substr_scrub_text": _scrub_oracle(),
 }

@@ -105,6 +105,25 @@ def test_hot_spans_ordering_and_threshold(spark):
     assert all(r["n_occurrences"] >= r["n_docs"] for r in rows)
 
 
+def test_scrub_consistent_with_spans(spark):
+    """Every affected doc's removal count equals the summed length of its
+    merged spans, and the kept text has exactly n_tokens - n_removed
+    tokens (token order preserved is covered by the oracle's value
+    hash — kept_text is order-sensitive)."""
+    spans = substr.substr_dup_spans(spark, SF_CORRECT).collect()
+    removed = {}
+    for r in spans:
+        removed[r["doc_id"]] = removed.get(r["doc_id"], 0) + (
+            r["span_end"] - r["span_start"] + 1
+        )
+    rows = substr.substr_scrub_text(spark, SF_CORRECT).collect()
+    assert {r["doc_id"] for r in rows} == set(removed)
+    for r in rows:
+        assert r["n_removed"] == removed[r["doc_id"]]
+        n_kept = len(r["kept_text"].split()) if r["kept_text"] else 0
+        assert n_kept == r["n_tokens"] - r["n_removed"]
+
+
 def test_window_stream_is_map_only(spark):
     """The window/hash construction must reach the first aggregation
     without an exchange and without a Python UDF stage."""
