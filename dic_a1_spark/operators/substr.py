@@ -102,16 +102,17 @@ def _dup_hits(docs: DataFrame) -> DataFrame:
     return wins.join(dup, "h")
 
 
-def substr_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, span_start, span_end, n_windows): maximal merged intervals
-    of cross-document duplicated SUBSTR_WIDTH-token windows, per document
-    (token positions, 1-based inclusive). The removal worklist an
-    ExactSubstr scrub applies to the corpus. Overlapping windows merge
+# Position encoder for the keep-first rule: one BIGINT per occurrence,
+# ordered like (doc_id, pos). 2^21 positions per doc is far above any
+# real document's token count and keeps doc_id < 2^42 overflow-free.
+_POS_ENC = 1 << 21
+
+
+def _merge_spans(hits: DataFrame) -> DataFrame:
+    """(doc_id, pos) hit rows -> maximal merged per-doc intervals
     (classic interval union via running-max window functions: a window
     starts a new island iff its start exceeds every previous window's
     end); adjacent-but-disjoint spans stay separate."""
-    d = load_table(spark, sf_dir, "documents")
-    hits = _dup_hits(d)
     w_ord = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + SUBSTR_WIDTH - 1).over(
         w_ord.rowsBetween(Window.unboundedPreceding, -1)
@@ -139,6 +140,41 @@ def substr_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "span_start", "span_end", "n_windows")
     )
+
+
+def substr_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, span_start, span_end, n_windows): maximal merged intervals
+    of cross-document duplicated SUBSTR_WIDTH-token windows, per document
+    (token positions, 1-based inclusive). The removal worklist of the
+    scrub-ALL policy: every occurrence of a duplicated window is marked
+    (see substr_dup_spans_keepfirst for the keep-one-copy policy)."""
+    d = load_table(spark, sf_dir, "documents")
+    return _merge_spans(_dup_hits(d))
+
+
+def substr_dup_spans_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-copy removal worklist (the Lee et al. policy — scrubbing
+    ALL occurrences deletes the passage from the corpus entirely): the
+    canonical occurrence of each duplicated window — lowest (doc_id, pos)
+    — is preserved; spans merge over the remaining occurrences only.
+    The census carries one extra BIGINT per key (min of the encoded
+    (doc_id, pos) order — plain partial-aggregable min, same single
+    exchange as the scrub-all census)."""
+    d = load_table(spark, sf_dir, "documents")
+    wins = _window_hashes(d)
+    enc = F.col("doc_id") * _POS_ENC + F.col("pos")
+    cen = wins.groupBy("h").agg(
+        F.min("doc_id").alias("mn"),
+        F.max("doc_id").alias("mx"),
+        F.min(enc).alias("own_key"),
+    )
+    hits = (
+        wins.join(cen, "h")
+        .where(F.col("mn") != F.col("mx"))
+        .where(enc != F.col("own_key"))
+        .select("doc_id", "pos")
+    )
+    return _merge_spans(hits)
 
 
 def substr_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,6 +271,7 @@ def substr_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substr_dup_spans": substr_dup_spans,
+    "substr_dup_spans_keepfirst": substr_dup_spans_keepfirst,
     "substr_dup_stats": substr_dup_stats,
     "substr_hot_spans": substr_hot_spans,
     "substr_scrub_text": substr_scrub_text,
@@ -268,16 +305,39 @@ def _wins_cte() -> str:
     """
 
 
-def _spans_chain() -> str:
-    """CTE chain from `wins` to `islands` — shared by the spans and
-    scrub oracles."""
-    w = SUBSTR_WIDTH
-    return f""",
+def _hits_chain() -> str:
+    """CTE chain `wins` -> `hits` for the scrub-ALL policy."""
+    return """,
         dup AS (
             SELECT h FROM wins GROUP BY h
             HAVING count(DISTINCT doc_id) >= 2
         ),
-        hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (h)),
+        hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (h))"""
+
+
+def _keepfirst_hits_chain() -> str:
+    """CTE chain `wins` -> `hits` for the keep-one-copy policy: the
+    canonical occurrence (min encoded (doc_id, pos)) of each duplicated
+    window is excluded from the hit stream."""
+    return f""",
+        cen AS (
+            SELECT h, min(doc_id) AS mn, max(doc_id) AS mx,
+                   min(doc_id * {_POS_ENC} + pos) AS own_key
+            FROM wins GROUP BY h
+        ),
+        hits AS (
+            SELECT w.doc_id, w.pos
+            FROM wins w JOIN cen c USING (h)
+            WHERE c.mn <> c.mx
+              AND w.doc_id * {_POS_ENC} + w.pos <> c.own_key
+        )"""
+
+
+def _merge_chain() -> str:
+    """CTE chain `hits` -> `islands` — the interval-merge window
+    functions, shared by every spans/scrub oracle."""
+    w = SUBSTR_WIDTH
+    return f""",
         flagged AS (
             SELECT doc_id, pos,
                    CASE WHEN max(pos + {w - 1}) OVER (
@@ -301,17 +361,23 @@ def _spans_chain() -> str:
         )"""
 
 
-def _spans_oracle() -> str:
+def _spans_select() -> str:
     w = SUBSTR_WIDTH
-    return (
-        _wins_cte()
-        + _spans_chain()
-        + f"""
+    return f"""
         SELECT doc_id, min(pos) AS span_start,
                CAST(max(pos) + {w - 1} AS INTEGER) AS span_end,
                count(*) AS n_windows
         FROM islands GROUP BY doc_id, island
     """
+
+
+def _spans_oracle() -> str:
+    return _wins_cte() + _hits_chain() + _merge_chain() + _spans_select()
+
+
+def _keepfirst_oracle() -> str:
+    return (
+        _wins_cte() + _keepfirst_hits_chain() + _merge_chain() + _spans_select()
     )
 
 
@@ -319,7 +385,8 @@ def _scrub_oracle() -> str:
     w = SUBSTR_WIDTH
     return (
         _wins_cte()
-        + _spans_chain()
+        + _hits_chain()
+        + _merge_chain()
         + f""",
         spans AS (
             SELECT doc_id, min(pos) AS s,
@@ -388,6 +455,7 @@ def _hot_oracle() -> str:
 
 ORACLES: dict[str, str] = {
     "substr_dup_spans": _spans_oracle(),
+    "substr_dup_spans_keepfirst": _keepfirst_oracle(),
     "substr_dup_stats": _stats_oracle(),
     "substr_hot_spans": _hot_oracle(),
     "substr_scrub_text": _scrub_oracle(),

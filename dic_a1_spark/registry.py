@@ -27,25 +27,25 @@ from pyspark.sql import DataFrame, SparkSession
 # window therefore fronts (a) everything NEW this round, (b) re-grades of
 # modules edited since their last green row, then (c) oldest-green-first
 # re-certification:
-#   substr — NEW — 4 (cum 4: ExactSubstr span dedup + applied scrub,
-#   generated-xxh64 oracles), linededup — NEW — 3 (cum 7), semdedup —
-#   NEW — 4 (cum 11, incl. the threshold sweep), sampling — NEW — 5
-#   (cum 16, incl. corpus_shard_plan), mixing — NEW — 5 (cum 21),
-#   mining — NEW — 2 (cum 23), knn_cosine_pq_fast — NEW, shares the
-#   exact twin's oracle — 1 (cum 24), composition audits — NEW — 5
-#   (cum 29: decontam_threshold_sweep, decontam_by_split,
+#   substr — NEW — 5 (cum 5: ExactSubstr span dedup, keep-first policy
+#   twin, applied scrub — generated-xxh64 oracles), linededup — NEW — 3
+#   (cum 8), semdedup — NEW — 4 (cum 12, incl. the threshold sweep),
+#   sampling — NEW — 5 (cum 17, incl. corpus_shard_plan), mixing — NEW
+#   — 5 (cum 22), mining — NEW — 2 (cum 24), knn_cosine_pq_fast — NEW,
+#   shares the exact twin's oracle — 1 (cum 25), composition audits —
+#   NEW — 5 (cum 30: decontam_threshold_sweep, decontam_by_split,
 #   pack_efficiency_report, lang_confusion_matrix, lang_token_fertility),
-#   events retention cohorts + DAU/WAU stickiness — NEW — 2 (cum 31),
-#   corpusops 8 (cum 39: 6 re-grades — surprisal moved to integer
+#   events retention cohorts + DAU/WAU stickiness — NEW — 2 (cum 32),
+#   corpusops 8 (cum 40: 6 re-grades — surprisal moved to integer
 #   division in `4cbb3dc` — plus the NEW vocab_topv_oov +
 #   corpus_datacard), lsh md5-simhash 2 re-grade (persist-lifetime
-#   edit, same commit; cum 41), dedup xxhash64 production family —
+#   edit, same commit; cum 42), dedup xxhash64 production family —
 #   FIRST-TIME ORACLES via the generated xxh64 DuckDB SQL
 #   (functions/xxh64_sql.py), graded rows-only in every previous round
-#   — 4 (cum 45), then decontam_ngram_overlap_fast — FIRST-TIME ORACLE,
+#   — 4 (cum 46), then decontam_ngram_overlap_fast — FIRST-TIME ORACLE,
 #   seed-chained generated xxh64 recomputing Spark's xxhash64(t1,t2,t3)
-#   triple hash over distinct prefixes — 1 (cum 46), then
-#   oldest-rows-first: chisq 5 (r1/r2 rows; cum 51 — straddles the
+#   triple hash over distinct prefixes — 1 (cum 47), then
+#   oldest-rows-first: chisq 5 (r1/r2 rows; cum 52 — straddles the
 #   window edge), sql_surface, tpch_extra, relational, and everything
 #   below rest on r1-r5 green rows, pytest, and the committed sf0.1
 #   sweep.

@@ -40,10 +40,12 @@ def test_spans_nonvacuous_and_well_formed(spark):
             assert s2 > e1, "overlapping spans must merge"
 
 
-def test_spans_windows_truly_cross_document(spark):
+@pytest.mark.parametrize("keepfirst", [False, True])
+def test_spans_windows_truly_cross_document(spark, keepfirst):
     """Ground-truth audit, independent of the hashed pipeline: recompute
     the duplicated window positions in plain Python from the tokenized
-    docs and check the merged intervals match exactly."""
+    docs (minus each window's canonical first occurrence in keepfirst
+    mode) and check the merged intervals match exactly."""
     from dic_a1_spark.functions.text import tokens_nonempty
     from dic_a1_spark.sources.readers import load_table
 
@@ -54,16 +56,25 @@ def test_spans_windows_truly_cross_document(spark):
         .collect()
     )
     occ: dict[str, set[int]] = {}
+    first: dict[str, tuple[int, int]] = {}
     per_doc_pos: dict[int, list[tuple[int, str]]] = {}
     for r in docs:
         toks = r["toks"]
         for i in range(len(toks) - w + 1):
             win = " ".join(toks[i : i + w])
             occ.setdefault(win, set()).add(r["doc_id"])
+            key = (r["doc_id"], i + 1)
+            if win not in first or key < first[win]:
+                first[win] = key
             per_doc_pos.setdefault(r["doc_id"], []).append((i + 1, win))
     expected = set()
     for doc_id, poss in per_doc_pos.items():
-        hit = sorted(p for p, win in poss if len(occ[win]) >= 2)
+        hit = sorted(
+            p
+            for p, win in poss
+            if len(occ[win]) >= 2
+            and not (keepfirst and first[win] == (doc_id, p))
+        )
         if not hit:
             continue
         start, end, n = hit[0], hit[0] + w - 1, 1
@@ -74,11 +85,17 @@ def test_spans_windows_truly_cross_document(spark):
             else:
                 end, n = p + w - 1, n + 1
         expected.add((doc_id, start, end, n))
+    fn = (
+        substr.substr_dup_spans_keepfirst
+        if keepfirst
+        else substr.substr_dup_spans
+    )
     got = {
         (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
-        for r in substr.substr_dup_spans(spark, SF_CORRECT).collect()
+        for r in fn(spark, SF_CORRECT).collect()
     }
     assert got == expected
+    assert len(got) > 0
 
 
 def test_stats_consistent_with_spans(spark):

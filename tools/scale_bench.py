@@ -103,6 +103,12 @@ HEADLINE_DOC_QUERIES = [
     "mix_epoch_plan",
     "vocab_topv_oov",
     "corpus_datacard",
+    # ExactSubstr span dedup (adversarial here: every window recurs
+    # `factor` times, so every hit row survives the census and the
+    # interval merge runs over the entire window stream — one maximal
+    # span per doc)
+    "substr_dup_spans",
+    "substr_dup_stats",
 ]
 
 
