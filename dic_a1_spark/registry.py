@@ -98,6 +98,8 @@ _MODULES = (
         "dic_a1_spark.operators.curation",
         ("decontam_ngram_overlap_fast",),
     ),
+    # NEW this round: winnowing fingerprints (MOSS local-min selection)
+    "dic_a1_spark.operators.winnow",
     "dic_a1_spark.operators.chisq",
     "dic_a1_spark.operators.sql_surface",
     "dic_a1_spark.operators.tpch_extra",
