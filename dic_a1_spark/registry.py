@@ -100,6 +100,8 @@ _MODULES = (
     ),
     # NEW this round: winnowing fingerprints (MOSS local-min selection)
     "dic_a1_spark.operators.winnow",
+    # NEW this round: DSIR hashed-ngram importance weighting
+    "dic_a1_spark.operators.dsir",
     "dic_a1_spark.operators.chisq",
     "dic_a1_spark.operators.sql_surface",
     "dic_a1_spark.operators.tpch_extra",
