@@ -102,6 +102,9 @@ _MODULES = (
     "dic_a1_spark.operators.winnow",
     # NEW this round: DSIR hashed-ngram importance weighting
     "dic_a1_spark.operators.dsir",
+    # NEW this round: bigram surprisal + perplexity deciles + per-source
+    # cross-entropy (closed-form NTILE twin certified against DuckDB's)
+    "dic_a1_spark.operators.lm",
     "dic_a1_spark.operators.chisq",
     "dic_a1_spark.operators.sql_surface",
     "dic_a1_spark.operators.tpch_extra",
