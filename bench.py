@@ -115,6 +115,11 @@ HEADLINE = [
     # round 6: cross-document exact-substring span dedup (Lee et al.
     # ExactSubstr, windowed form)
     "substr_dup_spans",
+    # round 6: winnowing fingerprints (MOSS), DSIR importance selection,
+    # and the global-sort-free perplexity decile census
+    "winnow_fingerprints",
+    "dsir_selected",
+    "ppl_decile_census",
 ]
 
 

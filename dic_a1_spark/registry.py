@@ -105,6 +105,8 @@ _MODULES = (
     # NEW this round: bigram surprisal + perplexity deciles + per-source
     # cross-entropy (closed-form NTILE twin certified against DuckDB's)
     "dic_a1_spark.operators.lm",
+    # NEW this round: content-defined chunking (Rabin/FastCDC shape)
+    "dic_a1_spark.operators.cdc",
     "dic_a1_spark.operators.chisq",
     "dic_a1_spark.operators.sql_surface",
     "dic_a1_spark.operators.tpch_extra",

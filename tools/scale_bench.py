@@ -109,6 +109,18 @@ HEADLINE_DOC_QUERIES = [
     # span per doc)
     "substr_dup_spans",
     "substr_dup_stats",
+    # winnowing selection (window-min over the amplified gram stream),
+    # DSIR scoring (bucket census + broadcast-weight join at full fan-in),
+    # and the perplexity decile census (value-census ranks, no global
+    # sort — the amplified corpus stresses the per-value row_number)
+    "winnow_fingerprints",
+    "dsir_logratio_weights",
+    "ppl_decile_census",
+    # content-defined chunking: zero-exchange map pass + one census
+    # aggregation (adversarial here: the amplified corpus multiplies
+    # every chunk `factor` times, so the census sees maximal dup mass)
+    "cdc_chunks",
+    "cdc_stats",
 ]
 
 
