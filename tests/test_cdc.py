@@ -48,39 +48,46 @@ def test_chunks_tile_every_document(spark):
             assert r["n_tokens"] == r["chunk_end"] - r["chunk_start"] + 1
 
 
+def _chunk_reference(toks: list[str]) -> set[tuple[int, int, int]]:
+    """Plain-Python CDC reference: (chunk_start, chunk_end, n_tokens)
+    intervals for one document's token list."""
+    from dic_a1_spark.functions.xxh64_sql import py_to_signed, py_xxh64_bytes
+
+    k, d = cdc.CDC_K, cdc.CDC_D
+    if not toks:
+        return set()
+    bounds = [
+        e
+        for e in range(k, len(toks) + 1)
+        if py_to_signed(py_xxh64_bytes(" ".join(toks[e - k : e]).encode()))
+        % d
+        == 0
+    ]
+    if not bounds or bounds[-1] != len(toks):
+        bounds.append(len(toks))
+    out, prev = set(), 0
+    for b in bounds:
+        out.add((prev + 1, b, b - prev))
+        prev = b
+    return out
+
+
 def test_boundaries_are_content_defined(spark):
     """The CDC property: recompute boundaries in plain Python from the
     window-hash rule and require the exact same chunk intervals."""
     from dic_a1_spark.functions.text import tokens_nonempty
-    from dic_a1_spark.functions.xxh64_sql import py_to_signed, py_xxh64_bytes
     from dic_a1_spark.sources.readers import load_table
 
-    k, d = cdc.CDC_K, cdc.CDC_D
     docs = (
         load_table(spark, SF_SMALL, "documents")
         .select("doc_id", tokens_nonempty(F.col("text")).alias("toks"))
         .collect()
     )
-    expected = set()
-    for r in docs:
-        toks = r["toks"]
-        if not toks:
-            continue
-        bounds = [
-            e
-            for e in range(k, len(toks) + 1)
-            if py_to_signed(
-                py_xxh64_bytes(" ".join(toks[e - k : e]).encode())
-            )
-            % d
-            == 0
-        ]
-        if not bounds or bounds[-1] != len(toks):
-            bounds.append(len(toks))
-        prev = 0
-        for b in bounds:
-            expected.add((r["doc_id"], prev + 1, b))
-            prev = b
+    expected = {
+        (r["doc_id"], s, e)
+        for r in docs
+        for (s, e, _n) in _chunk_reference(list(r["toks"]))
+    }
     got = {
         (r["doc_id"], r["chunk_start"], r["chunk_end"])
         for r in cdc.cdc_chunks(spark, SF_SMALL).collect()
