@@ -401,6 +401,33 @@ def line_instance_census(stream: DataFrame) -> DataFrame:
     )
 
 
+def cdc_chunk_census(stream: DataFrame) -> DataFrame:
+    """Streaming twin of cdc.py's duplicate-chunk census: content-defined
+    chunking is a PURE MAP (boundary detection, interval assembly, and
+    chunk hashing all live in one projection's array domain — the exact
+    `_chunks` expressions from the batch operator, shared, not
+    re-derived), so it streams unchanged; the census is a streaming
+    aggregation keyed by chunk_hash. This is the online form of
+    content-addressed corpus storage: as crawl files arrive, the census
+    tells the writer which chunks it already holds.
+
+    Scope: instance counts + chunk length (`n_inst`, `n_tokens`). The
+    batch census' cross_doc flag needs min/max doc_id — expressible on
+    streams, but kept batch-side to match the report the pipeline
+    publishes; parity of the streamed columns is pinned in
+    tests/test_streaming.py."""
+    from dic_a1_spark.operators.cdc import _chunks
+
+    return (
+        _chunks(stream.select("doc_id", "text"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.count("*").alias("n_inst"),
+        )
+    )
+
+
 def read_increment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents parquet, restricted to the
     increment residue class of operators/incremental.py — the streaming

@@ -203,6 +203,32 @@ def test_stream_incremental_admission_matches_batch(spark):
     assert got, "no admissions — increment residue class empty?"
 
 
+def test_stream_cdc_census_matches_batch(spark):
+    """The round-6 CDC chunk census, streamed: zero-exchange chunk
+    construction shared with the batch operator, streaming groupBy in
+    complete mode equals a batch regroup of the chunk table exactly."""
+    from pyspark.sql import functions as F
+
+    from dic_a1_spark.operators import cdc
+    from dic_a1_spark.sources.readers import load_table
+
+    stream = jobs.read_documents_stream(spark, SF_SMOKE)
+    jobs.run_to_memory(jobs.cdc_chunk_census(stream), "t_cdccensus")
+    got = _rows(
+        spark.table("t_cdccensus"), ["chunk_hash", "n_tokens", "n_inst"]
+    )
+    want = _rows(
+        cdc._chunks(load_table(spark, SF_SMOKE, "documents"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.count("*").alias("n_inst"),
+        ),
+        ["chunk_hash", "n_tokens", "n_inst"],
+    )
+    assert got == want and got
+
+
 def test_stream_line_census_matches_batch(spark):
     """The round-6 line-dedup census, streamed: map-only line
     construction shared with the batch operator, streaming groupBy in
