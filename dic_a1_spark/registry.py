@@ -107,6 +107,8 @@ _MODULES = (
     "dic_a1_spark.operators.lm",
     # NEW this round: content-defined chunking (Rabin/FastCDC shape)
     "dic_a1_spark.operators.cdc",
+    # NEW this round: windowed PMI collocations (integer staircase + lift)
+    "dic_a1_spark.operators.colloc",
     "dic_a1_spark.operators.chisq",
     "dic_a1_spark.operators.sql_surface",
     "dic_a1_spark.operators.tpch_extra",
