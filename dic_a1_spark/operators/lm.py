@@ -118,20 +118,25 @@ def ppl_decile_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_val = Window.orderBy("avg_bits").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    cum = vc.select(
-        "avg_bits", F.coalesce(F.sum("n_v").over(w_val), F.lit(0)).alias("lt")
+    # Both the below-me running sum AND the grand total N come out of
+    # the ONE window pass over the value census (same ordering → a
+    # single Window operator): no third scan of the per-doc frame, no
+    # totals crossJoin.
+    w_all = Window.orderBy("avg_bits").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    n_tot = uni.agg(F.count("*").alias("n"))
+    cum = vc.select(
+        "avg_bits",
+        F.coalesce(F.sum("n_v").over(w_val), F.lit(0)).alias("lt"),
+        F.sum("n_v").over(w_all).alias("n"),
+    )
     w_in = Window.partitionBy("avg_bits").orderBy("doc_id")
-    ranked = (
-        uni.join(cum, "avg_bits")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "avg_bits",
-            (F.col("lt") + F.row_number().over(w_in)).alias("rank"),
-        )
-        .crossJoin(F.broadcast(n_tot))
+    ranked = uni.join(cum, "avg_bits").select(
+        "doc_id",
+        "n_tokens",
+        "avg_bits",
+        (F.col("lt") + F.row_number().over(w_in)).alias("rank"),
+        "n",
     )
     decile = F.expr(
         f"""CASE WHEN n div {PPL_BUCKETS} = 0 THEN NULL

@@ -44,11 +44,21 @@ from pyspark.sql import DataFrame, SparkSession
 #   (functions/xxh64_sql.py), graded rows-only in every previous round
 #   — 4 (cum 46), then decontam_ngram_overlap_fast — FIRST-TIME ORACLE,
 #   seed-chained generated xxh64 recomputing Spark's xxhash64(t1,t2,t3)
-#   triple hash over distinct prefixes — 1 (cum 47), then
-#   oldest-rows-first: chisq 5 (r1/r2 rows; cum 52 — straddles the
-#   window edge), sql_surface, tpch_extra, relational, and everything
-#   below rest on r1-r5 green rows, pytest, and the committed sf0.1
-#   sweep.
+#   triple hash over distinct prefixes — 1 (cum 47), then the second
+#   r6-session tranche: winnow — NEW — 3 (cum 50: MOSS winnowing
+#   fingerprints, generated-xxh64 oracles + plain-Python selection
+#   audit), dsir — NEW — 3 (cum 53), lm — NEW — 3 (cum 56: closed-form
+#   NTILE decile census certified against DuckDB NTILE), cdc — NEW — 3
+#   (cum 59), colloc — NEW — 2 (cum 61), then oldest-rows-first:
+#   chisq 5 (r1/r2 rows), sql_surface, tpch_extra, relational, and
+#   everything below rest on r1-r5 green rows, pytest, and the
+#   committed sf0.1 sweep.
+#
+# R7 STAGING: a ~50-entry window grades through cum 50 (the full r5
+# tranche + winnow). The remaining never-driver-graded entries — dsir 3,
+# lm 3, cdc 3, colloc 2 (cum 51-61, all locally hash-green and in the
+# committed sweep) — must rotate to the FRONT in round 7, followed by
+# re-grades of any module edited in round 7, then oldest-green-first.
 _MODULES = (
     # NEW this round: cross-document exact-substring span dedup
     "dic_a1_spark.operators.substr",
