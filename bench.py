@@ -120,6 +120,8 @@ HEADLINE = [
     "winnow_fingerprints",
     "dsir_selected",
     "ppl_decile_census",
+    "cdc_stats",
+    "colloc_pmi_topk",
 ]
 
 
