@@ -56,9 +56,10 @@ from pyspark.sql import DataFrame, SparkSession
 #
 # R7 STAGING: a ~50-entry window grades through cum 50 (the full r5
 # tranche + winnow). The remaining never-driver-graded entries — dsir 3,
-# lm 3, cdc 3, colloc 2 (cum 51-61, all locally hash-green and in the
-# committed sweep) — must rotate to the FRONT in round 7, followed by
-# re-grades of any module edited in round 7, then oldest-green-first.
+# lm 3, cdc 3, colloc 2, vocabgrowth 1 (cum 51-62, all locally
+# hash-green and in the committed sweep) — must rotate to the FRONT in
+# round 7, followed by re-grades of any module edited in round 7, then
+# oldest-green-first.
 _MODULES = (
     # NEW this round: cross-document exact-substring span dedup
     "dic_a1_spark.operators.substr",
@@ -119,6 +120,8 @@ _MODULES = (
     "dic_a1_spark.operators.cdc",
     # NEW this round: windowed PMI collocations (integer staircase + lift)
     "dic_a1_spark.operators.colloc",
+    # NEW this round: Heaps-law vocabulary growth curve (one-pass)
+    "dic_a1_spark.operators.vocabgrowth",
     "dic_a1_spark.operators.chisq",
     "dic_a1_spark.operators.sql_surface",
     "dic_a1_spark.operators.tpch_extra",
