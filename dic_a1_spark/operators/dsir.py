@@ -81,6 +81,21 @@ DSIR_SCALE = 1_000_000
 DSIR_SELECT_K = 100
 
 
+def feats_array_expr():
+    """The unigram+bigram feature array over a `toks` column — the single
+    source of truth for the feature definition (the batch census explodes
+    it; the streaming scorer folds over it in place).
+
+    IF-guard: Spark's sequence(2, 1) DESCENDS for single-token docs,
+    which would fabricate a null bigram; DuckDB's range(2, 2) is empty.
+    """
+    return F.expr(
+        "concat(toks, IF(size(toks) >= 2,"
+        " transform(sequence(2, size(toks)),"
+        " i -> concat(toks[i-2], ' ', toks[i-1])), array()))"
+    )
+
+
 def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, is_target, b): one row per unigram+bigram occurrence,
     hashed to its bucket. Map-only."""
@@ -90,13 +105,7 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("source") == DSIR_TARGET_SOURCE).alias("is_target"),
         tokens_nonempty(F.col("text")).alias("toks"),
     ).where(F.size("toks") >= 1)
-    # IF-guard: Spark's sequence(2, 1) DESCENDS for single-token docs,
-    # which would fabricate a null bigram; DuckDB's range(2, 2) is empty.
-    feats = F.expr(
-        "concat(toks, IF(size(toks) >= 2,"
-        " transform(sequence(2, size(toks)),"
-        " i -> concat(toks[i-2], ' ', toks[i-1])), array()))"
-    )
+    feats = feats_array_expr()
     return (
         toks.select("doc_id", "is_target", feats.alias("fs"))
         .select("doc_id", "is_target", F.explode_outer("fs").alias("feat"))

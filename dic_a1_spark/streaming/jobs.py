@@ -428,6 +428,78 @@ def cdc_chunk_census(stream: DataFrame) -> DataFrame:
     )
 
 
+def dsir_stream_scores(
+    stream: DataFrame, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming DSIR scoring — online data selection: documents arrive
+    on a stream and are importance-scored against a PRECOMPUTED corpus
+    weight table, completely STATELESS (no streaming aggregation at
+    all). The weight table is constant-bounded (<= DSIR_BUCKETS rows, a
+    documented collect like the IVF codebooks), rendered as a literal
+    map; per-document scoring is then a pure-map fold over the feature
+    array — each micro-batch scores at scan speed and the operator
+    needs no watermark, no state store, no output-mode constraints.
+
+    Buckets the batch census never observed (possible for genuinely new
+    stream text, impossible when replaying the corpus) fall back to the
+    smoothed empty-bucket weight (t=c=0 under add-one smoothing).
+    Batch parity vs dsir_logratio_weights is pinned in
+    tests/test_streaming.py."""
+    from dic_a1_spark.operators.dsir import (
+        DSIR_BUCKETS,
+        DSIR_SCALE,
+        _bucket_weights,
+        _features,
+        feats_array_expr,
+    )
+    from dic_a1_spark.functions.text import tokens_nonempty
+
+    feats = _features(spark, sf_dir)
+    wrows = _bucket_weights(feats).collect()  # <= DSIR_BUCKETS rows
+    totals = (
+        feats.groupBy()
+        .agg(
+            (F.sum(F.when(F.col("is_target"), 1).otherwise(0)) + DSIR_BUCKETS).alias("t1"),
+            (F.sum(F.when(F.col("is_target"), 0).otherwise(1)) + DSIR_BUCKETS).alias("c1"),
+        )
+        .collect()[0]
+    )
+    default_w = totals["c1"] * DSIR_SCALE // totals["t1"] - DSIR_SCALE
+    wmap = F.create_map(
+        [F.lit(x) for r in wrows for x in (r["b"], r["w"])]
+    )
+    scored = (
+        stream.select(
+            "doc_id",
+            tokens_nonempty(F.col("text")).alias("toks"),
+        )
+        .where(F.size("toks") >= 1)
+        .select("doc_id", feats_array_expr().alias("fs"))
+        .select(
+            "doc_id",
+            F.size("fs").cast("long").alias("n_feats"),
+            F.aggregate(
+                F.col("fs"),
+                F.lit(0).cast("long"),
+                lambda acc, f: acc
+                + F.coalesce(
+                    wmap[F.pmod(F.xxhash64(f), F.lit(DSIR_BUCKETS))],
+                    F.lit(int(default_w)),
+                ),
+            ).alias("score_fp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        "score_fp",
+        F.round(
+            F.col("score_fp").cast("double") / F.col("n_feats").cast("double"),
+            4,
+        ).alias("avg_fp"),
+    )
+
+
 def read_increment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents parquet, restricted to the
     increment residue class of operators/incremental.py — the streaming

@@ -203,6 +203,31 @@ def test_stream_incremental_admission_matches_batch(spark):
     assert got, "no admissions — increment residue class empty?"
 
 
+def test_stream_dsir_scores_match_batch(spark):
+    """Streaming DSIR scoring (stateless map against the collected
+    weight map) must reproduce the batch per-document scores exactly
+    when replaying the same corpus the weights were fit on."""
+    from dic_a1_spark.operators.dsir import dsir_logratio_weights
+
+    stream = jobs.read_documents_stream(spark, SF_SMOKE)
+    jobs.run_to_memory(
+        jobs.dsir_stream_scores(stream, spark, SF_SMOKE),
+        "t_dsirscores",
+        output_mode="append",
+    )
+    got = _rows(
+        spark.table("t_dsirscores"),
+        ["doc_id", "n_feats", "score_fp", "avg_fp"],
+    )
+    want = _rows(
+        dsir_logratio_weights(spark, SF_SMOKE).select(
+            "doc_id", "n_feats", "score_fp", "avg_fp"
+        ),
+        ["doc_id", "n_feats", "score_fp", "avg_fp"],
+    )
+    assert got == want and got
+
+
 def test_stream_cdc_census_matches_batch(spark):
     """The round-6 CDC chunk census, streamed: zero-exchange chunk
     construction shared with the batch operator, streaming groupBy in
