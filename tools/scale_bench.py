@@ -121,6 +121,10 @@ HEADLINE_DOC_QUERIES = [
     # every chunk `factor` times, so the census sees maximal dup mass)
     "cdc_chunks",
     "cdc_stats",
+    # PMI collocations (pair census at full amplified fan-in) and the
+    # one-pass Heaps curve
+    "colloc_pair_census",
+    "vocab_growth_curve",
 ]
 
 
