@@ -69,7 +69,8 @@ def _pair_rows(docs: DataFrame) -> DataFrame:
     toks = docs.select(
         "doc_id", tokens_nonempty(F.col("text")).alias("toks")
     ).where(F.size("toks") >= 2)
-    # IF-guard: sequence(i+1, i) DESCENDS at the last position.
+    # No descend-guard needed: i ranges over 1..n-1, so the inner
+    # sequence's start i+1 never exceeds its end least(i+W, n).
     pairs = F.expr(
         f"flatten(transform(sequence(1, size(toks) - 1),"
         f" i -> transform(sequence(i + 1, least(i + {w},"

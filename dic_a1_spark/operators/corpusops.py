@@ -117,30 +117,39 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact and only the final avg division is float."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
-        "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
-    ).where(F.col("word") != "")
-    counts = tok.groupBy("word").agg(F.count("*").alias("c"))
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("gram")
+    ).where(F.col("gram") != "")
+    return surprisal_over(tok, "n_tokens")
+
+
+def surprisal_over(tok: DataFrame, count_name: str) -> DataFrame:
+    """(doc_id, <count_name>, total_bits, avg_bits) over (doc_id, gram)
+    occurrence rows — the integer bit-length surprisal pipeline, shared
+    by the unigram operator here and the bigram twin in operators/lm.py
+    (single source of truth for the bin()/bit-length convention and the
+    rounding)."""
+    counts = tok.groupBy("gram").agg(F.count("*").alias("c"))
     total = counts.agg(F.sum("c").alias("n_total"))  # 1-row frame
     # Vocabulary-sized frame: like lexical.py's df_tbl, NO hard broadcast
     # hint — vocabulary grows sublinearly but unboundedly, AQE decides.
     bits_tbl = counts.crossJoin(F.broadcast(total)).select(
-        "word",
+        "gram",
         F.length(F.bin(F.expr("n_total div c"))).cast("long").alias("bits"),
     )
     return (
-        tok.join(bits_tbl, "word")
+        tok.join(bits_tbl, "gram")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
+            F.count("*").alias(count_name),
             F.sum("bits").alias("total_bits"),
         )
         .select(
             "doc_id",
-            "n_tokens",
+            count_name,
             "total_bits",
             F.round(
                 F.col("total_bits").cast("double")
-                / F.col("n_tokens").cast("double"),
+                / F.col(count_name).cast("double"),
                 4,
             ).alias("avg_bits"),
         )

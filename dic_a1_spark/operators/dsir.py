@@ -25,12 +25,13 @@ Method, re-expressed in exact integer arithmetic:
   * per-document importance score: sum of w(bucket) over the document's
     feature OCCURRENCES (the bag model), length-normalized for ranking.
 
-Overflow bound: t1_b * C1 * SCALE <= T1 * C1 * SCALE must stay below
-2^63 — with SCALE = 10^6 that is T1 * C1 < 9.2e12, comfortably true for
-any gradable slice (sf0.1: ~3.1e4 * 5.1e5 ≈ 1.6e10); a 100 TB run
-shards the estimator (per-shard bucket census, merged by plain addition
-before the weight division) or drops SCALE, same as the surprisal
-bound note in corpusops.py.
+Overflow bound: the weight divide runs in TWO Horner levels of
+sqrt(SCALE) each (weight_sql — exact identity, same result), so the
+largest intermediate is t1_b * C1 * 1000 and the envelope is
+T1 * C1 < 9.2e15 per graded slice (sf0.1: ~1.6e10; the factor-50
+amplified bench: ~4e13 — both far inside); a 100 TB run shards the
+estimator (per-shard bucket census, merged by plain addition before the
+weight division), same as the surprisal bound note in corpusops.py.
 
 Scale shape:
   1. Feature extraction is map-only (one concat of the token array with
@@ -75,10 +76,41 @@ DSIR_TARGET_SOURCE = "src0"
 # table broadcast-trivial while leaving buckets multiply-occupied at
 # driver-corpus scale).
 DSIR_BUCKETS = 4096
-# Fixed-point scale for the ratio weights.
+# Fixed-point scale for the ratio weights, applied in TWO Horner levels
+# of sqrt(SCALE) each (see weight_sql) so the largest intermediate is
+# t1*C1*1000, not t1*C1*10^6 — the overflow envelope is T1*C1*1000 <
+# 2^63, i.e. T1*C1 < 9.2e15 per graded slice (the factor-50 amplified
+# bench sits at ~4e13, 230x inside it).
 DSIR_SCALE = 1_000_000
+_SCALE_L = 1_000  # per-level factor; DSIR_SCALE == _SCALE_L ** 2
+assert _SCALE_L * _SCALE_L == DSIR_SCALE
 # Selection size of the resampled subset.
 DSIR_SELECT_K = 100
+
+
+def weight_sql(div: str, t1: str = "(t + 1)", c1: str = "(c + 1)") -> str:
+    """THE fixed-point weight formula — single source of truth for the
+    Spark expression (div='div'), the DuckDB oracles (div='//'), and
+    via weight_py the streaming scorer's default weight.
+
+    Mathematically identical to (t1*c1_tot*SCALE) div (c1*t1_tot) -
+    SCALE by the exact Horner identity
+        a*L^2 div b == (a*L div b)*L + ((a*L mod b)*L div b),
+    but the largest intermediate is a*L = t1*c1_tot*1000 instead of
+    a*L^2 (Spark's non-ANSI BIGINT multiply wraps silently on overflow,
+    so the envelope is load-bearing, not cosmetic)."""
+    a = f"({t1} * c1_tot)"
+    b = f"({c1} * t1_tot)"
+    return (
+        f"(({a} * {_SCALE_L} {div} {b}) * {_SCALE_L}"
+        f" + ({a} * {_SCALE_L} % {b}) * {_SCALE_L} {div} {b}"
+        f" - {DSIR_SCALE})"
+    )
+
+
+def weight_py(t1: int, c1: int, t1_tot: int, c1_tot: int) -> int:
+    """Python twin of weight_sql (exact on ints of any size)."""
+    return t1 * c1_tot * DSIR_SCALE // (c1 * t1_tot) - DSIR_SCALE
 
 
 def feats_array_expr():
@@ -130,11 +162,7 @@ def _bucket_weights(feats: DataFrame) -> DataFrame:
         (F.sum("c") + DSIR_BUCKETS).alias("c1_tot"),
     )
     return census.crossJoin(F.broadcast(tot)).select(
-        "b",
-        F.expr(
-            f"(t + 1L) * c1_tot * {DSIR_SCALE}L div ((c + 1L) * t1_tot)"
-            f" - {DSIR_SCALE}L"
-        ).alias("w"),
+        "b", F.expr(weight_sql("div")).alias("w")
     )
 
 
@@ -212,10 +240,7 @@ def dsir_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_raw_feats"),
         F.count("*").alias("n_buckets"),
     )
-    w = F.expr(
-        f"(t + 1L) * c1_tot * {DSIR_SCALE}L div ((c + 1L) * t1_tot)"
-        f" - {DSIR_SCALE}L"
-    )
+    w = F.expr(weight_sql("div"))
     return (
         census.crossJoin(F.broadcast(tot))
         .select(
@@ -276,7 +301,7 @@ def _feats_cte() -> str:
 
 
 def _census_cte() -> str:
-    b, s = DSIR_BUCKETS, DSIR_SCALE
+    b = DSIR_BUCKETS
     return f""",
         census AS (
             SELECT b,
@@ -296,8 +321,7 @@ def _census_cte() -> str:
         ),
         wts AS (
             SELECT b,
-                   CAST((t + 1) * c1_tot * {s} // ((c + 1) * t1_tot) - {s}
-                        AS BIGINT) AS w,
+                   CAST({weight_sql('//')} AS BIGINT) AS w,
                    t
             FROM census, tot
         )"""

@@ -53,6 +53,7 @@ from dic_a1_spark.config import duckdb_tokens_sql
 from dic_a1_spark.functions.text import tokens_nonempty
 from dic_a1_spark.operators.corpusops import (
     ORACLES as _CORPUS_ORACLES,
+    surprisal_over,
     text_unigram_surprisal,
 )
 from dic_a1_spark.sources.readers import load_table
@@ -77,32 +78,9 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    counts = tok.groupBy("gram").agg(F.count("*").alias("c"))
-    total = counts.agg(F.sum("c").alias("n_total"))
-    # Vocabulary-sized frame, NO hard broadcast hint (the corpusops /
-    # lexical rule): bigram vocabulary grows unboundedly, AQE decides.
-    bits_tbl = counts.crossJoin(F.broadcast(total)).select(
-        "gram",
-        F.length(F.bin(F.expr("n_total div c"))).cast("long").alias("bits"),
-    )
-    return (
-        tok.join(bits_tbl, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum("bits").alias("total_bits"),
-        )
-        .select(
-            "doc_id",
-            "n_bigrams",
-            "total_bits",
-            F.round(
-                F.col("total_bits").cast("double")
-                / F.col("n_bigrams").cast("double"),
-                4,
-            ).alias("avg_bits"),
-        )
-    )
+    # The shared integer bit-length surprisal pipeline (corpusops.py) —
+    # one definition for the unigram operator and this order-2 twin.
+    return surprisal_over(tok, "n_bigrams")
 
 
 def ppl_decile_census(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -98,14 +98,15 @@ def _kgram_hashes(docs: DataFrame) -> DataFrame:
     )
 
 
-def _selected_encoded(docs: DataFrame) -> DataFrame:
-    """(doc_id, enc): the DISTINCT winnowing selections per document,
-    still in encoded form (enc = h42 * 2^21 + (MAXP - pos); min(enc)
-    over a window = minimal hash, rightmost position on ties). Windows
-    ending before position WINNOW_W are partial and emit nothing.
-    The collect/array_distinct/explode round-trip happens inside the
-    doc_id partitioning the window pass already established — one
-    exchange total."""
+def _selected_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, es): the DISTINCT winnowing selections per document as
+    one encoded array (enc = h42 * 2^21 + (MAXP - pos); min(enc) over a
+    window = minimal hash, rightmost position on ties). Windows ending
+    before position WINNOW_W are partial and emit nothing. The
+    collect/array_distinct happens inside the doc_id partitioning the
+    window pass already established — one exchange total; both
+    consumers (fingerprint rows, per-doc key sets) derive from this
+    array without a second aggregation."""
     w = WINNOW_W
     enc = (F.col("h") * _POS_ENC + (F.lit(_MAXP) - F.col("pos"))).alias("e")
     win = (
@@ -119,10 +120,16 @@ def _selected_encoded(docs: DataFrame) -> DataFrame:
         .select("doc_id", "pos", F.min("e").over(win).alias("se"))
         .where(F.col("pos") >= w)
     )
-    return (
-        sel.groupBy("doc_id")
-        .agg(F.array_distinct(F.collect_list("se")).alias("es"))
-        .select("doc_id", F.explode("es").alias("enc"))
+    return sel.groupBy("doc_id").agg(
+        F.array_distinct(F.collect_list("se")).alias("es")
+    )
+
+
+def _selected_encoded(docs: DataFrame) -> DataFrame:
+    """(doc_id, enc): _selected_arrays re-exploded to one selection per
+    row."""
+    return _selected_arrays(docs).select(
+        "doc_id", F.explode("es").alias("enc")
     )
 
 
@@ -147,15 +154,11 @@ def winnow_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     census with the WINNOW_DF_CEILING viral guard, pairs from surviving
     postings only (never all-pairs)."""
     d = load_table(spark, sf_dir, "documents")
-    dockeys = (
-        _selected_encoded(d)
-        .groupBy("doc_id")
-        .agg(
-            F.array_distinct(
-                F.expr(f"transform(collect_list(enc), e -> e div {_POS_ENC})")
-            ).alias("hs")
-        )
-        .select("doc_id", F.explode("hs").alias("h"))
+    dockeys = _selected_arrays(d).select(
+        "doc_id",
+        F.explode(
+            F.expr(f"array_distinct(transform(es, e -> e div {_POS_ENC}))")
+        ).alias("h"),
     )
     census = (
         dockeys.groupBy("h")

@@ -434,9 +434,10 @@ def dsir_stream_scores(
     """Streaming DSIR scoring — online data selection: documents arrive
     on a stream and are importance-scored against a PRECOMPUTED corpus
     weight table, completely STATELESS (no streaming aggregation at
-    all). The weight table is constant-bounded (<= DSIR_BUCKETS rows, a
-    documented collect like the IVF codebooks), rendered as a literal
-    map; per-document scoring is then a pure-map fold over the feature
+    all). The bucket census is constant-bounded (<= DSIR_BUCKETS rows,
+    a documented collect like the IVF codebooks) and rendered as a
+    literal weight map; per-document scoring is then a pure-map fold
+    over the feature
     array — each micro-batch scores at scan speed and the operator
     needs no watermark, no state store, no output-mode constraints.
 
@@ -447,26 +448,33 @@ def dsir_stream_scores(
     tests/test_streaming.py."""
     from dic_a1_spark.operators.dsir import (
         DSIR_BUCKETS,
-        DSIR_SCALE,
-        _bucket_weights,
         _features,
         feats_array_expr,
+        weight_py,
     )
     from dic_a1_spark.functions.text import tokens_nonempty
 
-    feats = _features(spark, sf_dir)
-    wrows = _bucket_weights(feats).collect()  # <= DSIR_BUCKETS rows
-    totals = (
-        feats.groupBy()
+    # ONE corpus scan: the <= DSIR_BUCKETS-row census is collected and
+    # both the weight map and the smoothed totals (hence the unseen-
+    # bucket default) are derived driver-side via the shared weight_py.
+    census = (
+        _features(spark, sf_dir)
+        .groupBy("b")
         .agg(
-            (F.sum(F.when(F.col("is_target"), 1).otherwise(0)) + DSIR_BUCKETS).alias("t1"),
-            (F.sum(F.when(F.col("is_target"), 0).otherwise(1)) + DSIR_BUCKETS).alias("c1"),
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t"),
+            F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("c"),
         )
-        .collect()[0]
+        .collect()
     )
-    default_w = totals["c1"] * DSIR_SCALE // totals["t1"] - DSIR_SCALE
+    t1_tot = sum(r["t"] for r in census) + DSIR_BUCKETS
+    c1_tot = sum(r["c"] for r in census) + DSIR_BUCKETS
+    default_w = weight_py(1, 1, t1_tot, c1_tot)
     wmap = F.create_map(
-        [F.lit(x) for r in wrows for x in (r["b"], r["w"])]
+        [
+            F.lit(x)
+            for r in census
+            for x in (r["b"], weight_py(r["t"] + 1, r["c"] + 1, t1_tot, c1_tot))
+        ]
     )
     scored = (
         stream.select(
