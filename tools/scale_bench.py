@@ -125,6 +125,11 @@ HEADLINE_DOC_QUERIES = [
     # one-pass Heaps curve
     "colloc_pair_census",
     "vocab_growth_curve",
+    # spark.ml library yardstick (rep-collapsed MinHashLSH): adversarial
+    # here — every doc has `factor` exact copies, so the post-join pair
+    # expansion is the C(factor,2)-quadratic cost center, same class as
+    # dedup_simhash_pairs on this corpus
+    "ml_minhash_neardups",
 ]
 
 
