@@ -56,9 +56,11 @@ from pyspark.sql import DataFrame, SparkSession
 #
 # R7 STAGING: a ~50-entry window grades through cum 50 (the full r5
 # tranche + winnow). The remaining never-driver-graded entries — dsir 3,
-# lm 3, cdc 3, colloc 2, vocabgrowth 1 (cum 51-62, all locally
-# hash-green and in the committed sweep) — must rotate to the FRONT in
-# round 7, followed by re-grades of any module edited in round 7, then
+# lm 3, cdc 3, colloc 2, vocabgrowth 1, redundancy_panel 1 (cum 51-63,
+# all locally hash-green and in the committed sweep) — must rotate to
+# the FRONT in round 7, followed by re-grades of any module edited in
+# round 7 (corpusops was touched this round — surprisal_over extraction,
+# result-identical — and sits in this round's window anyway), then
 # oldest-green-first.
 _MODULES = (
     # NEW this round: cross-document exact-substring span dedup
@@ -122,6 +124,8 @@ _MODULES = (
     "dic_a1_spark.operators.colloc",
     # NEW this round: Heaps-law vocabulary growth curve (one-pass)
     "dic_a1_spark.operators.vocabgrowth",
+    # NEW this round: cross-granularity redundancy panel (composed)
+    "dic_a1_spark.operators.panel",
     "dic_a1_spark.operators.chisq",
     "dic_a1_spark.operators.sql_surface",
     "dic_a1_spark.operators.tpch_extra",
