@@ -702,3 +702,95 @@ ORACLES["events_dau_stickiness"] = """
                AS stickiness
     FROM dau d JOIN wau w USING (day)
 """
+
+
+ANOMALY_Z = 2.0  # hourly-volume anomaly threshold in stddevs
+
+
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly volume anomalies: (event_type, hour, n_events,
+    z_r, anomaly) — each observed hour's event count z-scored against
+    its type's hourly distribution. The on-call volume-spike report.
+
+    Float parity is the quality_outlier_zscore recipe (corpusops.py):
+    n / sum / sum-of-squares are exact bigints per type; mean, variance
+    and z are derived in ONE identically-associated float expression in
+    both engines (never an engine's own stddev — internal summation
+    orders differ). Statistics run over OBSERVED hours only; the
+    zero-filled series is events_gapfill_hourly's job.
+
+    Scale shape: one shuffle on (event_type, hour) with map-side
+    combine; the per-type stats frame is dimension-sized and broadcast.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n_events"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("ss"),
+    )
+    joined = hourly.join(F.broadcast(stats), "event_type")
+    mean = F.col("s").cast("double") / F.col("cnt").cast("double")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("cnt").cast("double")
+    ) / (F.col("cnt") - F.lit(1)).cast("double")
+    z = F.when(
+        (F.col("cnt") > 1) & (var > 0),
+        (F.col("n_events").cast("double") - mean) / F.sqrt(var),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round(z, 4).alias("z_r"),
+        (F.abs(z) > F.lit(ANOMALY_Z)).alias("anomaly"),
+    )
+
+
+QUERIES["events_hourly_anomaly"] = events_hourly_anomaly
+
+ORACLES["events_hourly_anomaly"] = f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(n_events) AS BIGINT) AS s,
+               CAST(sum(n_events * n_events) AS BIGINT) AS ss
+        FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour, h.n_events,
+           round(CASE WHEN st.cnt > 1 AND
+                      (CAST(st.ss AS DOUBLE)
+                       - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)
+                         / CAST(st.cnt AS DOUBLE))
+                      / CAST(st.cnt - 1 AS DOUBLE) > 0
+                 THEN (CAST(h.n_events AS DOUBLE)
+                       - CAST(st.s AS DOUBLE) / CAST(st.cnt AS DOUBLE))
+                      / sqrt((CAST(st.ss AS DOUBLE)
+                              - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)
+                                / CAST(st.cnt AS DOUBLE))
+                             / CAST(st.cnt - 1 AS DOUBLE))
+                 ELSE 0.0 END, 4) AS z_r,
+           CASE WHEN st.cnt > 1 AND
+                     (CAST(st.ss AS DOUBLE)
+                      - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)
+                        / CAST(st.cnt AS DOUBLE))
+                     / CAST(st.cnt - 1 AS DOUBLE) > 0
+                THEN abs((CAST(h.n_events AS DOUBLE)
+                          - CAST(st.s AS DOUBLE) / CAST(st.cnt AS DOUBLE))
+                         / sqrt((CAST(st.ss AS DOUBLE)
+                                 - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)
+                                   / CAST(st.cnt AS DOUBLE))
+                                / CAST(st.cnt - 1 AS DOUBLE)))
+                     > {ANOMALY_Z}
+                ELSE FALSE END AS anomaly
+    FROM hourly h JOIN stats st USING (event_type)
+"""

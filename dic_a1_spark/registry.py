@@ -56,12 +56,12 @@ from pyspark.sql import DataFrame, SparkSession
 #
 # R7 STAGING: a ~50-entry window grades through cum 50 (the full r5
 # tranche + winnow). The remaining never-driver-graded entries — dsir 3,
-# lm 3, cdc 3, colloc 2, vocabgrowth 1, redundancy_panel 1 (cum 51-63,
-# all locally hash-green and in the committed sweep) — must rotate to
-# the FRONT in round 7, followed by re-grades of any module edited in
-# round 7 (corpusops was touched this round — surprisal_over extraction,
-# result-identical — and sits in this round's window anyway), then
-# oldest-green-first.
+# lm 3, cdc 3, colloc 2, vocabgrowth 1, redundancy_panel 1,
+# events_hourly_anomaly 1 (cum 51-64, all locally hash-green and in the
+# committed sweep) — must rotate to the FRONT in round 7, followed by
+# re-grades of any module edited in round 7 (corpusops was touched this
+# round — surprisal_over extraction, result-identical — and sits in
+# this round's window anyway), then oldest-green-first.
 _MODULES = (
     # NEW this round: cross-document exact-substring span dedup
     "dic_a1_spark.operators.substr",
@@ -126,6 +126,10 @@ _MODULES = (
     "dic_a1_spark.operators.vocabgrowth",
     # NEW this round: cross-granularity redundancy panel (composed)
     "dic_a1_spark.operators.panel",
+    # NEW this round: hourly volume anomaly z-scores (exact sufficient
+    # statistics; fronted here so the whole never-graded block is
+    # contiguous — the module's later bare entry loads the rest)
+    ("dic_a1_spark.operators.events", ("events_hourly_anomaly",)),
     "dic_a1_spark.operators.chisq",
     "dic_a1_spark.operators.sql_surface",
     "dic_a1_spark.operators.tpch_extra",

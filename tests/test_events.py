@@ -89,3 +89,26 @@ def test_dau_stickiness_bounds(spark):
         assert 0.0 < r["stickiness"] <= 1.0
     # non-vacuous: the trailing window actually exceeds a single day
     assert any(r["wau"] > r["dau"] for r in rows)
+
+
+def test_hourly_anomaly_zscores_match_python(spark):
+    """Recompute each type's hourly z-scores driver-side from the same
+    sufficient statistics and require the rounded values and flags to
+    match exactly."""
+    import math
+
+    rows = events.events_hourly_anomaly(spark, SF_CORRECT).collect()
+    assert rows and any(r["anomaly"] for r in rows)
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        cnt = len(rs)
+        s = sum(r["n_events"] for r in rs)
+        ss = sum(r["n_events"] ** 2 for r in rs)
+        mean = s / cnt
+        var = (ss - s * s / cnt) / (cnt - 1) if cnt > 1 else 0.0
+        for r in rs:
+            z = (r["n_events"] - mean) / math.sqrt(var) if cnt > 1 and var > 0 else 0.0
+            assert abs(r["z_r"] - round(z, 4)) < 1e-9
+            assert r["anomaly"] == (abs(z) > events.ANOMALY_Z)
