@@ -1,0 +1,353 @@
+"""BM25 lexical retrieval over the `documents` table — the ranking
+function behind classic search engines (Robertson & Spärck Jones;
+Robertson et al., TREC-3 Okapi) and the standard first-stage retriever
+of RAG / retrieval-augmented training pipelines. A training-data
+pipeline runs this to pull topical slices out of a web-scale corpus
+("give me the top documents for each seed query") before expensive
+model-based filtering.
+
+Scoring. For query term t and document d with term frequency tf and
+token length dl:
+
+  score(d, Q) = sum_{t in Q}  idf_w(t) * tf * (k1 + 1)
+                              -------------------------------------
+                              tf + k1 * (1 - b + b * dl / avgdl)
+
+with the repo's INTEGER staircase idf — idf_w(t) = bits(N div df(t)),
+bits(v) = len(bin(v)) ~ floor(log2)+1 — instead of the textbook
+ln((N-df+.5)/(df+.5)): bits() is exact BIGINT in both engines (the
+lexical.py / colloc.py trick), so the only doubles are the tf
+normalization (one expression, identical association both sides) and
+the per-document sum of <= |Q| term contributions, which is PINNED by
+sorting the contribution array before a sequential fold (the mixing.py
+`_w_total` rule) — Spark's aggregate seeds 0.0 and 0.0 + x == x
+bit-exact for the positive contributions, matching DuckDB's seedless
+list_reduce.
+
+Scale shape at 100 TB:
+  1. Per-document (term, tf) extraction is MAP-ONLY: the query is a
+     tiny LITERAL array, so tf per query term is a transform over the
+     token array inside one projection — no corpus explode, no shuffle.
+  2. The df census groups the per-doc hits by term: the result is
+     |Q|-sized; map-side combine collapses the corpus before the
+     exchange. avgdl is a 1-row aggregate.
+  3. Scoring joins each doc against the |Q|-row stats frame — an
+     explicit broadcast (query-sized BY CONSTRUCTION, never
+     corpus-proportional — the docsim norms lesson does not apply).
+  4. Top-K is TakeOrdered (per-partition heads, K-row merge on the
+     driver); the batch variant bounds its window by query_id with
+     |Q_batch| partitions — at real fan-out you shard queries, not
+     documents.
+
+Reference scope: the reference engine (mrjob WordCount/ChiSquared,
+src/wordCountJob.py, src/chiSquaredJob.py) has no retrieval surface;
+BM25 is part of the training-data-pipeline extension mandated by the
+build brief (similarity-search family, lexical counterpart of
+similarity.py's dense kNN).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dic_a1_spark.config import duckdb_tokens_sql
+from dic_a1_spark.functions.text import tokens_nonempty
+from dic_a1_spark.sources.readers import load_table
+
+# Okapi constants (textbook defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+# The headline query: three viral terms plus the corpus' one rare term
+# ("dup", df ~ 5% — the idf staircase actually separates it).
+BM25_QUERY: tuple[str, ...] = ("dup", "join", "vector", "window")
+BM25_TOP_K = 20
+# The batch variant: named queries scored in one pass.
+BM25_BATCH: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("q_dedup", ("dup", "hash", "key")),
+    ("q_exec", ("scan", "filter", "merge")),
+    ("q_stream", ("stream", "batch", "window")),
+)
+BM25_BATCH_K = 5
+
+
+def _doc_hits(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """(doc_id, dl, term, tf) for tf > 0 — MAP-ONLY (see module
+    docstring): tf per literal query term is a size(filter(...)) over
+    the token array; the rows-per-doc bound is |terms|."""
+    qlit = ", ".join("'" + t + "'" for t in terms)
+    return (
+        docs.select(
+            "doc_id", tokens_nonempty(F.col("text")).alias("toks")
+        )
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("dl"),
+            F.explode(
+                F.expr(
+                    f"filter(transform(array({qlit}),"
+                    f" t -> struct(t AS term, size(filter(toks, w -> w = t))"
+                    f" AS tf)), s -> s.tf > 0)"
+                )
+            ).alias("h"),
+        )
+        .select(
+            "doc_id",
+            "dl",
+            F.col("h.term").alias("term"),
+            F.col("h.tf").cast("bigint").alias("tf"),
+        )
+    )
+
+
+def _corpus_stats(docs: DataFrame) -> DataFrame:
+    """1-row (n_docs, avgdl): avgdl = sum(dl)/N as ONE exact division of
+    two BIGINTs — bit-equal across engines."""
+    return docs.select(
+        F.size(tokens_nonempty(F.col("text"))).cast("bigint").alias("dl")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count("*").cast("double")
+        ).alias("avgdl"),
+    )
+
+
+def _term_stats(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """(term, df, idf_w): document frequency and the integer staircase
+    idf. |terms| rows."""
+    hits = _doc_hits(docs, terms)
+    stats = _corpus_stats(docs)
+    return (
+        hits.groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "df",
+            F.length(F.bin(F.expr("n_docs div df"))).cast("bigint").alias(
+                "idf_w"
+            ),
+        )
+    )
+
+
+def _contrib() -> F.Column:
+    """The per-(doc, term) BM25 contribution — ONE double expression,
+    written with the identical shape in the oracle SQL."""
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    return (
+        F.col("idf_w").cast("double")
+        * (tf * F.lit(BM25_K1 + 1.0))
+        / (
+            tf
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B) * dl / F.col("avgdl")
+            )
+        )
+    )
+
+
+def _scored(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """(doc_id, dl, n_hit_terms, score): the pinned-fold document
+    scores. Stats frames are query-sized — broadcast by construction."""
+    hits = _doc_hits(docs, terms)
+    contrib = (
+        hits.join(F.broadcast(_term_stats(docs, terms)), "term")
+        .crossJoin(F.broadcast(_corpus_stats(docs).select("avgdl")))
+        .select("doc_id", "dl", _contrib().alias("c"))
+    )
+    return contrib.groupBy("doc_id", "dl").agg(
+        F.count("*").cast("bigint").alias("n_hit_terms"),
+        F.aggregate(
+            F.array_sort(F.collect_list("c")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+
+
+def bm25_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, df, idf_w, tf_total) for the headline query's terms —
+    certifies the statistics layer under the driver's value hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = _doc_hits(docs, BM25_QUERY)
+    tf_tot = hits.groupBy("term").agg(
+        F.sum("tf").cast("bigint").alias("tf_total")
+    )
+    return _term_stats(docs, BM25_QUERY).join(tf_tot, "term").select(
+        "term", "df", "idf_w", "tf_total"
+    )
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-BM25_TOP_K documents for BM25_QUERY: (rank, doc_id, dl,
+    n_hit_terms, score_r). Total order (score desc, doc_id asc) — the
+    scores are bit-equal across engines, so the cut is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _scored(docs, BM25_QUERY)
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        ).cast("bigint"),
+    )
+    return (
+        ranked.where(F.col("rank") <= BM25_TOP_K)
+        .select(
+            "rank",
+            "doc_id",
+            "dl",
+            "n_hit_terms",
+            F.round("score", 4).alias("score_r"),
+        )
+    )
+
+
+def bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-BM25_BATCH_K per named query: (query_id, rank, doc_id,
+    score_r) — the batch-retrieval shape: every query scored in ONE
+    corpus pass (the hit extraction transforms over the union of the
+    batch's term lists), ranks cut per query_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_query = []
+    for qid, terms in BM25_BATCH:
+        s = _scored(docs, terms).select(
+            F.lit(qid).alias("query_id"), "doc_id", "score"
+        )
+        per_query.append(s)
+    allq = per_query[0]
+    for s in per_query[1:]:
+        allq = allq.unionByName(s)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        allq.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= BM25_BATCH_K)
+        .select("query_id", "rank", "doc_id", F.round("score", 4).alias("score_r"))
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bm25_term_stats": bm25_term_stats,
+    "bm25_topk": bm25_topk,
+    "bm25_batch_topk": bm25_batch_topk,
+}
+
+_TOKS = duckdb_tokens_sql()
+
+
+def _hits_cte(terms: tuple[str, ...], name: str = "hits") -> str:
+    qlit = ", ".join("'" + t + "'" for t in terms)
+    return f"""
+        {name} AS (
+            SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS dl,
+                   q.term,
+                   CAST(len(list_filter(d.toks, w -> w = q.term))
+                        AS BIGINT) AS tf
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) d
+            CROSS JOIN (SELECT unnest([{qlit}]) AS term) q
+            WHERE len(list_filter(d.toks, w -> w = q.term)) > 0
+        )
+    """
+
+
+_STATS_CTE = f"""
+        cstats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len({_TOKS})) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS avgdl
+            FROM documents
+        )
+"""
+
+
+def _tstats_cte(name: str = "tstats", hits: str = "hits") -> str:
+    return f"""
+        {name} AS (
+            SELECT h.term, CAST(count(*) AS BIGINT) AS df,
+                   CAST(length(bin(s.n_docs // CAST(count(*) AS BIGINT)))
+                        AS BIGINT) AS idf_w
+            FROM {hits} h CROSS JOIN cstats s
+            GROUP BY h.term, s.n_docs
+        )
+    """
+
+
+def _scored_sql(hits: str, tstats: str) -> str:
+    """Per-doc pinned-fold score subquery body (identical contribution
+    expression shape as `_contrib`)."""
+    return f"""
+        SELECT h.doc_id, h.dl,
+               CAST(count(*) AS BIGINT) AS n_hit_terms,
+               list_reduce(list_sort(list(
+                   CAST(t.idf_w AS DOUBLE)
+                   * (CAST(h.tf AS DOUBLE) * {BM25_K1 + 1.0!r})
+                   / (CAST(h.tf AS DOUBLE)
+                      + {BM25_K1!r} * ({1.0 - BM25_B!r}
+                        + {BM25_B!r} * CAST(h.dl AS DOUBLE) / s.avgdl))
+               )), (a, b) -> a + b) AS score
+        FROM {hits} h
+        JOIN {tstats} t USING (term)
+        CROSS JOIN cstats s
+        GROUP BY h.doc_id, h.dl
+    """
+
+
+ORACLES: dict[str, str] = {
+    "bm25_term_stats": f"""
+        WITH {_hits_cte(BM25_QUERY)}, {_STATS_CTE}, {_tstats_cte()}
+        SELECT t.term, t.df, t.idf_w,
+               (SELECT CAST(sum(h.tf) AS BIGINT) FROM hits h
+                WHERE h.term = t.term) AS tf_total
+        FROM tstats t
+    """,
+    "bm25_topk": f"""
+        WITH {_hits_cte(BM25_QUERY)}, {_STATS_CTE}, {_tstats_cte()},
+        scored AS ({_scored_sql("hits", "tstats")}),
+        ranked AS (
+            SELECT *, CAST(row_number() OVER (
+                ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+            FROM scored
+        )
+        SELECT rank, doc_id, dl, n_hit_terms, round(score, 4) AS score_r
+        FROM ranked WHERE rank <= {BM25_TOP_K}
+    """,
+}
+
+
+def _batch_oracle() -> str:
+    parts = []
+    selects = []
+    for qid, terms in BM25_BATCH:
+        h = f"hits_{qid}"
+        t = f"tstats_{qid}"
+        parts.append(_hits_cte(terms, h))
+        parts.append(_tstats_cte(t, h))
+        selects.append(
+            f"SELECT '{qid}' AS query_id, doc_id, score FROM"
+            f" ({_scored_sql(h, t)})"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+        WITH {_STATS_CTE}, {', '.join(parts)},
+        allq AS ({union}),
+        ranked AS (
+            SELECT query_id, doc_id, score,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+            FROM allq
+        )
+        SELECT query_id, rank, doc_id, round(score, 4) AS score_r
+        FROM ranked WHERE rank <= {BM25_BATCH_K}
+    """
+
+
+ORACLES["bm25_batch_topk"] = _batch_oracle()

@@ -395,7 +395,7 @@ ORACLES: dict[str, str] = {
     """,
     "events_session_windows": """
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, ts, event_id, value,
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
                         THEN 1 ELSE 0 END AS new_session
@@ -405,7 +405,7 @@ ORACLES: dict[str, str] = {
         islands AS (
             SELECT user_id, ts, value,
                    sum(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS session_id
             FROM flagged
@@ -744,7 +744,7 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(0.0))
     return joined.select(
         "event_type",
-        "hour",
+        _tstr(F.col("hour")).alias("hour"),
         "n_events",
         F.round(z, 4).alias("z_r"),
         (F.abs(z) > F.lit(ANOMALY_Z)).alias("anomaly"),
@@ -766,7 +766,8 @@ ORACLES["events_hourly_anomaly"] = f"""
                CAST(sum(n_events * n_events) AS BIGINT) AS ss
         FROM hourly GROUP BY event_type
     )
-    SELECT h.event_type, h.hour, h.n_events,
+    SELECT h.event_type, strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           h.n_events,
            round(CASE WHEN st.cnt > 1 AND
                       (CAST(st.ss AS DOUBLE)
                        - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)

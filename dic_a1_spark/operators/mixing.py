@@ -30,6 +30,10 @@ DuckDB expressions are written with IDENTICAL association
 bit-equal, per the repo's oracle-parity rules. The weight uses sqrt —
 IEEE correctly-rounded in both engines — never pow, whose libm
 implementations disagree by an ulp on ~0.08% of inputs (measured).
+The one order-sensitive reduction, w_total = sum(w), is pinned by
+folding a SORTED collected array in both engines (`_w_total`) so
+neither Spark's partial-agg merge order nor DuckDB's scan order can
+reassociate the double sum.
 
 Reference scope: the reference engine (mrjob chi-square pipeline) has no
 mixture surface; this module is part of the training-data-pipeline
@@ -73,6 +77,23 @@ def _temp_weight(c_tokens) -> "F.Column":
     """w = c^(1/T) with T pinned to 2 → sqrt (see MIX_TEMPERATURE)."""
     assert MIX_TEMPERATURE == 2.0
     return F.sqrt(c_tokens.cast("double"))
+
+
+def _w_total(weighted: DataFrame) -> DataFrame:
+    """1-row (w_total) frame with a PINNED summation order: the weights
+    are collected into a sorted array and folded sequentially, so Spark's
+    partial-agg merge order can never reassociate the double sum. The
+    oracle mirrors with list_reduce(list_sort(list(w))) — Spark's fold
+    seeds with 0.0 and 0.0 + x == x bit-exact for the positive weights,
+    so both folds are the identical left-to-right sum. The domain frame
+    is dimension-sized (languages/sources), so the collect is bounded."""
+    return weighted.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("w")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("w_total")
+    )
 
 
 def _source_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,7 +164,7 @@ def lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     weighted = c.withColumn("w", _temp_weight(F.col("c_tokens")))
-    tot = weighted.agg(F.sum("w").alias("w_total"))
+    tot = _w_total(weighted)
     return (
         weighted.crossJoin(F.broadcast(tot))
         .select(
@@ -167,7 +188,7 @@ def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT (floor BEFORE the cast — the repo's float-parity rule)."""
     c = _source_census(spark, sf_dir)
     weighted = c.withColumn("w", _temp_weight(F.col("c_tokens")))
-    tot = weighted.agg(F.sum("w").alias("w_total"))
+    tot = _w_total(weighted)
     epochs_raw = (
         F.lit(float(TOKEN_BUDGET))
         * (F.col("w") / F.col("w_total"))
@@ -390,7 +411,8 @@ ORACLES: dict[str, str] = {
         SELECT *, sqrt(CAST(c_tokens AS DOUBLE)) AS w
         FROM census
     ),
-    tot AS (SELECT sum(w) AS w_total FROM weighted)
+    tot AS (SELECT list_reduce(list_sort(list(w)), (a, b) -> a + b)
+                AS w_total FROM weighted)
     SELECT lang, n_docs, c_tokens,
            round(w / w_total, 6) AS p_sample,
            round(CAST({TOKEN_BUDGET} AS DOUBLE) * (w / w_total)
@@ -431,7 +453,8 @@ ORACLES: dict[str, str] = {
         SELECT *, sqrt(CAST(c_tokens AS DOUBLE)) AS w
         FROM census
     ),
-    tot AS (SELECT sum(w) AS w_total FROM weighted)
+    tot AS (SELECT list_reduce(list_sort(list(w)), (a, b) -> a + b)
+                AS w_total FROM weighted)
     SELECT source, c_tokens,
            round(w / w_total, 6) AS p_target,
            round(least({MAX_EPOCHS!r},

@@ -11,6 +11,14 @@ duplicate rule is the id-ordered one-pass greedy — j is dropped iff some
 i < j in the same cluster has round(cos(i,j),4) >= tau. That one-pass
 rule (vs the paper's iterative keep-set) is the standard scalable
 approximation and makes the operator exactly restatable in SQL.
+Semantic deviation from the paper, stated explicitly: because the rule
+condemns j on ANY earlier i — including an i that was itself dropped —
+it can OVER-drop relative to the paper's kept-set greedy. In a chain
+a~b, b~c, a!~c the paper keeps {a, c}; this rule keeps only {a}: c's
+only condemning neighbor (b) was itself dropped, yet c still falls.
+Both engines implement the identical rule, so parity holds; the
+trade is recall of near-unique vectors for a join-expressible,
+iteration-free plan.
 
 Scale shape at 100 TB:
   1. Assignment is map-only: centroids broadcast, per-vector argmax.

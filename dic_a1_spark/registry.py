@@ -21,115 +21,51 @@ from pyspark.sql import DataFrame, SparkSession
 # module's later bare entry picks up the rest) — this gives the rotation
 # per-QUERY window control instead of per-module granularity.
 #
-# ROUND-6 ROTATION. Cross-round coverage entering this round is COMPLETE
-# (all 151 entries driver-graded, 142/142 oracle queries hash-green at
-# least once, 9 rows-only by design — CORRECTNESS_r01..r05). The r6
-# window therefore fronts (a) everything NEW this round, (b) re-grades of
-# modules edited since their last green row, then (c) oldest-green-first
-# re-certification:
-#   substr — NEW — 5 (cum 5: ExactSubstr span dedup, keep-first policy
-#   twin, applied scrub — generated-xxh64 oracles), linededup — NEW — 3
-#   (cum 8), semdedup — NEW — 4 (cum 12, incl. the threshold sweep),
-#   sampling — NEW — 5 (cum 17, incl. corpus_shard_plan), mixing — NEW
-#   — 5 (cum 22), mining — NEW — 2 (cum 24), knn_cosine_pq_fast — NEW,
-#   shares the exact twin's oracle — 1 (cum 25), composition audits —
-#   NEW — 5 (cum 30: decontam_threshold_sweep, decontam_by_split,
-#   pack_efficiency_report, lang_confusion_matrix, lang_token_fertility),
-#   events retention cohorts + DAU/WAU stickiness — NEW — 2 (cum 32),
-#   corpusops 8 (cum 40: 6 re-grades — surprisal moved to integer
-#   division in `4cbb3dc` — plus the NEW vocab_topv_oov +
-#   corpus_datacard), lsh md5-simhash 2 re-grade (persist-lifetime
-#   edit, same commit; cum 42), dedup xxhash64 production family —
-#   FIRST-TIME ORACLES via the generated xxh64 DuckDB SQL
-#   (functions/xxh64_sql.py), graded rows-only in every previous round
-#   — 4 (cum 46), then decontam_ngram_overlap_fast — FIRST-TIME ORACLE,
-#   seed-chained generated xxh64 recomputing Spark's xxhash64(t1,t2,t3)
-#   triple hash over distinct prefixes — 1 (cum 47), then the second
-#   r6-session tranche: winnow — NEW — 3 (cum 50: MOSS winnowing
-#   fingerprints, generated-xxh64 oracles + plain-Python selection
-#   audit), dsir — NEW — 3 (cum 53), lm — NEW — 3 (cum 56: closed-form
-#   NTILE decile census certified against DuckDB NTILE), cdc — NEW — 3
-#   (cum 59), colloc — NEW — 2 (cum 61), then oldest-rows-first:
-#   chisq 5 (r1/r2 rows), sql_surface, tpch_extra, relational, and
-#   everything below rest on r1-r5 green rows, pytest, and the
-#   committed sf0.1 sweep.
-#
-# R7 STAGING: a ~50-entry window grades through cum 50 (the full r5
-# tranche + winnow). The remaining never-driver-graded entries — dsir 3,
-# lm 3, cdc 3, colloc 2, vocabgrowth 1, redundancy_panel 1,
-# events_hourly_anomaly 1 (cum 51-64, all locally hash-green and in the
-# committed sweep) — must rotate to the FRONT in round 7, followed by
-# re-grades of any module edited in round 7 (corpusops was touched this
-# round — surprisal_over extraction, result-identical — and sits in
-# this round's window anyway), then oldest-green-first.
+# ROUND-7 ROTATION. Entering this round, every r6-window entry graded
+# green (CORRECTNESS_r06: 50/50). Still never driver-graded: the late-r6
+# tranche — dsir 3, lm 3, cdc 3, colloc 2, vocabgrowth 1,
+# redundancy_panel 1, events_hourly_anomaly 1 (all locally hash-green
+# and in the committed 202-entry sf0.1 sweep). The r7 window therefore
+# fronts, in order:
+#   (a) that never-graded block — 14 entries (cum 14);
+#   (b) re-grades of queries EDITED this round: events_hourly_anomaly is
+#       in (a) and its `hour` column is now string-formatted (ADVICE);
+#       events_session_windows' oracle islands window gained a
+#       deterministic tie-break (ADVICE) — 1 (cum 15); mixing's
+#       lang_temperature_mix + mix_epoch_plan moved to the pinned
+#       sorted-fold w_total (ADVICE) — 2 (cum 17);
+#   (c) everything NEW this round (modules added below as built);
+#   (d) oldest-green-first re-certification: chisq (r1/r2 rows are the
+#       oldest), sql_surface, tpch_extra, relational, then the r4/r5
+#       tranches; the tail rests on r1-r6 green rows, pytest, and the
+#       committed sweep.
 _MODULES = (
-    # NEW this round: cross-document exact-substring span dedup
-    "dic_a1_spark.operators.substr",
-    "dic_a1_spark.operators.linededup",
-    "dic_a1_spark.operators.semdedup",
-    "dic_a1_spark.operators.sampling",
-    "dic_a1_spark.operators.mixing",
-    "dic_a1_spark.operators.mining",
-    # knn_cosine_pq_fast — NEW this round, shares the exact twin's oracle
-    ("dic_a1_spark.operators.pq", ("knn_cosine_pq_fast",)),
-    # round-6 composition audits over certified subtrees
-    (
-        "dic_a1_spark.operators.curation",
-        (
-            "decontam_threshold_sweep",
-            "decontam_by_split",
-            "pack_efficiency_report",
-        ),
-    ),
-    (
-        "dic_a1_spark.operators.textstats",
-        ("lang_confusion_matrix", "lang_token_fertility"),
-    ),
-    # round-6 event analytics: cohort retention + DAU/WAU stickiness
+    # (a) the never-driver-graded late-r6 block
+    "dic_a1_spark.operators.dsir",
+    "dic_a1_spark.operators.lm",
+    "dic_a1_spark.operators.cdc",
+    "dic_a1_spark.operators.colloc",
+    "dic_a1_spark.operators.vocabgrowth",
+    "dic_a1_spark.operators.panel",
+    # (b) edited this round (ADVICE fixes): hourly anomaly emits a
+    # string-formatted hour; session-windows oracle tie-break; mixing's
+    # pinned w_total fold
     (
         "dic_a1_spark.operators.events",
-        ("events_retention_cohorts", "events_dau_stickiness"),
+        ("events_hourly_anomaly", "events_session_windows"),
     ),
-    "dic_a1_spark.operators.corpusops",
     (
-        "dic_a1_spark.operators.lsh",
-        ("dedup_simhash_md5_pairs", "dedup_simhash_md5_groups"),
+        "dic_a1_spark.operators.mixing",
+        ("lang_temperature_mix", "mix_epoch_plan"),
     ),
-    # production xxhash64 dedup family: first round WITH oracles
-    (
-        "dic_a1_spark.operators.dedup",
-        (
-            "dedup_minhash_pairs",
-            "dedup_minhash_groups",
-            "dedup_simhash_pairs",
-            "dedup_simhash_groups",
-        ),
-    ),
-    # decontam fast path: first round WITH an oracle (seed-chained
-    # generated xxh64 over distinct token-triple prefixes)
-    (
-        "dic_a1_spark.operators.curation",
-        ("decontam_ngram_overlap_fast",),
-    ),
-    # NEW this round: winnowing fingerprints (MOSS local-min selection)
-    "dic_a1_spark.operators.winnow",
-    # NEW this round: DSIR hashed-ngram importance weighting
-    "dic_a1_spark.operators.dsir",
-    # NEW this round: bigram surprisal + perplexity deciles + per-source
-    # cross-entropy (closed-form NTILE twin certified against DuckDB's)
-    "dic_a1_spark.operators.lm",
-    # NEW this round: content-defined chunking (Rabin/FastCDC shape)
-    "dic_a1_spark.operators.cdc",
-    # NEW this round: windowed PMI collocations (integer staircase + lift)
-    "dic_a1_spark.operators.colloc",
-    # NEW this round: Heaps-law vocabulary growth curve (one-pass)
-    "dic_a1_spark.operators.vocabgrowth",
-    # NEW this round: cross-granularity redundancy panel (composed)
-    "dic_a1_spark.operators.panel",
-    # NEW this round: hourly volume anomaly z-scores (exact sufficient
-    # statistics; fronted here so the whole never-graded block is
-    # contiguous — the module's later bare entry loads the rest)
-    ("dic_a1_spark.operators.events", ("events_hourly_anomaly",)),
+    # (c) NEW in round 7 — inserted here as modules land
+    "dic_a1_spark.operators.bm25",
+    "dic_a1_spark.operators.bpe",
+    "dic_a1_spark.operators.graphrank",
+    "dic_a1_spark.operators.diversity",
+    "dic_a1_spark.operators.taxonomy",
+    "dic_a1_spark.operators.seasonality",
+    # (d) oldest-green-first
     "dic_a1_spark.operators.chisq",
     "dic_a1_spark.operators.sql_surface",
     "dic_a1_spark.operators.tpch_extra",
@@ -152,6 +88,14 @@ _MODULES = (
     "dic_a1_spark.operators.tpch_full",
     "dic_a1_spark.operators.similarity",
     "dic_a1_spark.operators.lsh",
+    "dic_a1_spark.operators.substr",
+    "dic_a1_spark.operators.linededup",
+    "dic_a1_spark.operators.semdedup",
+    "dic_a1_spark.operators.sampling",
+    "dic_a1_spark.operators.mixing",
+    "dic_a1_spark.operators.mining",
+    "dic_a1_spark.operators.winnow",
+    "dic_a1_spark.operators.corpusops",
 )
 
 
