@@ -1,0 +1,334 @@
+"""Byte-Pair-Encoding merge induction over the corpus word census —
+the tokenizer-training primitive (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units"). A training-data pipeline
+runs this to learn a subword vocabulary from the corpus it just curated;
+the brief's text-analysis family names BPE-ish token counting explicitly.
+
+Algorithm (the original word-frequency formulation):
+  1. Census: (word, freq) over ALL corpus tokens — BPE learns from the
+     weighted vocabulary, never the raw corpus stream.
+  2. Each word becomes a symbol sequence (initially its characters).
+  3. For BPE_ROUNDS rounds: count adjacent symbol pairs weighted by word
+     freq (overlapping occurrences count — the census is positional),
+     pick the most frequent pair (ties: lexicographic), and merge every
+     LEFTMOST-NONOVERLAPPING occurrence left-to-right.
+
+Representation trick: a symbol sequence is ONE string with every symbol
+wrapped in sentinels — "batch" → ``<b><a><t><c><h>`` — so a merge round
+is a single ``replace(seq, '<x><y>', '<xy>')``: leftmost-nonoverlapping
+left-to-right replace is exactly the BPE merge rule, and both engines'
+``replace`` implement it identically (fuzz-pinned against Python
+``str.replace`` in tests/test_bpe.py). Sentinels make multi-char symbols
+boundary-safe (``<b><a>`` can never match inside ``<ab><a>``); words
+containing ``<``/``>`` (the tokenizer preserves them — SURVEY.md P3) are
+excluded from the census, documented here.
+
+Everything is exact integer arithmetic — pair counts are BIGINT sums —
+so oracle parity is by construction; there are no doubles anywhere.
+
+Scale shape at 100 TB:
+  1. The ONLY corpus-sized stage is the word census: one partial-agg
+     shuffle keyed by word (map-side combine collapses the corpus; the
+     result is the bounded distinct vocabulary).
+  2. Every merge round runs on the VOCABULARY-sized frame: pair census
+     (vocab-bounded), 1-row top-pair broadcast, map-only replace. The
+     census frame is persisted so round lineage never re-reads the
+     corpus scan.
+  3. Rounds are unrolled driver-side into ONE DAG over tiny frames —
+     the loop builds the plan, it never collects.
+
+Reference scope: the reference engine tokenizes by whitespace only
+(src/wordCountJob.py:75); subword induction is part of the
+training-data-pipeline extension mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dic_a1_spark.config import duckdb_tokens_sql
+from dic_a1_spark.functions.text import tokens_nonempty
+from dic_a1_spark.sources.readers import load_table
+
+# Number of unrolled merge rounds.
+BPE_ROUNDS = 6
+# Pair-census floor for the round-0 report (noise cut, not used in the
+# merge loop — merges see the full census).
+BPE_CENSUS_MIN = 5
+
+_WRAP_SPARK = (
+    "concat('<', substring(regexp_replace({w}, '(.)', '$1><'),"
+    " 1, length(regexp_replace({w}, '(.)', '$1><')) - 1))"
+)
+
+
+def _word_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq): the corpus-weighted vocabulary — the one
+    corpus-sized aggregation (see module docstring). Sentinel-unsafe
+    words (containing < or >) are excluded."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens_nonempty(F.col("text"))).alias("word"))
+        .where(~F.col("word").contains("<") & ~F.col("word").contains(">"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+
+
+def _seqs0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, seq): initial wrapped character sequences, persisted
+    — every merge round's lineage starts here, not at the corpus scan."""
+    from pyspark import StorageLevel
+
+    return (
+        _word_census(spark, sf_dir)
+        .withColumn("seq", F.expr(_WRAP_SPARK.format(w="word")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _pair_rows(seqs: DataFrame) -> DataFrame:
+    """(word, freq, x, y): one row per adjacent symbol-pair OCCURRENCE
+    (overlapping pairs all count — positional census)."""
+    return (
+        seqs.select(
+            "word",
+            "freq",
+            F.expr("split(substring(seq, 2, length(seq) - 2), '><')").alias(
+                "a"
+            ),
+        )
+        .where(F.size("a") >= 2)
+        .select(
+            "word",
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(a) - 1),"
+                    " i -> struct(a[i-1] AS x, a[i] AS y))"
+                )
+            ).alias("p"),
+        )
+        .select("word", "freq", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    )
+
+
+def _census(seqs: DataFrame) -> DataFrame:
+    """(x, y, cnt): freq-weighted adjacent-pair census."""
+    return _pair_rows(seqs).groupBy("x", "y").agg(
+        F.sum("freq").cast("bigint").alias("cnt")
+    )
+
+
+def _top1(census: DataFrame) -> DataFrame:
+    """The round's merge pair — total order (cnt desc, x, y)."""
+    return census.orderBy(F.desc("cnt"), F.asc("x"), F.asc("y")).limit(1)
+
+
+def _apply_merge(seqs: DataFrame, top: DataFrame) -> DataFrame:
+    """Merge every leftmost-nonoverlapping (x, y) in one replace."""
+    return seqs.crossJoin(F.broadcast(top.select("x", "y"))).select(
+        "word",
+        "freq",
+        F.expr(
+            "replace(seq, concat('<', x, '><', y, '>'),"
+            " concat('<', x, y, '>'))"
+        ).alias("seq"),
+    )
+
+
+def _rounds(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """(final seqs, [per-round top-pair frames]) after BPE_ROUNDS.
+
+    Each round's 1-row top pair is EAGERLY localCheckpoint-ed (the
+    dedup.py label-propagation idiom): without the truncation, round
+    r's broadcast subtree re-executes every earlier round's census
+    (no exchange reuse across broadcast boundaries — measured 21 s at
+    sf0.01 for 6 rounds of 31-row frames; 3.5 s with the checkpoints).
+    The checkpoint job for round 1 also materializes the seqs0
+    persist, so the corpus is scanned exactly once."""
+    seqs = _seqs0(spark, sf_dir)
+    tops: list[DataFrame] = []
+    for r in range(1, BPE_ROUNDS + 1):
+        top = _top1(_census(seqs)).select(
+            F.lit(r).cast("bigint").alias("round"), "x", "y", "cnt"
+        ).localCheckpoint()
+        tops.append(top)
+        seqs = _apply_merge(seqs, top)
+    return seqs, tops
+
+
+def bpe_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-0 pair census report: (x, y, cnt, n_words) with the
+    BPE_CENSUS_MIN noise floor."""
+    pr = _pair_rows(_seqs0(spark, sf_dir))
+    return (
+        pr.groupBy("x", "y")
+        .agg(
+            F.sum("freq").cast("bigint").alias("cnt"),
+            F.countDistinct("word").cast("bigint").alias("n_words"),
+        )
+        .where(F.col("cnt") >= BPE_CENSUS_MIN)
+    )
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table: (round, x, y, merged, cnt) — the
+    artifact a tokenizer ships."""
+    _, tops = _rounds(spark, sf_dir)
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionByName(t)
+    return out.select(
+        "round", "x", "y", F.concat("x", "y").alias("merged"), "cnt"
+    )
+
+
+def bpe_segmented_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-word segmentation after BPE_ROUNDS merges:
+    (word, freq, seg, n_pieces) — seg is the space-joined symbol
+    sequence (a scalar string: the doc_pack_concat lesson)."""
+    seqs, _ = _rounds(spark, sf_dir)
+    return seqs.select(
+        "word",
+        "freq",
+        F.expr(
+            "replace(substring(seq, 2, length(seq) - 2), '><', ' ')"
+        ).alias("seg"),
+        F.size(
+            F.expr("split(substring(seq, 2, length(seq) - 2), '><')")
+        ).cast("bigint").alias("n_pieces"),
+    )
+
+
+def bpe_piece_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-weighted subword census after the merges:
+    (piece, n_words, freq_total) — the induced vocabulary's usage
+    table (token-count estimation per the brief's BPE-ish ask)."""
+    seqs, _ = _rounds(spark, sf_dir)
+    return (
+        seqs.select(
+            "word",
+            "freq",
+            F.explode(
+                F.expr("split(substring(seq, 2, length(seq) - 2), '><')")
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(
+            F.countDistinct("word").cast("bigint").alias("n_words"),
+            F.sum("freq").cast("bigint").alias("freq_total"),
+        )
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bpe_pair_census": bpe_pair_census,
+    "bpe_merges": bpe_merges,
+    "bpe_segmented_vocab": bpe_segmented_vocab,
+    "bpe_piece_census": bpe_piece_census,
+}
+
+_TOKS = duckdb_tokens_sql()
+
+_WORDS_CTE = f"""
+    words AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+        WHERE word NOT LIKE '%<%' AND word NOT LIKE '%>%'
+        GROUP BY word
+    ),
+    seqs_0 AS (
+        SELECT word, freq, '<' || substr(x, 1, length(x) - 1) AS seq
+        FROM (SELECT word, freq,
+                     regexp_replace(word, '(.)', '\\1><', 'g') AS x
+              FROM words)
+    )
+"""
+
+
+def _round_ctes(n_rounds: int) -> str:
+    """CTE chain seqs_0 → seqs_n with per-round censuses and top pairs
+    — the unrolled-oracle mirror of `_rounds`."""
+    parts = []
+    for r in range(1, n_rounds + 1):
+        prev = f"seqs_{r - 1}"
+        parts.append(
+            f"""
+    toks_{r} AS (
+        SELECT word, freq,
+               string_split(substr(seq, 2, length(seq) - 2), '><') AS a
+        FROM {prev}
+    ),
+    cen_{r} AS (
+        SELECT a[i] AS x, a[i + 1] AS y, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT word, freq, a, generate_subscripts(a, 1) AS i
+              FROM toks_{r} WHERE len(a) >= 2)
+        WHERE i < len(a)
+        GROUP BY a[i], a[i + 1]
+    ),
+    top_{r} AS (
+        SELECT x, y, cnt FROM cen_{r} ORDER BY cnt DESC, x, y LIMIT 1
+    ),
+    seqs_{r} AS (
+        SELECT s.word, s.freq,
+               replace(s.seq, '<' || t.x || '><' || t.y || '>',
+                       '<' || t.x || t.y || '>') AS seq
+        FROM {prev} s CROSS JOIN top_{r} t
+    )"""
+        )
+    return ",".join(parts)
+
+
+ORACLES: dict[str, str] = {
+    "bpe_pair_census": f"""
+        WITH {_WORDS_CTE}
+        SELECT a[i] AS x, a[i + 1] AS y,
+               CAST(sum(freq) AS BIGINT) AS cnt,
+               CAST(count(DISTINCT word) AS BIGINT) AS n_words
+        FROM (
+            SELECT word, freq,
+                   string_split(substr(seq, 2, length(seq) - 2), '><') AS a,
+                   generate_subscripts(
+                       string_split(substr(seq, 2, length(seq) - 2), '><'),
+                       1) AS i
+            FROM seqs_0 WHERE length(seq) >= 6
+        )
+        WHERE i < len(a)
+        GROUP BY a[i], a[i + 1]
+        HAVING CAST(sum(freq) AS BIGINT) >= {BPE_CENSUS_MIN}
+    """,
+    "bpe_merges": f"""
+        WITH {_WORDS_CTE}, {_round_ctes(BPE_ROUNDS)}
+        {" UNION ALL ".join(
+            f"SELECT CAST({r} AS BIGINT) AS round, x, y, x || y AS merged,"
+            f" cnt FROM top_{r}"
+            for r in range(1, BPE_ROUNDS + 1)
+        )}
+    """,
+    "bpe_segmented_vocab": f"""
+        WITH {_WORDS_CTE}, {_round_ctes(BPE_ROUNDS)}
+        SELECT word, freq,
+               replace(substr(seq, 2, length(seq) - 2), '><', ' ') AS seg,
+               CAST(len(string_split(substr(seq, 2, length(seq) - 2), '><'))
+                    AS BIGINT) AS n_pieces
+        FROM seqs_{BPE_ROUNDS}
+    """,
+    "bpe_piece_census": f"""
+        WITH {_WORDS_CTE}, {_round_ctes(BPE_ROUNDS)}
+        SELECT piece, CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+               CAST(sum(freq) AS BIGINT) AS freq_total
+        FROM (
+            SELECT word, freq,
+                   unnest(string_split(substr(seq, 2, length(seq) - 2),
+                                       '><')) AS piece
+            FROM seqs_{BPE_ROUNDS}
+        )
+        GROUP BY piece
+    """,
+}
