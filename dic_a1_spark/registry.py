@@ -65,6 +65,8 @@ _MODULES = (
     "dic_a1_spark.operators.diversity",
     "dic_a1_spark.operators.taxonomy",
     "dic_a1_spark.operators.seasonality",
+    "dic_a1_spark.operators.qlinear",
+    "dic_a1_spark.operators.ragpack",
     # (d) oldest-green-first
     "dic_a1_spark.operators.chisq",
     "dic_a1_spark.operators.sql_surface",
