@@ -122,6 +122,17 @@ HEADLINE = [
     "ppl_decile_census",
     "cdc_stats",
     "colloc_pmi_topk",
+    # round 7: BM25 retrieval (batched), BPE merge induction, weighted
+    # PageRank over the corpus-discovered trade graph, per-source
+    # diversity, taxonomy labeling, linear quality inference, and the
+    # retrieval->packing composition
+    "bm25_batch_topk",
+    "bpe_merges",
+    "graph_pagerank",
+    "diversity_simpson",
+    "taxonomy_doc_topics",
+    "qlin_doc_scores",
+    "rag_context_pack",
 ]
 
 

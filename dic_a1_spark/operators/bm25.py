@@ -73,67 +73,6 @@ BM25_BATCH: tuple[tuple[str, tuple[str, ...]], ...] = (
 BM25_BATCH_K = 5
 
 
-def _doc_hits(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
-    """(doc_id, dl, term, tf) for tf > 0 — MAP-ONLY (see module
-    docstring): tf per literal query term is a size(filter(...)) over
-    the token array; the rows-per-doc bound is |terms|."""
-    qlit = ", ".join("'" + t + "'" for t in terms)
-    return (
-        docs.select(
-            "doc_id", tokens_nonempty(F.col("text")).alias("toks")
-        )
-        .select(
-            "doc_id",
-            F.size("toks").cast("bigint").alias("dl"),
-            F.explode(
-                F.expr(
-                    f"filter(transform(array({qlit}),"
-                    f" t -> struct(t AS term, size(filter(toks, w -> w = t))"
-                    f" AS tf)), s -> s.tf > 0)"
-                )
-            ).alias("h"),
-        )
-        .select(
-            "doc_id",
-            "dl",
-            F.col("h.term").alias("term"),
-            F.col("h.tf").cast("bigint").alias("tf"),
-        )
-    )
-
-
-def _corpus_stats(docs: DataFrame) -> DataFrame:
-    """1-row (n_docs, avgdl): avgdl = sum(dl)/N as ONE exact division of
-    two BIGINTs — bit-equal across engines."""
-    return docs.select(
-        F.size(tokens_nonempty(F.col("text"))).cast("bigint").alias("dl")
-    ).agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        (
-            F.sum("dl").cast("double") / F.count("*").cast("double")
-        ).alias("avgdl"),
-    )
-
-
-def _term_stats(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
-    """(term, df, idf_w): document frequency and the integer staircase
-    idf. |terms| rows."""
-    hits = _doc_hits(docs, terms)
-    stats = _corpus_stats(docs)
-    return (
-        hits.groupBy("term")
-        .agg(F.count("*").cast("bigint").alias("df"))
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "term",
-            "df",
-            F.length(F.bin(F.expr("n_docs div df"))).cast("bigint").alias(
-                "idf_w"
-            ),
-        )
-    )
-
-
 def _contrib() -> F.Column:
     """The per-(doc, term) BM25 contribution — ONE double expression,
     written with the identical shape in the oracle SQL."""
@@ -153,15 +92,73 @@ def _contrib() -> F.Column:
     )
 
 
-def _scored(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
-    """(doc_id, dl, n_hit_terms, score): the pinned-fold document
-    scores. Stats frames are query-sized — broadcast by construction."""
-    hits = _doc_hits(docs, terms)
-    contrib = (
-        hits.join(F.broadcast(_term_stats(docs, terms)), "term")
-        .crossJoin(F.broadcast(_corpus_stats(docs).select("avgdl")))
-        .select("doc_id", "dl", _contrib().alias("c"))
+def _base(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """(doc_id, dl, hits array) for EVERY document (zero-hit docs carry
+    an empty array) — the single corpus projection every downstream
+    frame reads. PERSISTED: corpus stats, the df census, and per-query
+    scoring all consume it, and without the persist each consumer
+    re-tokenizes the corpus from the scan (the docsim_tfidf_topk
+    lesson; measured 4 scans for bm25_topk / 12 for the batch before
+    this refactor, 1 after)."""
+    from pyspark import StorageLevel
+
+    qlit = ", ".join("'" + t + "'" for t in terms)
+    return (
+        docs.select(
+            "doc_id", tokens_nonempty(F.col("text")).alias("toks")
+        )
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("dl"),
+            F.expr(
+                f"filter(transform(array({qlit}),"
+                f" t -> struct(t AS term, CAST(size(filter(toks, w -> w = t))"
+                f" AS BIGINT) AS tf)), s -> s.tf > 0)"
+            ).alias("hits"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+
+def _pipeline(
+    docs: DataFrame, terms: tuple[str, ...]
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(stats 1-row, tstats |terms|-row, contrib corpus-row) — all from
+    ONE persisted base projection."""
+    base = _base(docs, terms)
+    stats = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count("*").cast("double")
+        ).alias("avgdl"),
+    )
+    hits = base.select(
+        "doc_id", "dl", F.explode("hits").alias("h")
+    ).select(
+        "doc_id", "dl", F.col("h.term").alias("term"), F.col("h.tf").alias("tf")
+    )
+    tstats = (
+        hits.groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "df",
+            F.length(F.bin(F.expr("n_docs div df"))).cast("bigint").alias(
+                "idf_w"
+            ),
+        )
+    )
+    contrib = (
+        hits.join(F.broadcast(tstats), "term")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select("doc_id", "dl", "term", "tf", _contrib().alias("c"))
+    )
+    return stats, tstats, contrib
+
+
+def _fold_scores(contrib: DataFrame) -> DataFrame:
+    """(doc_id, dl, n_hit_terms, score): the pinned sorted-fold sum."""
     return contrib.groupBy("doc_id", "dl").agg(
         F.count("*").cast("bigint").alias("n_hit_terms"),
         F.aggregate(
@@ -172,15 +169,42 @@ def _scored(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
     )
 
 
+def _scored(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """Single-query scoring — a batch of one."""
+    _, _, contrib = _pipeline(docs, terms)
+    return _fold_scores(contrib)
+
+
+def _scored_batch(
+    docs: DataFrame, batch: tuple[tuple[str, tuple[str, ...]], ...]
+) -> DataFrame:
+    """(query_id, doc_id, dl, score): every query scored from ONE
+    shared pipeline over the union of the batch's terms — df/idf/avgdl
+    are query-independent, so per-query scoring is a literal-IN filter
+    plus the fold."""
+    union_terms = tuple(sorted({t for _, ts in batch for t in ts}))
+    _, _, contrib = _pipeline(docs, union_terms)
+    per_query = []
+    for qid, terms in batch:
+        s = _fold_scores(
+            contrib.where(F.col("term").isin(*terms))
+        ).select(F.lit(qid).alias("query_id"), "doc_id", "dl", "score")
+        per_query.append(s)
+    allq = per_query[0]
+    for s in per_query[1:]:
+        allq = allq.unionByName(s)
+    return allq
+
+
 def bm25_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(term, df, idf_w, tf_total) for the headline query's terms —
     certifies the statistics layer under the driver's value hash."""
     docs = load_table(spark, sf_dir, "documents")
-    hits = _doc_hits(docs, BM25_QUERY)
-    tf_tot = hits.groupBy("term").agg(
+    _, tstats, contrib = _pipeline(docs, BM25_QUERY)
+    tf_tot = contrib.groupBy("term").agg(
         F.sum("tf").cast("bigint").alias("tf_total")
     )
-    return _term_stats(docs, BM25_QUERY).join(tf_tot, "term").select(
+    return tstats.join(tf_tot, "term").select(
         "term", "df", "idf_w", "tf_total"
     )
 
@@ -215,15 +239,7 @@ def bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pass (the hit extraction transforms over the union of the
     batch's term lists), ranks cut per query_id."""
     docs = load_table(spark, sf_dir, "documents")
-    per_query = []
-    for qid, terms in BM25_BATCH:
-        s = _scored(docs, terms).select(
-            F.lit(qid).alias("query_id"), "doc_id", "score"
-        )
-        per_query.append(s)
-    allq = per_query[0]
-    for s in per_query[1:]:
-        allq = allq.unionByName(s)
+    allq = _scored_batch(docs, BM25_BATCH)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )

@@ -114,14 +114,10 @@ def graph_nation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _edge_census(spark, sf_dir)
 
 
-def graph_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(nation, out_deg, in_deg, out_weight, in_weight): distinct-edge
-    degrees and lineitem-weighted degrees per nation (isolated nations
-    appear with zeros — the census is LEFT-joined onto the node set)."""
-    edges = _edge_census(spark, sf_dir)
-    nodes = load_table(spark, sf_dir, "nation").select(
-        F.col("n_name").alias("nation")
-    )
+def _degrees(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Degree census from an ALREADY-MATERIALIZED edge frame — shared by
+    the census query and pagerank so the corpus-sized discovery join is
+    never executed twice in one plan."""
     outd = edges.groupBy("src").agg(
         F.count("*").cast("bigint").alias("out_deg"),
         F.sum("n_lineitems").cast("bigint").alias("out_weight"),
@@ -147,10 +143,24 @@ def graph_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation, out_deg, in_deg, out_weight, in_weight): distinct-edge
+    degrees and lineitem-weighted degrees per nation (isolated nations
+    appear with zeros — the census is LEFT-joined onto the node set)."""
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("nation")
+    )
+    # checkpoint: _degrees consumes edges twice (out and in sides); the
+    # corpus discovery join must not execute twice.
+    return _degrees(_edge_census(spark, sf_dir).localCheckpoint(), nodes)
+
+
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(nation, rank_r, in_deg, out_deg) after PR_ITERS unrolled
     iterations — rank_r rounded to 8 dp (the underlying doubles are
-    bit-equal across engines; rounding is presentational)."""
+    bit-equal across engines; rounding is presentational). The edge
+    census is checkpointed ONCE and feeds the iterations AND the
+    degree columns — the corpus join never runs twice."""
     edges = _edge_census(spark, sf_dir).localCheckpoint()
     nodes = load_table(spark, sf_dir, "nation").select(
         F.col("n_name").alias("nation")
@@ -183,9 +193,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr"),
             )
         )
-    deg = graph_degree_census(spark, sf_dir).select(
-        "nation", "in_deg", "out_deg"
-    )
+    deg = _degrees(edges, nodes).select("nation", "in_deg", "out_deg")
     return ranks.join(deg, "nation").select(
         "nation",
         F.round("pr", 8).alias("rank_r"),

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from dic_a1_spark.operators.bm25 import (
     BM25_BATCH,
-    _scored,
+    _scored_batch,
     _hits_cte,
     _scored_sql,
     _tstats_cte,
@@ -50,15 +50,7 @@ def _packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, rank, doc_id, dl, cum_tokens, fits): the per-query
     prefix-packed candidate table."""
     docs = load_table(spark, sf_dir, "documents")
-    per_query = []
-    for qid, terms in BM25_BATCH:
-        s = _scored(docs, terms).select(
-            F.lit(qid).alias("query_id"), "doc_id", "dl", "score"
-        )
-        per_query.append(s)
-    allq = per_query[0]
-    for s in per_query[1:]:
-        allq = allq.unionByName(s)
+    allq = _scored_batch(docs, BM25_BATCH)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )

@@ -105,9 +105,12 @@ def events_seasonal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms, sorted fold), plus the type's peak day (argmax count, ties
     by dow ASC)."""
     e = load_table(spark, sf_dir, "events")
+    # The (type, dow) census is |types|*7 rows and feeds FOUR consumers
+    # (type totals, global census, diffs, peak) — checkpoint it so the
+    # event stream is aggregated exactly once.
     cen = e.groupBy("event_type", _dow().alias("dow")).agg(
         F.count("*").cast("bigint").alias("c")
-    )
+    ).localCheckpoint()
     t_tot = cen.groupBy("event_type").agg(
         F.sum("c").cast("bigint").alias("ct")
     )

@@ -130,6 +130,19 @@ HEADLINE_DOC_QUERIES = [
     # expansion is the C(factor,2)-quadratic cost center, same class as
     # dedup_simhash_pairs on this corpus
     "ml_minhash_neardups",
+    # round-7 tranche: BM25 scoring (map-only tf + query-sized broadcast
+    # stats at full corpus fan-in), BPE induction (the amplified corpus
+    # multiplies the word census weights, vocabulary stays bounded),
+    # per-source diversity censuses, broadcast taxonomy labeling, linear
+    # quality inference, and the retrieval->packing composition
+    "bm25_topk",
+    "bm25_batch_topk",
+    "bpe_merges",
+    "diversity_simpson",
+    "diversity_distinct_ngrams",
+    "taxonomy_doc_topics",
+    "qlin_doc_scores",
+    "rag_context_pack",
 ]
 
 
