@@ -609,3 +609,79 @@ def incremental_admission(stream: DataFrame, spark: SparkSession, sf_dir: str) -
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def bm25_stream_scores(
+    stream: DataFrame, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of the BM25 scorer (operators/bm25.py): documents
+    arrive as a stream and are scored STATELESSLY against query-term
+    statistics fit on the standing corpus — the dsir_stream_scores
+    shape: the |Q|-row (term, idf) table plus avgdl are collected once
+    batch-side and embedded as literals, so each micro-batch scores at
+    scan speed with no state store or watermark.
+
+    The contribution expression is the literal-substituted form of
+    bm25._contrib (idf and avgdl become constants), and the per-doc sum
+    is the same sorted sequential fold — batch parity is exact-double,
+    pinned in tests/test_streaming.py. Lambda hygiene: the hit
+    extraction and the contribution transform are DISTINCT lambdas, so
+    both are SQL-text exprs (the PySpark 4.1 cross-wiring pitfall,
+    SCALING.md)."""
+    from dic_a1_spark.functions.text import tokens_nonempty
+    from dic_a1_spark.operators.bm25 import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        _pipeline,
+    )
+    from dic_a1_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats_df, tstats_df, _ = _pipeline(docs, BM25_QUERY)
+    avgdl = stats_df.collect()[0]["avgdl"]
+    idf = {r["term"]: r["idf_w"] for r in tstats_df.collect()}
+    qlit = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    map_lit = ", ".join(
+        f"'{t}', CAST({w} AS BIGINT)" for t, w in sorted(idf.items())
+    )
+    hits_expr = (
+        f"filter(transform(array({qlit}),"
+        f" t -> struct(t AS term, CAST(size(filter(toks, w -> w = t))"
+        f" AS BIGINT) AS tf)), s -> s.tf > 0)"
+    )
+    # Literal-substituted bm25._contrib: idf -> map lookup, avgdl ->
+    # the collected double (repr round-trips exactly).
+    contrib_expr = (
+        f"transform(hits, h -> CAST(map({map_lit})[h.term] AS DOUBLE)"
+        f" * (CAST(h.tf AS DOUBLE) * {BM25_K1 + 1.0!r})"
+        f" / (CAST(h.tf AS DOUBLE) + {BM25_K1!r} * ({1.0 - BM25_B!r}"
+        f" + {BM25_B!r} * CAST(dl AS DOUBLE) / {avgdl!r})))"
+    )
+    return (
+        stream.select(
+            "doc_id", tokens_nonempty(F.col("text")).alias("toks")
+        )
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("dl"),
+            F.expr(hits_expr).alias("hits"),
+        )
+        .where(F.size("hits") > 0)
+        .select(
+            "doc_id",
+            "dl",
+            F.size("hits").cast("bigint").alias("n_hit_terms"),
+            F.expr(contrib_expr).alias("cs"),
+        )
+        .select(
+            "doc_id",
+            "dl",
+            "n_hit_terms",
+            F.aggregate(
+                F.array_sort("cs"),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+    )

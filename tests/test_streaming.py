@@ -270,3 +270,26 @@ def test_stream_line_census_matches_batch(spark):
         ["line_text", "n_inst"],
     )
     assert got == want and got
+
+
+def test_stream_bm25_scores_match_batch(spark):
+    """Streaming BM25 (stateless scoring against collected corpus
+    statistics) must reproduce the batch scorer's per-document doubles
+    EXACTLY when replaying the corpus the stats were fit on — the
+    literal-substituted contribution expression is association-identical
+    to the batch one."""
+    from dic_a1_spark.operators.bm25 import BM25_QUERY, _scored
+    from dic_a1_spark.sources.readers import load_table
+
+    stream = jobs.read_documents_stream(spark, SF_SMOKE)
+    jobs.run_to_memory(
+        jobs.bm25_stream_scores(stream, spark, SF_SMOKE),
+        "t_bm25scores",
+        output_mode="append",
+    )
+    cols = ["doc_id", "dl", "n_hit_terms", "score"]
+    got = _rows(spark.table("t_bm25scores"), cols)
+    want = _rows(
+        _scored(load_table(spark, SF_SMOKE, "documents"), BM25_QUERY), cols
+    )
+    assert got == want and got
