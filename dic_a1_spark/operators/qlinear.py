@@ -18,13 +18,14 @@ construction):
 
 Scale shape at 100 TB:
   1. The weight table is model-sized (vocabulary of the classifier,
-     1e5-ish in production) — broadcast by definition.
-  2. Scoring is one explode + broadcast-join + doc-keyed partial agg
-     (map-side combine collapses to one row per doc before the
-     exchange); unmatched tokens carry weight 0 and are dropped by the
-     join, not defaulted — exactly fastText's sparse dot product.
-  3. The censuses are dimension-keyed partial aggs over doc-sized
-     frames.
+     1e5-ish in production) — a literal map expression here; at real
+     model sizes the same fold runs against a broadcast map column
+     (the taxonomy.py join form is the alternative shape).
+  2. Scoring is ONE map-only fold over the token array — no explode,
+     no join, ZERO corpus shuffles; unmatched tokens fold as weight 0
+     — exactly fastText's sparse dot product.
+  3. The censuses are dimension-keyed partial aggs over the scored
+     map output.
 
 Reference scope: the reference engine has no classifier surface; part
 of the training-data-pipeline extension (quality family, the trained
@@ -83,38 +84,33 @@ QLIN_BIAS = -40
 QLIN_BUCKET_W = 20
 
 
-def _weights_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(list(QLIN_WEIGHTS), ["word", "w"]).select(
-        "word", F.col("w").cast("bigint").alias("w")
-    )
-
-
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, n_tokens, raw, label, score_fp): the map-only
-    sparse dot product."""
+    """(doc_id, source, n_tokens, raw, label, score_fp): the sparse dot
+    product as ONE map-only fold over the token array against the
+    literal weight map — no explode, no join, no shuffle (fastText
+    inference is a pure map; the broadcast-dimension JOIN form of
+    classification is taxonomy.py's demonstration). Unmatched tokens
+    fold as weight 0 via element_at coalesce."""
     d = load_table(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id", "source", tokens_nonempty(F.col("text")).alias("toks")
-    )
-    tok = base.select(
-        "doc_id", F.explode("toks").alias("word")
-    )
-    dots = (
-        tok.join(F.broadcast(_weights_df(spark)), "word")
-        .groupBy("doc_id")
-        .agg(F.sum("w").cast("bigint").alias("dot"))
+    map_lit = ", ".join(
+        f"'{w}', CAST({v} AS BIGINT)" for w, v in QLIN_WEIGHTS
     )
     return (
-        base.select(
-            "doc_id", "source", F.size("toks").cast("bigint").alias("n_tokens")
+        d.select(
+            "doc_id",
+            "source",
+            tokens_nonempty(F.col("text")).alias("toks"),
         )
-        .join(dots, "doc_id", "left")
         .select(
             "doc_id",
             "source",
-            "n_tokens",
+            F.size("toks").cast("bigint").alias("n_tokens"),
             (
-                F.coalesce("dot", F.lit(0).cast("bigint"))
+                F.expr(
+                    f"aggregate(toks, CAST(0 AS BIGINT),"
+                    f" (acc, w) -> acc + coalesce(map({map_lit})[w],"
+                    f" CAST(0 AS BIGINT)))"
+                )
                 + F.lit(QLIN_BIAS).cast("bigint")
             ).alias("raw"),
         )
