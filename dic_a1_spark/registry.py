@@ -39,6 +39,15 @@ from pyspark.sql import DataFrame, SparkSession
 #       oldest), sql_surface, tpch_extra, relational, then the r4/r5
 #       tranches; the tail rests on r1-r6 green rows, pytest, and the
 #       committed sweep.
+#
+# R8 STAGING: the r7 window grades positions 1-50 (the full never-graded
+# block, the ADVICE re-grades, all 24 NEW r7 entries, chisq, and the
+# head of sql_surface). Assuming green, every registry entry will then
+# have a driver row. Round 8 fronts (a) re-grades of anything edited in
+# r8, (b) everything NEW in r8, then (c) oldest-green-first: the rest of
+# sql_surface, tpch_extra, relational, scrub/incremental/quantize/
+# lexical/evalops (r5 rows), then the r6 tranche (substr, linededup,
+# semdedup, sampling, mixing rest, mining, winnow, corpusops).
 _MODULES = (
     # (a) the never-driver-graded late-r6 block
     "dic_a1_spark.operators.dsir",
