@@ -133,6 +133,8 @@ HEADLINE = [
     "taxonomy_doc_topics",
     "qlin_doc_scores",
     "rag_context_pack",
+    "index_postings",
+    "events_attribution_rollup",
 ]
 
 

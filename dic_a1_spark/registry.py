@@ -76,6 +76,8 @@ _MODULES = (
     "dic_a1_spark.operators.seasonality",
     "dic_a1_spark.operators.qlinear",
     "dic_a1_spark.operators.ragpack",
+    "dic_a1_spark.operators.postings",
+    "dic_a1_spark.operators.attribution",
     # (d) oldest-green-first
     "dic_a1_spark.operators.chisq",
     "dic_a1_spark.operators.sql_surface",

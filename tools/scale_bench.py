@@ -143,6 +143,7 @@ HEADLINE_DOC_QUERIES = [
     "taxonomy_doc_topics",
     "qlin_doc_scores",
     "rag_context_pack",
+    "index_postings",
 ]
 
 
