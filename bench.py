@@ -135,6 +135,7 @@ HEADLINE = [
     "rag_context_pack",
     "index_postings",
     "events_attribution_rollup",
+    "source_overlap_matrix",
 ]
 
 

@@ -78,6 +78,7 @@ _MODULES = (
     "dic_a1_spark.operators.ragpack",
     "dic_a1_spark.operators.postings",
     "dic_a1_spark.operators.attribution",
+    "dic_a1_spark.operators.provenance",
     # (d) oldest-green-first
     "dic_a1_spark.operators.chisq",
     "dic_a1_spark.operators.sql_surface",

@@ -144,6 +144,7 @@ HEADLINE_DOC_QUERIES = [
     "qlin_doc_scores",
     "rag_context_pack",
     "index_postings",
+    "source_overlap_matrix",
 ]
 
 
