@@ -40,14 +40,18 @@ from pyspark.sql import DataFrame, SparkSession
 #       tranches; the tail rests on r1-r6 green rows, pytest, and the
 #       committed sweep.
 #
-# R8 STAGING: the r7 window grades positions 1-50 (the full never-graded
-# block, the ADVICE re-grades, all 24 NEW r7 entries, chisq, and the
-# head of sql_surface). Assuming green, every registry entry will then
-# have a driver row. Round 8 fronts (a) re-grades of anything edited in
-# r8, (b) everything NEW in r8, then (c) oldest-green-first: the rest of
-# sql_surface, tpch_extra, relational, scrub/incremental/quantize/
-# lexical/evalops (r5 rows), then the r6 tranche (substr, linededup,
-# semdedup, sampling, mixing rest, mining, winnow, corpusops).
+# R8 STAGING: the r7 window grades positions 1-50 — the full
+# never-graded block (14), the ADVICE re-grades (3), all 28 NEW r7
+# entries (bm25 3, bpe 4, graphrank 3, diversity 3, taxonomy 3,
+# seasonality 3, qlinear 3, ragpack 2, postings 2, attribution 2,
+# provenance 2), and the first 3 chisq rows. chisq_top75 + vocab_union
+# sit at 51-52 just outside (r1/r2 green rows + the committed sweep
+# cover them). Round 8 fronts (a) re-grades of anything edited in r8,
+# (b) everything NEW in r8, then (c) oldest-green-first:
+# chisq_top75 + chisq_vocab_union, sql_surface, tpch_extra, relational,
+# scrub/incremental/quantize/lexical/evalops (r5 rows), then the r6
+# tranche (substr, linededup, semdedup, sampling, mixing rest, mining,
+# winnow, corpusops).
 _MODULES = (
     # (a) the never-driver-graded late-r6 block
     "dic_a1_spark.operators.dsir",
