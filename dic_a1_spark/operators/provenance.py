@@ -46,21 +46,46 @@ PROV_MAX_SOURCES = 5
 
 
 def _source_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(source, shingle) DISTINCT."""
+    """(source, shingle) DISTINCT — PERSISTED: the frame is
+    vocabulary×sources bounded and feeds the source-frequency census,
+    both self-join sides, and the set sizes; without the persist each
+    consumer re-tokenizes the corpus from the scan (measured 8-10 scans
+    before, 1 after — the bm25 base-projection lesson)."""
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "source", tokens_nonempty(F.col("text")).alias("toks")
     ).where(F.size("toks") >= PROV_SHINGLE_W)
-    return toks.select(
-        "source",
-        F.explode(
-            F.expr(
-                f"array_distinct(transform("
-                f"sequence(1, size(toks) - {PROV_SHINGLE_W - 1}),"
-                f" i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"
-            )
-        ).alias("shingle"),
-    ).distinct()
+    return (
+        toks.select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform("
+                    f"sequence(1, size(toks) - {PROV_SHINGLE_W - 1}),"
+                    f" i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _kept(ss: DataFrame) -> DataFrame:
+    """Ceiling-filtered (source, shingle), persisted — read by the set
+    sizes and BOTH self-join sides."""
+    from pyspark import StorageLevel
+
+    sf_tbl = ss.groupBy("shingle").agg(
+        F.count("*").cast("bigint").alias("nsrc")
+    )
+    return (
+        ss.join(sf_tbl.where(F.col("nsrc") <= PROV_MAX_SOURCES), "shingle")
+        .select("source", "shingle")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
 
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,12 +94,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceiling. Jaccard uses the CEILING-FILTERED sets on both sides, so
     the ratio is internally consistent (stated, not hidden)."""
     ss = _source_shingles(spark, sf_dir)
-    sf_tbl = ss.groupBy("shingle").agg(
-        F.count("*").cast("bigint").alias("nsrc")
-    )
-    kept = ss.join(
-        sf_tbl.where(F.col("nsrc") <= PROV_MAX_SOURCES), "shingle"
-    ).select("source", "shingle")
+    kept = _kept(ss)
     sizes = kept.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_set")
     )
