@@ -103,6 +103,12 @@ HEADLINE = [
     # the 16-iteration simhash label prop — sweep-covered, too heavy for
     # the headline wall-clock set
     # round 5: product quantization (ADC shortlist + exact re-rank)
+    # r6->r7 note: knn_cosine_pq printed 6.62 s (r6) then 10.26 s in an
+    # r7 mid-session run, and dedup_simhash_groups 6.34 -> 9.60 s — both
+    # with byte-identical code. Isolated repeats on an idle machine
+    # (r7 session) measure 7.00 s / 6.55 s warm: the delta was OS
+    # page-cache state plus concurrent verify jobs, the same
+    # measurement-noise class as the text_tfidf/doc_chunk notes above.
     "embedding_pq_codes",
     "embedding_pq_codes_fast",
     "knn_cosine_pq",
