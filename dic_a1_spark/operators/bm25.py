@@ -35,9 +35,11 @@ Scale shape at 100 TB:
      explicit broadcast (query-sized BY CONSTRUCTION, never
      corpus-proportional — the docsim norms lesson does not apply).
   4. Top-K is TakeOrdered (per-partition heads, K-row merge on the
-     driver); the batch variant bounds its window by query_id with
-     |Q_batch| partitions — at real fan-out you shard queries, not
-     documents.
+     driver). The batch variant pays ONE corpus fold for the whole
+     batch: contrib rows are tagged with their query_ids via a
+     broadcast-literal term->queries map and folded once on
+     (query_id, doc_id) — batch fan-out scales the map literal and the
+     group count, never the number of corpus shuffles.
 
 Reference scope: the reference engine (mrjob WordCount/ChiSquared,
 src/wordCountJob.py, src/chiSquaredJob.py) has no retrieval surface;
@@ -157,9 +159,12 @@ def _pipeline(
     return stats, tstats, contrib
 
 
-def _fold_scores(contrib: DataFrame) -> DataFrame:
-    """(doc_id, dl, n_hit_terms, score): the pinned sorted-fold sum."""
-    return contrib.groupBy("doc_id", "dl").agg(
+def _fold_scores(contrib: DataFrame, *extra_keys: str) -> DataFrame:
+    """(*extra_keys, doc_id, dl, n_hit_terms, score): the pinned
+    sorted-fold sum. The sort-before-fold pins the double-addition
+    order so Spark's aggregate and DuckDB's list_reduce are bit-equal
+    regardless of how the group's rows arrive."""
+    return contrib.groupBy(*extra_keys, "doc_id", "dl").agg(
         F.count("*").cast("bigint").alias("n_hit_terms"),
         F.aggregate(
             F.array_sort(F.collect_list("c")),
@@ -179,21 +184,41 @@ def _scored_batch(
     docs: DataFrame, batch: tuple[tuple[str, tuple[str, ...]], ...]
 ) -> DataFrame:
     """(query_id, doc_id, dl, score): every query scored from ONE
-    shared pipeline over the union of the batch's terms — df/idf/avgdl
-    are query-independent, so per-query scoring is a literal-IN filter
-    plus the fold."""
+    shared pipeline over the union of the batch's terms AND one tagged
+    fold — df/idf/avgdl are query-independent, and each contrib row is
+    exploded by the (broadcast-literal) term -> query_ids map, so the
+    whole batch costs a single groupBy(query_id, doc_id) exchange
+    instead of one corpus fold per query (the r7 B-fold shape: 13
+    exchanges for the 3-query batch, vs a constant ~3 here; at a real
+    thousand-query fan-out the old shape is B corpus shuffles).
+
+    Bit-parity note: the per-(query, doc) contribution SET is identical
+    to the per-query filter's (a term's contribution does not depend on
+    which query asked for it), and the fold still sorts before summing,
+    so scores stay bit-equal to the per-query oracle CTEs."""
     union_terms = tuple(sorted({t for _, ts in batch for t in ts}))
     _, _, contrib = _pipeline(docs, union_terms)
-    per_query = []
+    qids_by_term: dict[str, list[str]] = {}
     for qid, terms in batch:
-        s = _fold_scores(
-            contrib.where(F.col("term").isin(*terms))
-        ).select(F.lit(qid).alias("query_id"), "doc_id", "dl", "score")
-        per_query.append(s)
-    allq = per_query[0]
-    for s in per_query[1:]:
-        allq = allq.unionByName(s)
-    return allq
+        for t in set(terms):
+            qids_by_term.setdefault(t, []).append(qid)
+    map_lit = ", ".join(
+        "'{}', array({})".format(
+            t, ", ".join("'" + q + "'" for q in sorted(qids))
+        )
+        for t, qids in sorted(qids_by_term.items())
+    )
+    tagged = contrib.select(
+        F.explode(
+            F.element_at(F.expr(f"map({map_lit})"), F.col("term"))
+        ).alias("query_id"),
+        "doc_id",
+        "dl",
+        "c",
+    )
+    return _fold_scores(tagged, "query_id").select(
+        "query_id", "doc_id", "dl", "score"
+    )
 
 
 def bm25_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

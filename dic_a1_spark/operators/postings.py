@@ -13,11 +13,14 @@ Scale shape at 100 TB:
   1. One corpus-sized explode of the per-doc DISTINCT token array
      (array_distinct BEFORE explode shrinks the shuffle — the chisq.py
      doc-frequency trick), one partial-agg shuffle keyed by term.
-  2. The posting collect is bounded: slice(sorted_ids, 1, K) caps the
-     per-term payload, so a viral term costs K entries, not df(term).
-     (The collect itself sees df rows per term before the slice — at
-     true web scale the cap moves INTO the aggregation via a bounded
-     top-K aggregator; documented, not needed at this corpus' fan-in.)
+  2. The cap is applied BEFORE the collect: one term-keyed window
+     computes row_number (doc_id asc) and the exact per-term count in
+     the same exchange, rows past INDEX_MAX_POSTINGS are dropped, and
+     only then does collect_list run — the aggregation buffer holds at
+     most K entries per term, never df(term). A viral term still
+     streams its df rows through one window task (spillable sorter,
+     constant-memory rank/count), but no df-sized array is ever
+     materialized (the r7 collect-then-slice shape is gone).
   3. The census is a second dimension-keyed agg over the same frame.
 
 Reference scope: the reference's (word, category) document-frequency
@@ -55,14 +58,27 @@ def _term_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(term, df, n_shipped, truncated, postings): the exported index —
-    postings = first INDEX_MAX_POSTINGS doc_ids ascending, space-joined."""
+    postings = first INDEX_MAX_POSTINGS doc_ids ascending, space-joined.
+
+    The cap lives INSIDE the aggregation path: rank + exact df come
+    from one term-keyed window (one exchange), rows past the cap are
+    filtered before collect_list, and the follow-up groupBy reuses the
+    window's hash partitioning (no second exchange). df stays exact —
+    it is counted over the full partition before the filter — so the
+    `truncated` flag is unchanged from the r7 form."""
+    from pyspark.sql import Window
+
     td = _term_docs(spark, sf_dir)
-    agg = td.groupBy("term").agg(
-        F.count("*").cast("bigint").alias("df"),
-        F.expr(
-            f"slice(array_sort(collect_list(doc_id)), 1,"
-            f" {INDEX_MAX_POSTINGS})"
-        ).alias("head"),
+    w = Window.partitionBy("term")
+    capped = td.select(
+        "term",
+        "doc_id",
+        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
+        F.count("*").over(w).cast("bigint").alias("df_full"),
+    ).where(F.col("rn") <= INDEX_MAX_POSTINGS)
+    agg = capped.groupBy("term").agg(
+        F.max("df_full").cast("bigint").alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("head"),
     )
     return agg.select(
         "term",
