@@ -42,9 +42,17 @@ ATTR_WINDOW_S = 3600
 DIRECT = "direct"
 
 # Sortable encoding widths: epoch micros < 10^16 for this millennium,
-# event_id < 10^12 at any SF this repo sees.
+# event_id < 10^12 at any SF this repo sees. The widths are ENFORCED,
+# not assumed: lpad silently truncates a wider value (corrupting the
+# running-max order identically in both engines, so parity would stay
+# green while the answer is wrong — the ADVICE finding), so the enc
+# expression asserts both fields fit and fails the job loudly instead.
 _TS_W = 20
 _ID_W = 12
+# Type field starts right after "<ts>|<id>|" — a FIXED offset, so the
+# decode never counts pipes (an event_type containing '|' decodes
+# intact, and the oracle uses the same substring, not split_part).
+_TYPE_POS = _TS_W + _ID_W + 3
 
 # Epoch-micros of a TIMESTAMP_NTZ: unix_micros() rejects NTZ, so use
 # timestampdiff from the NTZ epoch — DuckDB's epoch_us(naive) twin.
@@ -58,8 +66,20 @@ def _attributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per purchase: (purchase_id, user_id, purchase_ts,
     value, attributed_type, attributed_event_id, gap_s)."""
     e = load_table(spark, sf_dir, "events")
+    # Loud width guard: assert_true throws on the first out-of-range
+    # row (evaluated via the when-condition trick so it stays in the
+    # projection without changing any value).
+    width_ok = F.assert_true(
+        (F.col("event_id") >= 0)
+        & (F.col("event_id") < F.lit(10**_ID_W).cast("bigint"))
+        & (F.expr(_EPOCH_US_SQL) >= 0),
+        F.lit(
+            f"attribution enc overflow: event_id must be in"
+            f" [0, 10^{_ID_W}) and ts must be >= epoch"
+        ),
+    )
     enc = F.when(
-        F.col("event_type") != "purchase",
+        (F.col("event_type") != "purchase") & width_ok.isNull(),
         F.concat(
             F.lpad(F.expr(_EPOCH_US_SQL).cast("string"), _TS_W, "0"),
             F.lit("|"),
@@ -92,7 +112,7 @@ def _attributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.when(
             in_window,
-            F.substring_index("last_enc", "|", -1),
+            F.expr(f"substring(last_enc, {_TYPE_POS})"),
         )
         .otherwise(F.lit(DIRECT))
         .alias("attributed_type"),
@@ -176,7 +196,7 @@ _ATTR_CTE = f"""
                               - CAST(substring(last_enc, 1, {_TS_W})
                                      AS BIGINT)) // 1000000
                              <= {ATTR_WINDOW_S}
-                    THEN split_part(last_enc, '|', 3)
+                    THEN substring(last_enc, {_TYPE_POS})
                     ELSE '{DIRECT}' END AS attributed_type,
                CASE WHEN last_enc IS NOT NULL
                          AND (epoch_us(ts)

@@ -297,7 +297,9 @@ ORACLES: dict[str, str] = {
                    generate_subscripts(
                        string_split(substr(seq, 2, length(seq) - 2), '><'),
                        1) AS i
-            FROM seqs_0 WHERE length(seq) >= 6
+            FROM seqs_0
+            WHERE len(string_split(substr(seq, 2, length(seq) - 2),
+                                   '><')) >= 2
         )
         WHERE i < len(a)
         GROUP BY a[i], a[i + 1]

@@ -64,7 +64,13 @@ def _doc_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def diversity_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, n_docs, total_1, distinct_1, ratio_1, ..., ratio_3):
-    distinct-n over unigrams/bigrams/trigrams per source."""
+    distinct-n over unigrams/bigrams/trigrams per source.
+
+    Degenerate sources stay VISIBLE (the ADVICE finding): the per-n
+    aggregates are LEFT-joined onto the docs census, so a source whose
+    every document is shorter than n tokens reports total_n =
+    distinct_n = 0 with a null ratio_n instead of vanishing from the
+    panel — exactly the sources a health panel exists to flag."""
     toks = _doc_toks(spark, sf_dir)
     per_n = []
     for n in (1, 2, 3):
@@ -83,15 +89,23 @@ def diversity_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = docs
     for f in per_n:
-        out = out.join(f, "source")
+        out = out.join(f, "source", "left")
     for n in (1, 2, 3):
         out = out.withColumn(
+            f"total_{n}", F.coalesce(F.col(f"total_{n}"), F.lit(0).cast("bigint"))
+        ).withColumn(
+            f"distinct_{n}",
+            F.coalesce(F.col(f"distinct_{n}"), F.lit(0).cast("bigint")),
+        ).withColumn(
             f"ratio_{n}",
-            F.round(
-                F.col(f"distinct_{n}").cast("double")
-                / F.col(f"total_{n}").cast("double"),
-                6,
-            ),
+            F.when(
+                F.col(f"total_{n}") > 0,
+                F.round(
+                    F.col(f"distinct_{n}").cast("double")
+                    / F.col(f"total_{n}").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(None).cast("double")),
         )
     return out
 
@@ -198,17 +212,27 @@ ORACLES: dict[str, str] = {
         ),
         {",".join(_ngram_block(n) for n in (1, 2, 3))}
         SELECT d.source, d.n_docs,
-               a1.total_1, a1.distinct_1,
-               a2.total_2, a2.distinct_2,
-               a3.total_3, a3.distinct_3,
-               round(CAST(a1.distinct_1 AS DOUBLE)
-                     / CAST(a1.total_1 AS DOUBLE), 6) AS ratio_1,
-               round(CAST(a2.distinct_2 AS DOUBLE)
-                     / CAST(a2.total_2 AS DOUBLE), 6) AS ratio_2,
-               round(CAST(a3.distinct_3 AS DOUBLE)
-                     / CAST(a3.total_3 AS DOUBLE), 6) AS ratio_3
+               COALESCE(a1.total_1, 0) AS total_1,
+               COALESCE(a1.distinct_1, 0) AS distinct_1,
+               COALESCE(a2.total_2, 0) AS total_2,
+               COALESCE(a2.distinct_2, 0) AS distinct_2,
+               COALESCE(a3.total_3, 0) AS total_3,
+               COALESCE(a3.distinct_3, 0) AS distinct_3,
+               CASE WHEN COALESCE(a1.total_1, 0) > 0
+                    THEN round(CAST(a1.distinct_1 AS DOUBLE)
+                               / CAST(a1.total_1 AS DOUBLE), 6)
+                    END AS ratio_1,
+               CASE WHEN COALESCE(a2.total_2, 0) > 0
+                    THEN round(CAST(a2.distinct_2 AS DOUBLE)
+                               / CAST(a2.total_2 AS DOUBLE), 6)
+                    END AS ratio_2,
+               CASE WHEN COALESCE(a3.total_3, 0) > 0
+                    THEN round(CAST(a3.distinct_3 AS DOUBLE)
+                               / CAST(a3.total_3 AS DOUBLE), 6)
+                    END AS ratio_3
         FROM docs d
-        JOIN a1 USING (source) JOIN a2 USING (source) JOIN a3 USING (source)
+        LEFT JOIN a1 USING (source) LEFT JOIN a2 USING (source)
+        LEFT JOIN a3 USING (source)
     """,
     "diversity_simpson": f"""
         WITH census AS (

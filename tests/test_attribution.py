@@ -70,6 +70,84 @@ def test_attribution_matches_python_reference(spark):
     )
 
 
+@pytest.fixture(scope="module")
+def pipey_dir(tmp_path_factory):
+    """A synthetic sf-dir whose events stream has pipe-containing
+    event types and max-width (but in-range) ids — the decode must not
+    count pipes (ADVICE: substring_index vs split_part divergence)."""
+    import datetime as dt
+    import shutil
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dic_a1_spark.config import TABLES
+
+    out = tmp_path_factory.mktemp("pipey_sf")
+    for t in TABLES:
+        if t == "events":
+            continue
+        shutil.copy(Path(SF_CORRECT) / f"{t}.parquet", out / f"{t}.parquet")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: pipey click then purchase inside the window
+        (1, t0, 1, "click|ad|banner", 10.0),
+        (10**12 - 1, t0 + dt.timedelta(seconds=30), 1, "view|x", 5.0),
+        (3, t0 + dt.timedelta(seconds=60), 1, "purchase", 99.0),
+        # user 2: preceding event OUTSIDE the window -> direct
+        (4, t0, 2, "click|y", 1.0),
+        (5, t0 + dt.timedelta(seconds=at.ATTR_WINDOW_S + 1), 2, "purchase", 7.0),
+        # user 3: purchase with no preceding event -> direct
+        (6, t0, 3, "purchase", 3.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, out / "events.parquet")
+    return str(out)
+
+
+@pytest.mark.parametrize("name", sorted(at.ORACLES))
+def test_pipe_safe_decode_matches_oracle(spark, pipey_dir, name):
+    compare(spark, at.ORACLES[name], at.QUERIES[name], pipey_dir, name)
+
+
+def test_pipe_containing_type_decodes_intact(spark, pipey_dir):
+    got = {
+        r["purchase_id"]: r["attributed_type"]
+        for r in at.events_attribution(spark, pipey_dir).collect()
+    }
+    assert got == {3: "view|x", 5: at.DIRECT, 6: at.DIRECT}
+
+
+def test_width_overflow_fails_loudly(spark, pipey_dir, tmp_path):
+    """An event_id past the lpad width must raise, not silently corrupt
+    the running-max ordering (ADVICE: unenforced width assumption)."""
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    bad = tmp_path / "overflow_sf"
+    shutil.copytree(pipey_dir, bad)
+    tbl = pq.read_table(Path(pipey_dir) / "events.parquet")
+    tbl = tbl.set_column(
+        0, "event_id", pc.add(tbl["event_id"], 10**at._ID_W)
+    )
+    pq.write_table(tbl, bad / "events.parquet")
+    with pytest.raises(Exception, match="(?i)assert|overflow"):
+        at.events_attribution(spark, str(bad)).collect()
+
+
 def test_rollup_consistent_with_attribution(spark):
     rows = at.events_attribution(spark, SF_CORRECT).collect()
     roll = {

@@ -97,3 +97,72 @@ def test_cross_doc_bigrams_match_python_reference(spark):
     assert any(
         r["repeated_bigrams"] < r["distinct_bigrams"] for r in got.values()
     )
+
+
+@pytest.fixture(scope="module")
+def degenerate_dir(tmp_path_factory):
+    """A corpus where source 'tiny' has only sub-trigram docs and
+    source 'void' only empty/whitespace docs — the panel must keep
+    BOTH visible with zero counts and null ratios (ADVICE: the inner
+    join silently dropped exactly the degenerate sources)."""
+    import shutil
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dic_a1_spark.config import TABLES
+
+    out = tmp_path_factory.mktemp("degen_sf")
+    for t in TABLES:
+        if t == "documents":
+            continue
+        shutil.copy(Path(SF_CORRECT) / f"{t}.parquet", out / f"{t}.parquet")
+    rows = [
+        (0, "the fast join merges the fast scan rows", "en", "ok"),
+        (1, "dup dup window vector hash key", "en", "ok"),
+        (2, "one two", "en", "tiny"),
+        (3, "solo", "en", "tiny"),
+        (4, "pair here", "en", "tiny"),
+        (5, "", "en", "void"),
+        (6, "   ", "en", "void"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, out / "documents.parquet")
+    return str(out)
+
+
+def test_degenerate_sources_stay_visible(spark, degenerate_dir):
+    got = {
+        r["source"]: r
+        for r in dv.diversity_distinct_ngrams(spark, degenerate_dir).collect()
+    }
+    assert set(got) == {"ok", "tiny", "void"}
+    tiny = got["tiny"]
+    assert tiny["n_docs"] == 3
+    assert tiny["total_3"] == 0 and tiny["distinct_3"] == 0
+    assert tiny["ratio_3"] is None
+    assert tiny["total_1"] == 5 and tiny["ratio_1"] is not None
+    void = got["void"]
+    assert void["n_docs"] == 2
+    for n in (1, 2, 3):
+        assert void[f"total_{n}"] == 0 and void[f"distinct_{n}"] == 0
+        assert void[f"ratio_{n}"] is None
+
+
+def test_degenerate_corpus_matches_oracle(spark, degenerate_dir):
+    compare(
+        spark,
+        dv.ORACLES["diversity_distinct_ngrams"],
+        dv.QUERIES["diversity_distinct_ngrams"],
+        degenerate_dir,
+        "diversity_distinct_ngrams",
+    )
