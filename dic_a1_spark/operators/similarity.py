@@ -385,6 +385,118 @@ def embedding_neardup_blocked(
     )
 
 
+def _round4_ge_boundary(threshold: float) -> float:
+    """Smallest double T with  round(s, 4) >= threshold  <=>  s >= T.
+
+    Spark's round() and DuckDB's round() both apply HALF_UP to the EXACT
+    binary value of the double (java BigDecimal / C llround semantics
+    verified across the repo's hash-green families), so for a threshold
+    that is an exact multiple of 1e-4 the predicate is equivalent to
+    exact(s) >= threshold - 0.00005 as REALS. This returns the smallest
+    double at or above that real, letting batch numpy code decide the
+    predicate bit-identically to the engines without calling np.round
+    (banker's rounding — the documented cross-engine hazard)."""
+    from fractions import Fraction
+
+    units = int(round(threshold * 10**4))
+    bound = Fraction(units * 10 - 5, 10**5)
+    d = np.float64(bound)
+    if Fraction(float(d)) >= bound:
+        return float(d)
+    return float(np.nextafter(d, np.inf))
+
+
+def _neardup_fast_asg(
+    e: DataFrame, *, ivf_k: int, nprobe: int
+) -> DataFrame:
+    """(centroid_id, vec_id, embedding): batch IVF multi-assignment,
+    BIT-EQUAL to _ivf_multi_assign's (round(sim,4) DESC, centroid_id
+    ASC) top-nprobe — the certified ivf_assignments_fast parity device
+    at multi-probe:
+
+      * raw sims reproduce the exact fold's IEEE sequence (dimension-by-
+        dimension accumulation, a / (sqrt(aa) * sqrt(bb)) association —
+        deliberately NOT a BLAS matmul, whose pairwise summation rounds
+        differently);
+      * the batch emits every centroid within 1e-3 of the row's
+        nprobe-th-best raw sim (anything lower can never reach the
+        rounded cut: round(s) <= s + 5e-5 < kth - 1e-3 + 5e-5
+        < kth - 5e-5 <= round(kth)), plus every non-finite sim (both
+        engines order NaN above all values);
+      * ROUNDING AND RANKING ARE DELEGATED TO SPARK: the same
+        F.round(.,4) + row_number window as the exact path picks the
+        winners from bit-identical inputs.
+
+    ~nprobe+epsilon candidate rows per vector through one window — data
+    shipped per VECTOR (the embedding rides along so block scoring
+    needs no corpus re-join), never per (vector, centroid)."""
+    import pyspark.sql.types as T
+
+    spark = e.sparkSession
+    cent_rows = (
+        e.where(F.col("vec_id") < ivf_k).select("vec_id", "embedding").collect()
+    )
+    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+    order = np.argsort(cent_ids)
+    cent_ids, C = cent_ids[order], C[order]
+    cn = np.zeros(len(C), dtype=np.float64)
+    for i in range(C.shape[1]):  # sequential fold, the _norm order
+        cn += C[:, i] * C[:, i]
+    cn = np.sqrt(cn)
+    bc = spark.sparkContext.broadcast((cent_ids, C, cn))
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("raw_sim", T.DoubleType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    probe = nprobe
+
+    def assign_batches(batches):
+        ids_c, c_mat, c_nrm = bc.value
+        k = len(ids_c)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            vacc = np.zeros(n, dtype=np.float64)
+            acc = np.zeros((n, k), dtype=np.float64)
+            for i in range(V.shape[1]):
+                vacc += V[:, i] * V[:, i]
+                acc += V[:, i][:, None] * c_mat[:, i][None, :]
+            sims = acc / (np.sqrt(vacc)[:, None] * c_nrm[None, :])
+            if k > probe:
+                kth = -np.partition(-sims, probe - 1, axis=1)[:, probe - 1]
+                keep = sims >= (kth - 1e-3)[:, None]
+                keep[~np.isfinite(kth), :] = True
+            else:
+                keep = np.ones((n, k), dtype=bool)
+            keep |= ~np.isfinite(sims)  # engines rank NaN first; ship it
+            rows, cols = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[rows],
+                    "centroid_id": ids_c[cols],
+                    "raw_sim": sims[rows, cols],
+                    "embedding": [pdf["embedding"].iat[i] for i in rows],
+                }
+            )
+
+    cand = e.select("vec_id", "embedding").mapInPandas(assign_batches, cand_schema)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    return (
+        cand.withColumn("sim", F.round("raw_sim", 4))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= nprobe)
+        .select("centroid_id", "vec_id", "embedding")
+    )
+
+
 def embedding_neardup_blocked_fast(
     spark: SparkSession,
     sf_dir: str,
@@ -394,77 +506,38 @@ def embedding_neardup_blocked_fast(
     threshold: float = NEARDUP_SIM,
 ) -> DataFrame:
     """Large-codebook IVF-blocked near-dup pairs — the 100 TB execution
-    shape for semantic dedup.
+    shape for semantic dedup, ORACLE-GATED since round 8.
 
     The registered embedding_neardup_blocked scores assignment and
     verification one pair per row (bit-exact with its DuckDB oracle, the
     right thing at its fixed IVF_K=8). With a scale-sized codebook that
     shape ships BOTH vectors for every (vector, centroid) and every
     candidate pair through Arrow — measured 516 s at 100K vectors /
-    K=1500, ~77 GB of transfer for assignment alone. This variant moves
-    the two dense-math stages to batch linear algebra:
+    K=1500, ~77 GB of transfer for assignment alone. This variant keeps
+    the batch architecture (data shipped per vector / per block member)
+    while staying BIT-EQUAL to the SQL oracle:
 
-      1. assignment: mapInPandas with the normalized centroid matrix on
-         the driver-broadcast closure; each Arrow batch does ONE
-         (B x dim) @ (dim x K) matmul and a stable top-nprobe argsort —
-         data shipped per vector, not per (vector, centroid);
-      2. block scoring: mapInPandas over centroid-partitioned rows with
-         an in-Python groupby (per-block applyInPandas paid ~8 ms of
-         Arrow overhead per data-sized block); one (B x dim) @ (dim x B)
-         matmul per block emits the i<j pairs >= threshold — data
-         shipped per block MEMBER, not per candidate pair.
+      1. assignment: _neardup_fast_asg — batch dimension-fold sims,
+         margin emission, Spark-side round+window cut (the certified
+         ivf_assignments_fast device, here at multi-probe);
+      2. block scoring: mapInPandas over centroid-partitioned rows; per
+         block ONE dimension-by-dimension accumulation produces every
+         pairwise dot/norm with the exact fold's IEEE sequence (same
+         flop count as the earlier BLAS matmul, ~2-3x slower on memory
+         traffic — the price of the driver hash gate on this entry);
+         pairs within 1e-3 of the threshold (and NaN sims — engines
+         order NaN high) are emitted RAW, and Spark's F.round(.,4) >=
+         threshold makes the decision;
+      3. a pair sharing several blocks yields bit-identical raw sims in
+         each, so the surviving duplicates collapse with one distinct.
 
-    BLAS accumulation differs from the sequential fold in the last ULPs,
-    so sims are rounded to 4dp and the cross-block duplicate emissions
-    dedup with a distinct over SURVIVING pairs only. Rows-only gating;
-    pair-set equality vs the exact path is pinned in pytest."""
+    The oracle restates the pipeline with the codebook size computed
+    from count(*) (the same max/min/floor-div arithmetic as
+    embedding_neardup_blocked_fast_query)."""
     import pyspark.sql.types as T
 
     e = load_table(spark, sf_dir, "embeddings")
-    cent_rows = (
-        e.where(F.col("vec_id") < ivf_k)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
-    C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    order = np.argsort(cent_ids)  # stable tie-break: lowest centroid id wins
-    cent_ids, Cn = cent_ids[order], Cn[order]
-    bc = spark.sparkContext.broadcast((cent_ids, Cn))
-
-    assign_schema = T.StructType(
-        [
-            T.StructField("centroid_id", T.LongType()),
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("embedding", T.ArrayType(T.FloatType())),
-        ]
-    )
-
-    def assign_batches(batches):
-        ids_c, cn = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-            sims = Vn @ cn.T  # (B, K)
-            # top-nprobe, ties to the lowest centroid id: argsort on -sim is
-            # stable, and centroids are already in ascending-id order
-            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
-            n = len(pdf)
-            out = pd.DataFrame(
-                {
-                    "centroid_id": ids_c[top].reshape(-1),
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
-                    "embedding": [
-                        pdf["embedding"].iat[i] for i in np.repeat(np.arange(n), nprobe)
-                    ],
-                }
-            )
-            yield out
-
-    asg = e.select("vec_id", "embedding").mapInPandas(assign_batches, assign_schema)
+    asg = _neardup_fast_asg(e, ivf_k=ivf_k, nprobe=nprobe)
     # one shuffle on the block key; numbered repartition so AQE cannot
     # narrow the scoring stage (cost is per-pair, invisible to byte stats)
     asg = asg.repartition(max(64, ivf_k // 8), "centroid_id")
@@ -473,15 +546,16 @@ def embedding_neardup_blocked_fast(
         [
             T.StructField("id1", T.LongType()),
             T.StructField("id2", T.LongType()),
-            T.StructField("sim", T.DoubleType()),
+            T.StructField("raw_sim", T.DoubleType()),
         ]
     )
+    margin = threshold - 1e-3
 
     def score_partition(batches):
         # Per-PARTITION pandas groupby instead of per-block applyInPandas:
         # with a data-sized codebook (~1500 blocks) the ~8 ms per-group
         # Arrow/pandas overhead dominated the stage while each block's
-        # matmul is microseconds.
+        # math is microseconds.
         pdfs = [p for p in batches if len(p)]
         if not pdfs:
             return
@@ -492,17 +566,25 @@ def embedding_neardup_blocked_fast(
             g = g.sort_values("vec_id")
             ids = g["vec_id"].to_numpy()
             V = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-            S = np.round(Vn @ Vn.T, 4)
-            i, j = np.triu_indices(len(ids), k=1)
-            keep = S[i, j] >= threshold
+            m = len(ids)
+            vacc = np.zeros(m, dtype=np.float64)
+            acc = np.zeros((m, m), dtype=np.float64)
+            for d in range(V.shape[1]):  # the exact fold's dim order
+                col = V[:, d]
+                vacc += col * col
+                acc += col[:, None] * col[None, :]
+            nr = np.sqrt(vacc)
+            S = acc / (nr[:, None] * nr[None, :])
+            i, j = np.triu_indices(m, k=1)
+            sij = S[i, j]
+            keep = (sij >= margin) | np.isnan(sij)
             if keep.any():
                 out.append(
                     pd.DataFrame(
                         {
                             "id1": ids[i[keep]],
                             "id2": ids[j[keep]],
-                            "sim": S[i[keep], j[keep]],
+                            "raw_sim": sij[keep],
                         }
                     )
                 )
@@ -511,7 +593,9 @@ def embedding_neardup_blocked_fast(
 
     return (
         asg.mapInPandas(score_partition, pair_schema)
-        .distinct()  # a pair surfaces once per SHARED block; sims match (4dp)
+        .select("id1", "id2", F.round("raw_sim", 4).alias("sim"))
+        .where(F.col("sim") >= threshold)
+        .distinct()  # a pair surfaces once per SHARED block; sims bit-equal
     )
 
 
@@ -606,13 +690,14 @@ def ivf_assignments_fast(
 
 
 def embedding_neardup_blocked_fast_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered form of the batch-matmul blocked near-dup: the codebook
-    is SIZED FROM THE DATA exactly as tools/scale_bench.py sizes it
+    """Registered form of the batch blocked near-dup: the codebook is
+    SIZED FROM THE DATA exactly as tools/scale_bench.py sizes it
     (target ~200 resident vectors per block after multi-probe, floor
     IVF_K, driver-side codebook capped at 1500 rows — the documented
-    collect bound). Rows-only gating: the blocking decisions depend on
-    the data-sized K, so no fixed SQL oracle; pair-set equality vs the
-    exact per-pair path at matched K is pinned in pytest."""
+    collect bound). HASH-GATED since round 8: the oracle restates the
+    same greatest/least/floor-div codebook arithmetic from count(*),
+    and the pipeline's decisions are bit-pinned (see
+    embedding_neardup_blocked_fast)."""
     e = load_table(spark, sf_dir, "embeddings")
     n = e.count()
     k = max(IVF_K, min(n, n * NEARDUP_NPROBE // 200, 1500))
@@ -628,61 +713,33 @@ def _neardup_block_component_edges(
     threshold: float = NEARDUP_SIM,
 ) -> DataFrame:
     """(doc_id, bucket) edges for group assignment: per centroid block,
-    run the similarity matmul ONCE and union-find the >= threshold
+    compute the pairwise sims ONCE and union-find the >= threshold
     adjacency LOCALLY, emitting one row per member of a >=2-vector local
     component (bucket = injective struct(block, local min id)).
+
+    ORACLE-ALIGNED since round 8: the assignment is the bit-pinned
+    _neardup_fast_asg (Spark-side round+window cut), and the local
+    adjacency decides round(sim,4) >= threshold via the EXACT decimal
+    boundary (s >= _round4_ge_boundary(threshold), with NaN adjacent —
+    both engines order NaN high) on dimension-fold sims — never
+    np.round, whose banker's rounding is the documented cross-engine
+    hazard. Block-local components therefore cover exactly the oracle's
+    verified pair edges, and cross-block connectivity flows through
+    multi-probe members during label propagation.
 
     Why not pair edges: on dup-heavy corpora the verified pair count is
     quadratic in cluster size (50 copies -> 1,225 pairs each; 4.56M pairs
     at the 100K amplified corpus, 113 s end-to-end for groups). The
     pair-graph's connected components are PRESERVED: every candidate pair
     lives inside some shared block, so block-local components cover
-    exactly the verified pair edges, and cross-block connectivity flows
-    through vectors that sit in multiple blocks (multi-probe) during
-    label propagation. Output rows <= members x nprobe — linear."""
+    exactly the verified pair edges. Output rows <= members x nprobe —
+    linear."""
     import pyspark.sql.types as T
 
     e = load_table(spark, sf_dir, "embeddings")
-    cent_rows = (
-        e.where(F.col("vec_id") < ivf_k).select("vec_id", "embedding").collect()
-    )
-    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
-    C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    order = np.argsort(cent_ids)
-    cent_ids, Cn = cent_ids[order], Cn[order]
-    bc = spark.sparkContext.broadcast((cent_ids, Cn))
-
-    assign_schema = T.StructType(
-        [
-            T.StructField("centroid_id", T.LongType()),
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("embedding", T.ArrayType(T.FloatType())),
-        ]
-    )
-
-    def assign_batches(batches):
-        ids_c, cn = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-            sims = Vn @ cn.T
-            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
-            n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    "centroid_id": ids_c[top].reshape(-1),
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
-                    "embedding": [
-                        pdf["embedding"].iat[i] for i in np.repeat(np.arange(n), nprobe)
-                    ],
-                }
-            )
-
-    asg = e.select("vec_id", "embedding").mapInPandas(assign_batches, assign_schema)
+    asg = _neardup_fast_asg(e, ivf_k=ivf_k, nprobe=nprobe)
     asg = asg.repartition(max(64, ivf_k // 8), "centroid_id")
+    sim_floor = _round4_ge_boundary(threshold)
 
     edge_schema = T.StructType(
         [
@@ -717,15 +774,19 @@ def _neardup_block_component_edges(
             g = g.sort_values("vec_id")
             ids = g["vec_id"].to_numpy()
             V = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
             m = len(ids)
-            # >= threshold adjacency incl. self-loops; local components
-            # by vectorized min-label sweeps (label[i] <- min label among
-            # neighbors) — converges within the component diameter, all
-            # numpy, no per-pair Python loop (a union-find over the
-            # dup-heavy amplified corpus walked tens of millions of
-            # pairs in Python).
-            A = np.round(Vn @ Vn.T, 4) >= threshold
+            vacc = np.zeros(m, dtype=np.float64)
+            acc = np.zeros((m, m), dtype=np.float64)
+            for d in range(V.shape[1]):  # the exact fold's dim order
+                col = V[:, d]
+                vacc += col * col
+                acc += col[:, None] * col[None, :]
+            nr = np.sqrt(vacc)
+            S = acc / (nr[:, None] * nr[None, :])
+            # adjacency == oracle's round(sim,4) >= threshold, decided
+            # at the exact boundary; local components by vectorized
+            # min-label sweeps (converges within component diameter)
+            A = (S >= sim_floor) | np.isnan(S)
             np.fill_diagonal(A, True)
             roots = np.arange(m)
             sentinel = np.iinfo(np.int64).max
@@ -779,9 +840,13 @@ def embedding_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     contracted graph yields exactly the pair-graph components: every
     bucket root IS a member doc, so the component-min root equals the
     component-min doc id, and each doc takes the min over its buckets'
-    converged labels (docs in no bucket keep their own id). Rows-only
-    gating (iterative, data-sized K; not SQL-expressible) — the
-    hash-verified groups twin is lsh.dedup_minhash_md5_groups."""
+    converged labels (docs in no bucket keep their own id). HASH-GATED
+    since round 8: assignment and adjacency decisions are bit-pinned
+    (see _neardup_block_component_edges) and the oracle unrolls
+    EMB_LP_ITERS min-label iterations over the verified pair graph (the
+    lsh.dedup_minhash_md5_groups device); Spark iterates the contracted
+    graph to convergence, the oracle past the measured convergence
+    depth, so both equal the true pair-graph components."""
     from pyspark import StorageLevel
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -901,8 +966,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_assignments_fast": ivf_assignments_fast,
     "knn_cosine_ivf": knn_cosine_ivf,
     "embedding_neardup_blocked": embedding_neardup_blocked,
-    "embedding_neardup_blocked_fast": embedding_neardup_blocked_fast_query,  # rows-only (data-sized K)
-    "embedding_neardup_groups": embedding_neardup_groups,  # rows-only (iterative)
+    "embedding_neardup_blocked_fast": embedding_neardup_blocked_fast_query,
+    "embedding_neardup_groups": embedding_neardup_groups,
     "label_centroid_sim": label_centroid_sim,
 }
 
@@ -1070,3 +1135,97 @@ NEARDUP_EXACT_ORACLE = f"""
     WHERE a.vec_id < 300 AND b.vec_id < 300
       AND round({_COS_12}, 4) >= 0.9
 """
+
+
+# --- round-8: oracles for the previously rows-only fast/groups entries ---
+# The fast pair path and the groups path are now bit-pinned against SQL
+# (assignment rounding/ranking delegated to Spark expressions, pair sims
+# decided at the exact decimal boundary), so both get full value-hash
+# gates. The codebook size is DATA-SIZED exactly as
+# embedding_neardup_blocked_fast_query computes it — the oracle restates
+# the same greatest/least/floor-div arithmetic from count(*).
+
+# Unrolled min-label iterations for the groups oracle. Convergence on
+# the driver corpora measured at 3 (sf0.001/sf0.01) and 8 (sf0.1)
+# iterations; 16 gives 2x headroom, and tests/test_similarity.py pins
+# the actual convergence depth under EMB_LP_ITERS.
+EMB_LP_ITERS = 16
+
+_FAST_PAIRS_SQL = f"""
+        WITH kk AS (
+            SELECT greatest({IVF_K}, least(count(*),
+                       count(*) * {NEARDUP_NPROBE} // 200, 1500)) AS k
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT c.vec_id AS centroid_id, c.embedding
+            FROM embeddings c, kk WHERE c.vec_id < kk.k
+        ),
+        scored AS (
+            SELECT v.vec_id, c.centroid_id, round({_COS_VC}, 4) AS sim
+            FROM embeddings v JOIN cent c ON TRUE
+        ),
+        asg AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY sim DESC, centroid_id ASC) AS rnk
+                FROM scored
+            ) WHERE rnk <= {NEARDUP_NPROBE}
+        ),
+        blocked AS (
+            SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+            FROM asg x JOIN asg y
+              ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+        )
+        SELECT p.id1, p.id2, round({_COS_12}, 4) AS sim
+        FROM blocked p
+        JOIN embeddings a ON a.vec_id = p.id1
+        JOIN embeddings b ON b.vec_id = p.id2
+        WHERE round({_COS_12}, 4) >= {NEARDUP_SIM}
+"""
+
+ORACLES["embedding_neardup_blocked_fast"] = _FAST_PAIRS_SQL
+
+
+def _neardup_groups_oracle() -> str:
+    """Unrolled fixed-iteration min-label propagation over the verified
+    fast-pair graph (the lsh.py dedup_minhash_md5_groups device):
+    label(v) <- min(label(v), min neighbor labels), EMB_LP_ITERS times.
+    Spark's block-local union-find + contracted stitching converges to
+    the pair-graph components (every candidate pair lives inside a
+    shared block), so both sides equal the true components once the
+    unroll depth covers the min-label convergence (measured <= 8 on the
+    driver corpora; 16 unrolled)."""
+    parts = [
+        f"""
+        WITH pairs AS MATERIALIZED (SELECT id1, id2 FROM ({_FAST_PAIRS_SQL})),
+        edges AS MATERIALIZED (
+            SELECT id1 AS src, id2 AS dst FROM pairs
+            UNION ALL
+            SELECT id2 AS src, id1 AS dst FROM pairs
+        ),
+        lp0 AS MATERIALIZED (SELECT vec_id, vec_id AS label FROM embeddings)"""
+    ]
+    for k in range(1, EMB_LP_ITERS + 1):
+        parts.append(
+            f""",
+        lp{k} AS MATERIALIZED (
+            SELECT d.vec_id,
+                   least(d.label, coalesce(m.minlab, d.label)) AS label
+            FROM lp{k - 1} d
+            LEFT JOIN (
+                SELECT e.src AS vec_id, min(p.label) AS minlab
+                FROM edges e JOIN lp{k - 1} p ON p.vec_id = e.dst
+                GROUP BY e.src
+            ) m ON m.vec_id = d.vec_id
+        )"""
+        )
+    parts.append(
+        f"\n        SELECT vec_id, label AS group_id FROM lp{EMB_LP_ITERS}"
+    )
+    return "".join(parts)
+
+
+ORACLES["embedding_neardup_groups"] = _neardup_groups_oracle()

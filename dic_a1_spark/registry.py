@@ -21,73 +21,67 @@ from pyspark.sql import DataFrame, SparkSession
 # module's later bare entry picks up the rest) — this gives the rotation
 # per-QUERY window control instead of per-module granularity.
 #
-# ROUND-7 ROTATION. Entering this round, every r6-window entry graded
-# green (CORRECTNESS_r06: 50/50). Still never driver-graded: the late-r6
-# tranche — dsir 3, lm 3, cdc 3, colloc 2, vocabgrowth 1,
-# redundancy_panel 1, events_hourly_anomaly 1 (all locally hash-green
-# and in the committed 202-entry sf0.1 sweep). The r7 window therefore
-# fronts, in order:
-#   (a) that never-graded block — 14 entries (cum 14);
-#   (b) re-grades of queries EDITED this round: events_hourly_anomaly is
-#       in (a) and its `hour` column is now string-formatted (ADVICE);
-#       events_session_windows' oracle islands window gained a
-#       deterministic tie-break (ADVICE) — 1 (cum 15); mixing's
-#       lang_temperature_mix + mix_epoch_plan moved to the pinned
-#       sorted-fold w_total (ADVICE) — 2 (cum 17);
-#   (c) everything NEW this round (modules added below as built);
-#   (d) oldest-green-first re-certification: chisq (r1/r2 rows are the
-#       oldest), sql_surface, tpch_extra, relational, then the r4/r5
-#       tranches; the tail rests on r1-r6 green rows, pytest, and the
-#       committed sweep.
+# ROUND-8 ROTATION. Entering this round every registry entry has a green
+# driver row (CORRECTNESS_r07: 50/50; cross-round 232/232 graded,
+# 228/228 oracle-gated hash-green). The r7 window graded the 14-entry
+# late-r6 block, 3 ADVICE re-grades, all 30 NEW r7 entries, and 3 chisq
+# re-certs. The r8 window therefore fronts, in order:
+#   (a) re-grades of every query EDITED this round — bm25_batch_topk
+#       (one tagged fold instead of B corpus folds), ragpack 2 (inherit
+#       the scorer), postings 2 (cap moved inside the aggregation),
+#       attribution 2 (fixed-offset pipe-safe decode + width guard),
+#       diversity_distinct_ngrams (degenerate sources kept via left
+#       join), bpe_pair_census (oracle predicate states the >= 2-symbol
+#       invariant directly) — 9 entries (cum 9);
+#   (b) newly oracle-gated: embedding_neardup_blocked_fast +
+#       embedding_neardup_groups (decorated-view oracles, previously
+#       rows-only) — 2 (cum 11);
+#   (c) oldest-green-first re-certification — the 45 entries whose
+#       newest driver row is r2: chisq_top75 + chisq_vocab_union
+#       (cum 13), sql_surface 6 (cum 19), tpch_extra 5 (cum 24),
+#       relational 32 (cum 56 — the last ~6 relational entries sit just
+#       past the window and lead the r9 rotation).
+#   (d) anything NEW in r8 is appended AFTER the stale block (positions
+#       51+), staged for the r9 front-rotation (the r6->r7 pattern), so
+#       new work does not evict stale re-certs from the window.
 #
-# R8 STAGING: the r7 window grades positions 1-50 — the full
-# never-graded block (14), the ADVICE re-grades (3), all 28 NEW r7
-# entries (bm25 3, bpe 4, graphrank 3, diversity 3, taxonomy 3,
-# seasonality 3, qlinear 3, ragpack 2, postings 2, attribution 2,
-# provenance 2), and the first 3 chisq rows. chisq_top75 + vocab_union
-# sit at 51-52 just outside (r1/r2 green rows + the committed sweep
-# cover them). Round 8 fronts (a) re-grades of anything edited in r8,
-# (b) everything NEW in r8, then (c) oldest-green-first:
-# chisq_top75 + chisq_vocab_union, sql_surface, tpch_extra, relational,
-# scrub/incremental/quantize/lexical/evalops (r5 rows), then the r6
-# tranche (substr, linededup, semdedup, sampling, mixing rest, mining,
-# winnow, corpusops).
+# R9 STAGING: front (a) re-grades of anything edited in r9, (b) the
+# relational tail that spilled past position 50, (c) everything NEW in
+# r8 (see (d) above), then (d) oldest-green-first: the r4/r5 tranches
+# (scrub, incremental, quantize, lexical, evalops, ml_ops, pq,
+# curation, events, textstats, sketches, ngrams, udxf, multimodal,
+# dedup, tpch_full, similarity rest, lsh), then the r6 tranche (substr,
+# linededup, semdedup, sampling, mixing, mining, winnow, corpusops).
 _MODULES = (
-    # (a) the never-driver-graded late-r6 block
-    "dic_a1_spark.operators.dsir",
-    "dic_a1_spark.operators.lm",
-    "dic_a1_spark.operators.cdc",
-    "dic_a1_spark.operators.colloc",
-    "dic_a1_spark.operators.vocabgrowth",
-    "dic_a1_spark.operators.panel",
-    # (b) edited this round (ADVICE fixes): hourly anomaly emits a
-    # string-formatted hour; session-windows oracle tie-break; mixing's
-    # pinned w_total fold
-    (
-        "dic_a1_spark.operators.events",
-        ("events_hourly_anomaly", "events_session_windows"),
-    ),
-    (
-        "dic_a1_spark.operators.mixing",
-        ("lang_temperature_mix", "mix_epoch_plan"),
-    ),
-    # (c) NEW in round 7 — inserted here as modules land
-    "dic_a1_spark.operators.bm25",
-    "dic_a1_spark.operators.bpe",
-    "dic_a1_spark.operators.graphrank",
-    "dic_a1_spark.operators.diversity",
-    "dic_a1_spark.operators.taxonomy",
-    "dic_a1_spark.operators.seasonality",
-    "dic_a1_spark.operators.qlinear",
+    # (a) edited in round 8
+    ("dic_a1_spark.operators.bm25", ("bm25_batch_topk",)),
     "dic_a1_spark.operators.ragpack",
     "dic_a1_spark.operators.postings",
     "dic_a1_spark.operators.attribution",
-    "dic_a1_spark.operators.provenance",
-    # (d) oldest-green-first
-    "dic_a1_spark.operators.chisq",
+    ("dic_a1_spark.operators.diversity", ("diversity_distinct_ngrams",)),
+    ("dic_a1_spark.operators.bpe", ("bpe_pair_census",)),
+    # (b) newly oracle-gated (rows-only -> hash-gated this round)
+    (
+        "dic_a1_spark.operators.similarity",
+        ("embedding_neardup_blocked_fast", "embedding_neardup_groups"),
+    ),
+    # (c) oldest-green-first: the r2-stale block
+    (
+        "dic_a1_spark.operators.chisq",
+        ("chisq_top75", "chisq_vocab_union"),
+    ),
     "dic_a1_spark.operators.sql_surface",
     "dic_a1_spark.operators.tpch_extra",
     "dic_a1_spark.operators.relational",
+    # (d) NEW in round 8 — appended here as built (positions 51+,
+    # staged for the r9 front-rotation)
+    # --- tail: remaining queries of fronted modules, then the r4-r6
+    # tranches (all have r4+ green rows + the committed sweep)
+    "dic_a1_spark.operators.bm25",
+    "dic_a1_spark.operators.diversity",
+    "dic_a1_spark.operators.bpe",
+    "dic_a1_spark.operators.similarity",
+    "dic_a1_spark.operators.chisq",
     "dic_a1_spark.operators.scrub",
     "dic_a1_spark.operators.incremental",
     "dic_a1_spark.operators.quantize",
@@ -104,7 +98,6 @@ _MODULES = (
     "dic_a1_spark.operators.multimodal",
     "dic_a1_spark.operators.dedup",
     "dic_a1_spark.operators.tpch_full",
-    "dic_a1_spark.operators.similarity",
     "dic_a1_spark.operators.lsh",
     "dic_a1_spark.operators.substr",
     "dic_a1_spark.operators.linededup",
@@ -114,6 +107,17 @@ _MODULES = (
     "dic_a1_spark.operators.mining",
     "dic_a1_spark.operators.winnow",
     "dic_a1_spark.operators.corpusops",
+    "dic_a1_spark.operators.dsir",
+    "dic_a1_spark.operators.lm",
+    "dic_a1_spark.operators.cdc",
+    "dic_a1_spark.operators.colloc",
+    "dic_a1_spark.operators.vocabgrowth",
+    "dic_a1_spark.operators.panel",
+    "dic_a1_spark.operators.graphrank",
+    "dic_a1_spark.operators.taxonomy",
+    "dic_a1_spark.operators.seasonality",
+    "dic_a1_spark.operators.qlinear",
+    "dic_a1_spark.operators.provenance",
 )
 
 

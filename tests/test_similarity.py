@@ -139,3 +139,37 @@ def test_neardup_blocked_fast_matches_exact_path(spark):
     assert set(fast) == set(slow)
     for p, s in fast.items():
         assert abs(s - slow[p]) <= 1e-4, (p, s, slow[p])
+
+
+@pytest.mark.parametrize(
+    "sf_dir", [SF_CORRECT, "/root/testdata/sf0.1"], ids=["sf0.01", "sf0.1"]
+)
+def test_groups_oracle_unroll_covers_convergence(spark, sf_dir, request):
+    """The groups oracle unrolls EMB_LP_ITERS min-label iterations; if
+    the pair graph ever needs more, the oracle would freeze short of the
+    true components while Spark converges — this pins the measured
+    convergence depth strictly under the unroll (with headroom)."""
+    pairs = [
+        (r["id1"], r["id2"])
+        for r in similarity.QUERIES["embedding_neardup_blocked_fast"](
+            spark, sf_dir
+        ).collect()
+    ]
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lab = {d: d for d in adj}
+    iters = 0
+    while True:
+        new = {
+            d: min([lab[d]] + [lab[x] for x in adj[d]]) for d in adj
+        }
+        if new == lab:
+            break
+        lab = new
+        iters += 1
+    assert iters <= similarity.EMB_LP_ITERS // 2, (
+        f"convergence depth {iters} eats the unroll headroom "
+        f"(EMB_LP_ITERS={similarity.EMB_LP_ITERS})"
+    )
