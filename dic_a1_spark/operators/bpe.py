@@ -141,9 +141,17 @@ def _apply_merge(seqs: DataFrame, top: DataFrame) -> DataFrame:
 
 
 def _rounds(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, n_rounds: int = BPE_ROUNDS
 ) -> tuple[DataFrame, list[DataFrame]]:
-    """(final seqs, [per-round top-pair frames]) after BPE_ROUNDS.
+    """(final seqs, [per-round top-pair frames]) after `n_rounds`.
+
+    The registered queries run BPE_ROUNDS (= the oracle's unroll depth);
+    tools/scale_bench.py drives the same loop at --bpe-rounds (default
+    32) over the amplified corpus to evidence that the unrolled-DAG
+    shape holds beyond demo scale — real tokenizers run tens of
+    thousands of rounds, and the per-round cost here is vocabulary-
+    sized (census + 1-row checkpoint + map-only replace), independent
+    of the corpus after the one census scan.
 
     Each round's 1-row top pair is EAGERLY localCheckpoint-ed (the
     dedup.py label-propagation idiom): without the truncation, round
@@ -154,12 +162,19 @@ def _rounds(
     persist, so the corpus is scanned exactly once."""
     seqs = _seqs0(spark, sf_dir)
     tops: list[DataFrame] = []
-    for r in range(1, BPE_ROUNDS + 1):
+    for r in range(1, n_rounds + 1):
         top = _top1(_census(seqs)).select(
             F.lit(r).cast("bigint").alias("round"), "x", "y", "cnt"
         ).localCheckpoint()
         tops.append(top)
         seqs = _apply_merge(seqs, top)
+        # Long runs truncate the seqs lineage too: without this, round
+        # r's census sits on r nested replace projections and the plan
+        # grows quadratically across rounds. Every 8 rounds the
+        # vocabulary-sized frame is materialized (eager, vocab rows).
+        # Never fires at the registered BPE_ROUNDS=6 depth.
+        if r % 8 == 0 and r < n_rounds:
+            seqs = seqs.localCheckpoint()
     return seqs, tops
 
 

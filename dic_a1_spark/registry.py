@@ -75,6 +75,9 @@ _MODULES = (
     "dic_a1_spark.operators.relational",
     # (d) NEW in round 8 — appended here as built (positions 51+,
     # staged for the r9 front-rotation)
+    "dic_a1_spark.operators.tokapply",
+    "dic_a1_spark.operators.embdecontam",
+    "dic_a1_spark.operators.repselect",
     # --- tail: remaining queries of fronted modules, then the r4-r6
     # tranches (all have r4+ green rows + the committed sweep)
     "dic_a1_spark.operators.bm25",
