@@ -153,6 +153,12 @@ HEADLINE = [
     "index_postings",
     "events_attribution_rollup",
     "source_overlap_matrix",
+    # round 8: corpus token budgets under the induced BPE vocabulary,
+    # embedding decontamination (bipartite blocked ANN), best-of-cluster
+    # representative selection
+    "bpe_corpus_token_counts",
+    "embdecontam_flagged",
+    "repselect_best_of_group",
 ]
 
 
