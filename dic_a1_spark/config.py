@@ -95,3 +95,21 @@ def duckdb_tokens_sql(text_col: str = "text") -> str:
 def sql_stopword_list() -> str:
     """STOPWORDS rendered as a SQL IN-list body: 'a','an',..."""
     return ", ".join("'" + w.replace("'", "''") + "'" for w in STOPWORDS)
+
+
+def duckdb_tokenset_md5_sql(text_col: str = "text") -> str:
+    """DuckDB expression for the ORDER-INSENSITIVE content identity —
+    md5 over the sorted distinct token set, space-joined — matching
+    Spark's ``dedup.tokenset_hash`` (md5(concat_ws(' ',
+    array_sort(array_distinct(tokens))))) on EVERY input including the
+    empty token set: DuckDB's ``array_to_string([], ' ')`` is NULL
+    while Spark's ``concat_ws`` is ``''``, so without the coalesce the
+    two engines fork exactly on empty/whitespace/punctuation-only
+    documents (found by tests/test_r8_oracle_fuzz.py; the driver corpus
+    never triggers it). The SINGLE source of truth for every oracle's
+    tokenset identity — it was copy-pasted six times before this
+    helper."""
+    return (
+        f"md5(coalesce(array_to_string(list_sort(list_distinct("
+        f"{duckdb_tokens_sql(text_col)})), ' '), ''))"
+    )

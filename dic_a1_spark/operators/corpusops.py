@@ -59,7 +59,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dic_a1_spark.config import duckdb_tokens_sql
+from dic_a1_spark.config import (
+    duckdb_tokens_sql,
+    duckdb_tokenset_md5_sql,
+)
 from dic_a1_spark.functions.text import tokenize, tokens_nonempty
 from dic_a1_spark.operators.curation import BENCH_DOCS, CONTAM_RATIO
 from dic_a1_spark.operators.dedup import (
@@ -71,6 +74,7 @@ from dic_a1_spark.operators.scrub import DOMAIN_RE, _decorated
 from dic_a1_spark.sources.readers import load_table
 
 _TOKS = duckdb_tokens_sql()
+_TSMD5 = duckdb_tokenset_md5_sql()
 
 # --- Bloom decontamination constants -----------------------------------
 # Bit positions come from the md5-affine universal family (lsh.py):
@@ -728,7 +732,7 @@ ORACLES["corpus_datacard"] = f"""
                CAST(len({_TOKS}) AS BIGINT) AS n,
                CAST(len(list_distinct({_TOKS})) AS BIGINT) AS nd,
                md5(text) AS text_hash,
-               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+               {_TSMD5}
                    AS ts_hash
         FROM documents
     ),

@@ -27,7 +27,10 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dic_a1_spark.config import duckdb_tokens_sql
+from dic_a1_spark.config import (
+    duckdb_tokens_sql,
+    duckdb_tokenset_md5_sql,
+)
 from dic_a1_spark.functions.text import tokenize, tokens_nonempty
 from dic_a1_spark.sources.readers import load_table
 
@@ -658,6 +661,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _TOKS = duckdb_tokens_sql()
+_TSMD5 = duckdb_tokenset_md5_sql()
 
 _SHINGLE_CTE = f"""
 toks AS (SELECT doc_id, {_TOKS} AS a FROM documents),
@@ -695,7 +699,7 @@ ORACLES: dict[str, str] = {
           ON d.doc_id = k.doc_id
     """,
     "dedup_tokenset_groups": f"""
-        SELECT md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+        SELECT {_TSMD5}
                    AS tokenset_hash,
                min(doc_id) AS keep_doc_id, count(*) AS n_docs
         FROM documents GROUP BY 1

@@ -18,8 +18,9 @@ reusing its certified machinery end to end:
      Spark — the certified parity device);
   2. per block, ONE bipartite dimension-by-dimension accumulation
      scores train x bench members with the exact fold's IEEE sequence,
-     emitting raw sims within 1e-3 of the threshold (plus NaN — both
-     engines order NaN high);
+     emitting raw sims within 1e-3 of the threshold (a NaN sim from
+     a zero-norm member is excluded in both engines — numpy's >= drops
+     it, and the oracle's 0/0 division is NULL in DuckDB);
   3. Spark's round(.,4) >= threshold decides; cross-block duplicates
      collapse with a distinct over bit-identical rows.
 
@@ -123,7 +124,7 @@ def embdecontam_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bacc += bc_ * bc_
                 acc += tc[:, None] * bc_[None, :]
             S = acc / (np.sqrt(tacc)[:, None] * np.sqrt(bacc)[None, :])
-            i, j = np.nonzero((S >= margin) | np.isnan(S))
+            i, j = np.nonzero(S >= margin)  # NaN excluded, see module doc
             if len(i):
                 out.append(
                     pd.DataFrame(

@@ -35,7 +35,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dic_a1_spark.config import duckdb_tokens_sql
+from dic_a1_spark.config import (
+    duckdb_tokens_sql,
+    duckdb_tokenset_md5_sql,
+)
 from dic_a1_spark.sources.readers import load_table
 
 # doc_id % INC_MOD == INC_REM -> the incoming increment (~12.5%).
@@ -127,11 +130,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _TOKS = duckdb_tokens_sql()
+_TSMD5 = duckdb_tokenset_md5_sql()
 
 _HASHED_CTE = f"""
     WITH h AS (
         SELECT doc_id, lang, source, n_chars,
-               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+               {_TSMD5}
                    AS content_hash,
                doc_id % {INC_MOD} = {INC_REM} AS is_inc
         FROM documents

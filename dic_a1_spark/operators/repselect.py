@@ -31,7 +31,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dic_a1_spark.config import duckdb_tokens_sql
+from dic_a1_spark.config import (
+    duckdb_tokens_sql,
+    duckdb_tokenset_md5_sql,
+)
 from dic_a1_spark.operators.dedup import tokenset_hash
 from dic_a1_spark.operators.qlinear import _SCORED_CTE, _scored
 from dic_a1_spark.sources.readers import load_table
@@ -117,11 +120,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _TOKS = duckdb_tokens_sql()
+_TSMD5 = duckdb_tokenset_md5_sql()
 
 _MEMBERS_CTE = f"""
     members AS (
         SELECT d.doc_id,
-               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+               {_TSMD5}
                    AS tokenset_hash,
                s.score_fp
         FROM documents d JOIN scored s USING (doc_id)

@@ -41,7 +41,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dic_a1_spark.config import duckdb_tokens_sql
+from dic_a1_spark.config import (
+    duckdb_tokens_sql,
+    duckdb_tokenset_md5_sql,
+)
 from dic_a1_spark.functions.text import tokens_nonempty
 from dic_a1_spark.operators.curation import hash_split_col, hash_split_sql
 from dic_a1_spark.operators.dedup import tokenset_hash
@@ -208,6 +211,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _TOKS = duckdb_tokens_sql()
+_TSMD5 = duckdb_tokenset_md5_sql()
 
 # The oracle split CASE comes from the same single source as the
 # Column rule (curation.hash_split_sql).
@@ -215,7 +219,7 @@ _TOKS = duckdb_tokens_sql()
 _GROUPED_CTE = f"""
     WITH keyed AS (
         SELECT doc_id,
-               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS k
+               {_TSMD5} AS k
         FROM documents
     ),
     reps AS (SELECT k, min(doc_id) AS group_rep FROM keyed GROUP BY k),

@@ -421,8 +421,12 @@ def _neardup_fast_asg(
       * the batch emits every centroid within 1e-3 of the row's
         nprobe-th-best raw sim (anything lower can never reach the
         rounded cut: round(s) <= s + 5e-5 < kth - 1e-3 + 5e-5
-        < kth - 5e-5 <= round(kth)), plus every non-finite sim (both
-        engines order NaN above all values);
+        < kth - 5e-5 <= round(kth)), plus every non-finite sim:
+        pandas->Arrow ships NaN as NULL, and BOTH engines put NULL last
+        in the descending cut (Spark desc = NULLS LAST; the oracle's
+        0/0 division is NULL in DuckDB, NULLS LAST) — so a zero-norm
+        VECTOR gets exactly the lowest-id blocks in both engines and a
+        zero-norm CENTROID's block is empty in both;
       * ROUNDING AND RANKING ARE DELEGATED TO SPARK: the same
         F.round(.,4) + row_number window as the exact path picks the
         winners from bit-identical inputs.
@@ -476,7 +480,7 @@ def _neardup_fast_asg(
                 keep[~np.isfinite(kth), :] = True
             else:
                 keep = np.ones((n, k), dtype=bool)
-            keep |= ~np.isfinite(sims)  # engines rank NaN first; ship it
+            keep |= ~np.isfinite(sims)  # ships as NULL; ranks last in both
             rows, cols = np.nonzero(keep)
             yield pd.DataFrame(
                 {
@@ -525,9 +529,11 @@ def embedding_neardup_blocked_fast(
          pairwise dot/norm with the exact fold's IEEE sequence (same
          flop count as the earlier BLAS matmul, ~2-3x slower on memory
          traffic — the price of the driver hash gate on this entry);
-         pairs within 1e-3 of the threshold (and NaN sims — engines
-         order NaN high) are emitted RAW, and Spark's F.round(.,4) >=
-         threshold makes the decision;
+         pairs within 1e-3 of the threshold are emitted RAW and
+         Spark's F.round(.,4) >= threshold decides (a NaN sim from a
+         zero-norm member is excluded in both engines: numpy's >= drops
+         it here, pandas->Arrow would ship it as NULL anyway, and the
+         oracle's 0/0 division is NULL in DuckDB);
       3. a pair sharing several blocks yields bit-identical raw sims in
          each, so the surviving duplicates collapse with one distinct.
 
@@ -577,7 +583,7 @@ def embedding_neardup_blocked_fast(
             S = acc / (nr[:, None] * nr[None, :])
             i, j = np.triu_indices(m, k=1)
             sij = S[i, j]
-            keep = (sij >= margin) | np.isnan(sij)
+            keep = sij >= margin  # NaN excluded — see docstring
             if keep.any():
                 out.append(
                     pd.DataFrame(
@@ -784,9 +790,14 @@ def _neardup_block_component_edges(
             nr = np.sqrt(vacc)
             S = acc / (nr[:, None] * nr[None, :])
             # adjacency == oracle's round(sim,4) >= threshold, decided
-            # at the exact boundary; local components by vectorized
-            # min-label sweeps (converges within component diameter)
-            A = (S >= sim_floor) | np.isnan(S)
+            # at the exact boundary; a NaN sim (zero-norm member) is NOT
+            # adjacent — the verification path excludes it in both
+            # engines (numpy NaN >= T is False; were it emitted,
+            # pandas->Arrow ships NaN as NULL and NULL >= T is no row,
+            # while DuckDB's 0/0 division yields NULL directly). Local
+            # components by vectorized min-label sweeps (converges
+            # within component diameter).
+            A = S >= sim_floor
             np.fill_diagonal(A, True)
             roots = np.arange(m)
             sentinel = np.iinfo(np.int64).max

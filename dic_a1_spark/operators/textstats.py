@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dic_a1_spark.config import SPARK_WS_REGEX, sql_stopword_list
+from dic_a1_spark.config import SPARK_WS_REGEX, sql_stopword_list, duckdb_tokenset_md5_sql
 from dic_a1_spark.functions.text import tokenize
 from dic_a1_spark.sources.readers import load_table
 
@@ -269,6 +269,7 @@ from dic_a1_spark.config import DUCKDB_WS_REGEX, duckdb_tokens_sql  # noqa: E402
 
 # Engine-neutral tokenization for the oracles: identical normalize chain.
 _TOKS = duckdb_tokens_sql()
+_TSMD5 = duckdb_tokenset_md5_sql()
 
 _MARKER_SQL = {
     lang: "[" + ", ".join(f"'{m}'" for m in markers) + "]"
@@ -390,7 +391,7 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                md5(text) AS md5_text,
                sha256(text) AS sha256_text,
-               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+               {_TSMD5}
                    AS md5_tokenset
         FROM documents
     """,
