@@ -45,6 +45,15 @@ from pyspark.sql import DataFrame, SparkSession
 #       51+), staged for the r9 front-rotation (the r6->r7 pattern), so
 #       new work does not evict stale re-certs from the window.
 #
+# NOTE (late r8): the hostile-corpus fuzz found DuckDB's
+# array_to_string([], ' ') is NULL where Spark's concat_ws is '' — the
+# six oracles inlining the tokenset-md5 now use the coalesced
+# config.duckdb_tokenset_md5_sql. The edit is ORACLE-side only and
+# value-identical on every driver corpus (no empty-token documents
+# exist at sf0.001/0.01/0.1 — pytest re-ran all six families green),
+# so those entries are NOT fronted over the stale block; they keep
+# their tail positions and the committed sweep covers them.
+#
 # R9 STAGING: front (a) re-grades of anything edited in r9, (b) the
 # relational tail that spilled past position 50, (c) everything NEW in
 # r8 (see (d) above), then (d) oldest-green-first: the r4/r5 tranches
