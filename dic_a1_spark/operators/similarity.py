@@ -388,14 +388,17 @@ def embedding_neardup_blocked(
 def _round4_ge_boundary(threshold: float) -> float:
     """Smallest double T with  round(s, 4) >= threshold  <=>  s >= T.
 
-    Spark's round() and DuckDB's round() both apply HALF_UP to the EXACT
-    binary value of the double (java BigDecimal / C llround semantics
-    verified across the repo's hash-green families), so for a threshold
-    that is an exact multiple of 1e-4 the predicate is equivalent to
-    exact(s) >= threshold - 0.00005 as REALS. This returns the smallest
-    double at or above that real, letting batch numpy code decide the
-    predicate bit-identically to the engines without calling np.round
-    (banker's rounding — the documented cross-engine hazard)."""
+    Spark's round() applies HALF_UP to the EXACT binary value of the
+    double (java BigDecimal), so for a threshold that is an exact
+    multiple of 1e-4 the predicate is equivalent to exact(s) >=
+    threshold - 0.00005 as REALS; this returns the smallest double at
+    or above that real, letting batch numpy code decide the predicate
+    bit-identically to the SPARK side without calling np.round
+    (banker's rounding — the documented cross-engine hazard). DuckDB
+    rounds via the scaled product (llround(s*1e4)) and can differ from
+    the exact rule inside a ~1e-12-relative window around the decimal
+    midpoint — the repo-wide residual every round-gated oracle shares,
+    measured and documented in tests/test_round_boundary.py."""
     from fractions import Fraction
 
     units = int(round(threshold * 10**4))

@@ -145,6 +145,12 @@ HEADLINE_DOC_QUERIES = [
     "rag_context_pack",
     "index_postings",
     "source_overlap_matrix",
+    # round 8: token budgets under the induced BPE vocabulary and
+    # best-of-cluster representative selection (adversarial here: every
+    # doc has `factor` exact copies, so every group is factor-deep)
+    "bpe_corpus_token_counts",
+    "repselect_best_of_group",
+    "repselect_gain",
 ]
 
 
@@ -307,6 +313,10 @@ def main() -> None:
         "embedding_pq_codes_fast",
         "knn_cosine_pq",
         "knn_cosine_pq_fast",
+        # round 8: embedding decontamination (bipartite blocked ANN,
+        # data-sized codebook from the registered query)
+        "embdecontam_flagged",
+        "embdecontam_summary",
     ]:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
