@@ -87,6 +87,7 @@ _MODULES = (
     "dic_a1_spark.operators.tokapply",
     "dic_a1_spark.operators.embdecontam",
     "dic_a1_spark.operators.repselect",
+    "dic_a1_spark.operators.postcompress",
     # --- tail: remaining queries of fronted modules, then the r4-r6
     # tranches (all have r4+ green rows + the committed sweep)
     "dic_a1_spark.operators.bm25",
