@@ -685,3 +685,142 @@ def bm25_stream_scores(
             ).alias("score"),
         )
     )
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings parquet — the online
+    ingestion twin of load_table(embeddings)."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", LongType()),
+        ]
+    )
+    # The file stream source requires a DIRECTORY; scope to the table
+    # with pathGlobFilter (the read_events_stream convention).
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .select("vec_id", "embedding", "label")
+    )
+
+
+def embdecontam_stream_flags(
+    stream: DataFrame, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of embedding decontamination (operators/
+    embdecontam.py): vectors arrive on a stream and are screened
+    STATELESSLY against the held-out benchmark matrix — the
+    dsir/bm25_stream shape for the ANN family. The benchmark slice is
+    an eval suite (thousands of vectors at production scale), so it is
+    a documented bounded collect like the IVF codebooks; each
+    micro-batch then runs ONE dimension-by-dimension accumulation
+    against the broadcast matrix (the exact fold's IEEE sequence — the
+    certified _neardup_fast_asg device), no state store, no watermark.
+
+    Contract difference vs the batch query, stated: the stream twin is
+    EXACT (every incoming vector scored against every benchmark
+    vector — bench-bounded work per row), while the registered batch
+    query is IVF-blocked (recall < 1 by design). Parity is therefore
+    pinned against the exact bipartite ground truth in
+    tests/test_streaming.py: flags = any round(cos,4) >= threshold,
+    best = (max sim, ties to lowest bench_id)."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from dic_a1_spark.operators.embdecontam import (
+        EMBDECONTAM_MOD,
+        EMBDECONTAM_SIM,
+    )
+    from dic_a1_spark.sources.readers import load_table
+
+    bench_rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .where((F.col("vec_id") % EMBDECONTAM_MOD) == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    bids = np.array([r["vec_id"] for r in bench_rows], dtype=np.int64)
+    B = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in bench_rows]
+    )
+    order = np.argsort(bids)  # ties in best-hit break to the LOWEST id
+    bids, B = bids[order], B[order]
+    bn = np.zeros(len(B), dtype=np.float64)
+    for i in range(B.shape[1]):  # sequential fold, the _norm order
+        bn += B[:, i] * B[:, i]
+    bn = np.sqrt(bn)
+    bc = spark.sparkContext.broadcast((bids, B, bn))
+    sim_floor_units = int(round(EMBDECONTAM_SIM * 10**4)) * 10 - 5
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("flagged", T.BooleanType()),
+            T.StructField("n_hits", T.LongType()),
+            T.StructField("best_bench_id", T.LongType()),
+            T.StructField("best_sim_r", T.DoubleType()),
+        ]
+    )
+
+    def score_batches(batches):
+        from fractions import Fraction
+
+        ids_b, b_mat, b_nrm = bc.value
+        # exact decimal boundary for round(s,4) >= threshold (the
+        # similarity._round4_ge_boundary rule, inlined to keep the
+        # closure import-free)
+        bound = Fraction(sim_floor_units, 10**5)
+        d = np.float64(bound)
+        floor = float(d) if Fraction(float(d)) >= bound else float(
+            np.nextafter(d, np.inf)
+        )
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            vacc = np.zeros(n, dtype=np.float64)
+            acc = np.zeros((n, len(ids_b)), dtype=np.float64)
+            for i in range(V.shape[1]):
+                vacc += V[:, i] * V[:, i]
+                acc += V[:, i][:, None] * b_mat[:, i][None, :]
+            S = acc / (np.sqrt(vacc)[:, None] * b_nrm[None, :])
+            hits = S >= floor  # NaN (zero norms) excluded, as in batch
+            n_hits = hits.sum(axis=1).astype(np.int64)
+            # best hit: max sim, ties to lowest bench id (ids ascending,
+            # stable argmax picks the first == lowest id)
+            masked = np.where(hits, S, -np.inf)
+            best_j = np.argmax(masked, axis=1)
+            flagged = n_hits > 0
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "flagged": flagged,
+                    "n_hits": n_hits,
+                    "best_bench_id": np.where(
+                        flagged, ids_b[best_j], -1
+                    ).astype(np.int64),
+                    "best_sim_r": np.where(
+                        flagged, S[np.arange(n), best_j], np.nan
+                    ),
+                }
+            )
+
+    scored = stream.where(
+        (F.col("vec_id") % EMBDECONTAM_MOD) != 0
+    ).mapInPandas(score_batches, out_schema)
+    return scored.select(
+        "vec_id",
+        "flagged",
+        "n_hits",
+        F.when(F.col("best_bench_id") >= 0, F.col("best_bench_id")).alias(
+            "best_bench_id"
+        ),
+        F.round("best_sim_r", 4).alias("best_sim_r"),
+    )

@@ -293,3 +293,70 @@ def test_stream_bm25_scores_match_batch(spark):
         _scored(load_table(spark, SF_SMOKE, "documents"), BM25_QUERY), cols
     )
     assert got == want and got
+
+
+def test_stream_embdecontam_matches_exact_bipartite(spark):
+    """The streaming decontamination twin must reproduce the EXACT
+    bipartite ground truth (its stated contract — unlike the registered
+    IVF-blocked batch query): per training vector, flagged iff any
+    round(cos, 4) >= threshold, n_hits exact, best hit = (max raw sim,
+    ties to lowest bench id)."""
+    import numpy as np
+
+    from dic_a1_spark.operators.embdecontam import (
+        EMBDECONTAM_MOD,
+        EMBDECONTAM_SIM,
+    )
+    from dic_a1_spark.operators.similarity import _round4_ge_boundary
+    from dic_a1_spark.sources.readers import load_table
+
+    stream = jobs.read_embeddings_stream(spark, SF_SMOKE)
+    jobs.run_to_memory(
+        jobs.embdecontam_stream_flags(stream, spark, SF_SMOKE),
+        "t_embdec",
+        output_mode="append",
+    )
+    got = {
+        r["vec_id"]: r for r in spark.table("t_embdec").collect()
+    }
+
+    rows = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    V = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    is_b = (ids % EMBDECONTAM_MOD) == 0
+    bids, B = ids[~is_b], V[~is_b]
+    eids, E = ids[is_b], V[is_b]
+    bo, eo = np.argsort(bids), np.argsort(eids)
+    bids, B, eids, E = bids[bo], B[bo], eids[eo], E[eo]
+    floor = _round4_ge_boundary(EMBDECONTAM_SIM)
+    tacc = np.zeros(len(B))
+    eacc = np.zeros(len(E))
+    acc = np.zeros((len(B), len(E)))
+    for d in range(V.shape[1]):  # the exact fold's dim order
+        tacc += B[:, d] * B[:, d]
+        eacc += E[:, d] * E[:, d]
+        acc += B[:, d][:, None] * E[:, d][None, :]
+    S = acc / (np.sqrt(tacc)[:, None] * np.sqrt(eacc)[None, :])
+
+    assert set(got) == set(bids.tolist())
+    n_flagged = 0
+    for i, vid in enumerate(bids.tolist()):
+        hits = S[i] >= floor
+        r = got[vid]
+        assert r["flagged"] == bool(hits.any()), vid
+        assert r["n_hits"] == int(hits.sum()), vid
+        if hits.any():
+            n_flagged += 1
+            masked = np.where(hits, S[i], -np.inf)
+            j = int(np.argmax(masked))
+            assert r["best_bench_id"] == int(eids[j]), vid
+            assert r["best_sim_r"] == round(float(S[i][j]), 4) or abs(
+                r["best_sim_r"] - float(S[i][j])
+            ) < 5e-5, vid
+        else:
+            assert r["best_bench_id"] is None and r["best_sim_r"] is None
+    assert 0 < n_flagged < len(bids), "flag gate must discriminate"
