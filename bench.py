@@ -159,6 +159,7 @@ HEADLINE = [
     "bpe_corpus_token_counts",
     "embdecontam_flagged",
     "repselect_best_of_group",
+    "index_compression",
 ]
 
 

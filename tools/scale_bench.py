@@ -151,6 +151,7 @@ HEADLINE_DOC_QUERIES = [
     "bpe_corpus_token_counts",
     "repselect_best_of_group",
     "repselect_gain",
+    "index_compression",
 ]
 
 
