@@ -136,3 +136,44 @@ def test_batch_topk_is_per_query(spark):
         assert [r["doc_id"] for r in got] == [
             d for d, _ in ranked[: bm25.BM25_BATCH_K]
         ]
+
+
+def test_batch_exchange_count_constant_in_fanout(spark):
+    """The r8 tagged-fold refactor's contract: batch scoring pays ONE
+    corpus fold regardless of how many queries are in the batch (the r7
+    shape paid B corpus shuffles — 13 exchanges at B=3). Plan-only
+    audit: a 4x larger batch must compile to EXACTLY the same number of
+    shuffle exchanges."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dic_a1_spark.operators.bm25 import BM25_BATCH, _scored_batch
+    from dic_a1_spark.plans.explain import plan_audit
+    from dic_a1_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    vocab = ["dup", "hash", "key", "scan", "filter", "merge", "stream",
+             "batch", "window", "join", "vector", "table"]
+    big = tuple(
+        (f"q{i:02d}", tuple(vocab[(i + j) % len(vocab)] for j in range(3)))
+        for i in range(12)
+    )
+
+    def topk_plan(batch):
+        docs = load_table(spark, SF_SMOKE, "documents")
+        allq = _scored_batch(docs, batch)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            allq.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rank") <= 5)
+        )
+
+    small = plan_audit(topk_plan(BM25_BATCH))["exchanges"]
+    large = plan_audit(topk_plan(big))["exchanges"]
+    assert small == large, (
+        f"batch exchanges grew with fan-out: {small} (B=3) vs {large} (B=12)"
+        " — the per-query corpus-fold shape is back"
+    )
+    assert small <= 5
