@@ -68,10 +68,14 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 10-minute inactivity gap.
-    F.session_window merges events whose gap is strictly less than 10 min;
-    window end = last event + gap. The oracle reproduces this with
-    gaps-and-islands (lag + running flag sum) — the classic SQL encoding
-    of the same state machine."""
+    F.session_window merges an event into the open session when its gap
+    from the previous event is AT MOST 10 min — an event landing exactly
+    on the session end extends it (verified empirically by the hostile
+    exact-gap row in tests/test_events_fuzz.py; the driver corpus never
+    lands on the boundary). Window end = last event + gap. The oracle
+    reproduces this with gaps-and-islands (lag + running flag sum, new
+    session iff gap > 10 min) — the classic SQL encoding of the same
+    state machine."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
@@ -397,7 +401,7 @@ ORACLES: dict[str, str] = {
         WITH flagged AS (
             SELECT user_id, ts, event_id, value,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+                             OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

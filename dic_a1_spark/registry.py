@@ -52,7 +52,11 @@ from pyspark.sql import DataFrame, SparkSession
 # value-identical on every driver corpus (no empty-token documents
 # exist at sf0.001/0.01/0.1 — pytest re-ran all six families green),
 # so those entries are NOT fronted over the stale block; they keep
-# their tail positions and the committed sweep covers them.
+# their tail positions and the committed sweep covers them. Same class:
+# the hostile-events fuzz (tests/test_events_fuzz.py) found Spark's
+# session_window merges an event landing EXACTLY on the session end
+# while the oracle's >= split it — the oracle now uses strict >, again
+# value-identical on every driver corpus (no exact-gap events exist).
 #
 # R9 STAGING: front (a) re-grades of anything edited in r9, (b) the
 # relational tail that spilled past position 50, (c) everything NEW in
