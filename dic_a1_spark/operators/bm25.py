@@ -202,9 +202,12 @@ def _scored_batch(
     for qid, terms in batch:
         for t in set(terms):
             qids_by_term.setdefault(t, []).append(qid)
+    def _q(s: str) -> str:  # SQL single-quote literal, quote-safe
+        return "'" + s.replace("'", "''") + "'"
+
     map_lit = ", ".join(
-        "'{}', array({})".format(
-            t, ", ".join("'" + q + "'" for q in sorted(qids))
+        "{}, array({})".format(
+            _q(t), ", ".join(_q(q) for q in sorted(qids))
         )
         for t, qids in sorted(qids_by_term.items())
     )

@@ -53,7 +53,7 @@ from dic_a1_spark.operators.similarity import (
     NEARDUP_NPROBE,
     _neardup_fast_asg,
 )
-from dic_a1_spark.sources.readers import load_table
+from dic_a1_spark.sources.readers import load_table, table_rowcount
 
 # Contamination threshold. A production gate sets paraphrase-level
 # cosine (~0.9); on the synthetic corpus the cross-slice sims top out
@@ -87,7 +87,10 @@ def embdecontam_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings")
-    n = e.count()
+    # Codebook sizing from parquet footer metadata, NOT a df.count()
+    # corpus action — byte-equal to count() and to the oracle's
+    # count(*), see readers.table_rowcount (r8 VERDICT watch item #1).
+    n = table_rowcount(sf_dir, "embeddings")
     k = _data_sized_k(n)
     asg = _neardup_fast_asg(e, ivf_k=k, nprobe=NEARDUP_NPROBE)
     asg = asg.repartition(max(64, k // 8), "centroid_id")

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
-from dic_a1_spark.sources.readers import load_table
+from dic_a1_spark.sources.readers import load_table, table_rowcount
 
 N_QUERIES = 10       # vec_id < 10 act as the query set
 TOP_K = 5
@@ -708,7 +708,9 @@ def embedding_neardup_blocked_fast_query(spark: SparkSession, sf_dir: str) -> Da
     and the pipeline's decisions are bit-pinned (see
     embedding_neardup_blocked_fast)."""
     e = load_table(spark, sf_dir, "embeddings")
-    n = e.count()
+    # Footer-metadata count, byte-equal to e.count() and the oracle's
+    # count(*) — saves one corpus action per invocation (r9).
+    n = table_rowcount(sf_dir, "embeddings")
     k = max(IVF_K, min(n, n * NEARDUP_NPROBE // 200, 1500))
     return embedding_neardup_blocked_fast(spark, sf_dir, ivf_k=k)
 
@@ -729,8 +731,10 @@ def _neardup_block_component_edges(
     ORACLE-ALIGNED since round 8: the assignment is the bit-pinned
     _neardup_fast_asg (Spark-side round+window cut), and the local
     adjacency decides round(sim,4) >= threshold via the EXACT decimal
-    boundary (s >= _round4_ge_boundary(threshold), with NaN adjacent —
-    both engines order NaN high) on dimension-fold sims — never
+    boundary (s >= _round4_ge_boundary(threshold); a NaN sim — a
+    zero-norm member — is NOT adjacent in either engine: numpy NaN
+    fails >=, and DuckDB's 0/0 division is NULL, which fails the
+    oracle's >= the same way) on dimension-fold sims — never
     np.round, whose banker's rounding is the documented cross-engine
     hazard. Block-local components therefore cover exactly the oracle's
     verified pair edges, and cross-block connectivity flows through
@@ -864,7 +868,9 @@ def embedding_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     e = load_table(spark, sf_dir, "embeddings")
-    n = e.count()
+    # Footer-metadata count, byte-equal to e.count() and the oracle's
+    # count(*) — saves one corpus action per invocation (r9).
+    n = table_rowcount(sf_dir, "embeddings")
     k = max(IVF_K, min(n, n * NEARDUP_NPROBE // 200, 1500))
     # Edges come out of the scoring stage in its (wide, per-block)
     # partitioning; squeeze to core-count partitions before the persist —

@@ -82,6 +82,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def table_rowcount(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTER METADATA — no corpus scan.
+
+    Several operators size a driver-bounded structure (an IVF codebook)
+    from the corpus cardinality; running ``df.count()`` for that adds a
+    full (column-pruned) corpus action per invocation. Parquet footers
+    carry the exact ``num_rows``, so this is a metadata-only read —
+    the same number DuckDB's metadata-only ``count(*)`` sees, byte-equal
+    to ``load_table(...).count()``. Cached per path: the driver tables
+    are immutable fixtures. At 100 TB the equivalent is catalog/table
+    statistics (or a cached count in the pipeline's control plane) —
+    either way, not a per-invocation scan.
+    """
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    cached = _ROWCOUNT_CACHE.get(path)
+    if cached is not None:
+        return cached
+    if os.path.isdir(path):
+        n = sum(
+            pq.read_metadata(os.path.join(root, f)).num_rows
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    else:
+        n = pq.read_metadata(path).num_rows
+    _ROWCOUNT_CACHE[path] = n
+    return n
+
+
+_ROWCOUNT_CACHE: dict[str, int] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Scan all driver tables; also registers each as a temp view so the
     SQL surface (``spark.sql``) sees the same catalog the oracle does."""

@@ -709,6 +709,13 @@ def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Driver-collect bound for the streaming decontamination benchmark
+# matrix: a production eval suite is thousands of vectors; 100k x
+# 64-dim float64 is ~50 MB — comfortably driver-sized, loudly NOT
+# corpus-sized.
+_BENCH_COLLECT_CAP = 100_000
+
+
 def embdecontam_stream_flags(
     stream: DataFrame, spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -739,12 +746,28 @@ def embdecontam_stream_flags(
     )
     from dic_a1_spark.sources.readers import load_table
 
+    # LOUD size guard on the bench collect (r8 VERDICT watch item #2):
+    # the %MOD selector is corpus-proportional, so a misconfigured
+    # benchmark slice must FAIL, not OOM the driver. limit(cap+1) bounds
+    # what the driver ever materializes (strictly safer than an
+    # executor-side assert_true, which would fire only after the rows
+    # were already headed for the driver); the +1 row distinguishes
+    # "exactly cap" from "over cap".
     bench_rows = (
         load_table(spark, sf_dir, "embeddings")
         .where((F.col("vec_id") % EMBDECONTAM_MOD) == 0)
         .select("vec_id", "embedding")
+        .limit(_BENCH_COLLECT_CAP + 1)
         .collect()
     )
+    if len(bench_rows) > _BENCH_COLLECT_CAP:
+        raise ValueError(
+            f"embdecontam_stream_flags: benchmark slice exceeds the "
+            f"documented driver-collect bound ({_BENCH_COLLECT_CAP} "
+            f"vectors) — an eval suite is thousands of items; a "
+            f"corpus-sized slice means EMBDECONTAM_MOD is misconfigured "
+            f"for this corpus"
+        )
     bids = np.array([r["vec_id"] for r in bench_rows], dtype=np.int64)
     B = np.stack(
         [np.asarray(r["embedding"], dtype=np.float64) for r in bench_rows]

@@ -6,7 +6,10 @@ boundary paths, so this corpus plants:
   - same-(user, ts) event pairs differing only in event_id (the
     events_session_windows / attribution ADVICE tie-break lesson);
   - events exactly at the 10-minute session gap and one microsecond to
-    either side (strictly-less merge semantics);
+    either side (merge-at-most-gap semantics: an event landing EXACTLY
+    on the session end extends the session — Spark's session_window
+    merges it, and the oracle splits only on gap > SESSION_GAP, see
+    events.py);
   - events exactly on hour boundaries (tumbling/window edges);
   - single-event users, a user with 60 events inside one second, and a
     user whose purchases have NO preceding event;
