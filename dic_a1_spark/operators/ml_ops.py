@@ -4,9 +4,33 @@ The hand-rolled operators elsewhere (operators/similarity.py IVF,
 operators/dedup.py MinHash) show the algorithms as explicit DataFrame
 plans; this module shows the same capabilities through spark.ml — the
 route a production pipeline usually takes (Pipeline persistence,
-mergeable models, distributed fit). Rows-only driver checks (model
-internals aren't SQL-reproducible); determinism and quality properties
-are asserted in tests/test_ml_ops.py.
+mergeable models, distributed fit).
+
+Oracle status (the ledger, closed in round 9):
+  * ml_minhash_neardups — HASH-GATED. MinHashLSHModel's hash family is
+    fully determined by the seed: h_j(S) = min over token indices i of
+    ((1 + i) * a_j + b_j) mod 2038074743, with (a_j, b_j) drawn from
+    the seed-initialized RNG at fit time INDEPENDENT of the data (the
+    model's randCoefficients). With the vocabulary index made
+    deterministic (alphabetical — CountVectorizerModel.from_vocabulary
+    instead of frequency-ordered CountVectorizer.fit, whose tie order
+    is partition-dependent), every hash value, every candidate
+    collision, and the strict dist < threshold filter of
+    approxSimilarityJoin are restatable in SQL with the four (a_j, b_j)
+    pairs as constants. tests/test_ml_ops.py pins the fitted model's
+    coefficients to the hardcoded constants (solved from two singleton
+    vectors — the hash is linear in the index), so a Spark upgrade that
+    changes the RNG fails the pin loudly instead of silently forking
+    the oracle.
+  * ml_kmeans_clusters — ROWS-ONLY BY DESIGN, documented here once:
+    KMeans' k-means|| initialization draws from Spark's private
+    XORShiftRandom seeded per (seed, partition index), so the fitted
+    centroids depend on input split boundaries, and restating the fit
+    in SQL would mean reimplementing that RNG plus the treeAggregate
+    float summation order — neither is public SQL-expressible
+    behavior. The yardstick's value is the library integration path;
+    its determinism-under-fixed-splits and assignment quality are
+    asserted in tests/test_ml_ops.py instead.
 
 Scale notes: KMeans fit is iterative map-reduce over cached features
 (linear per iteration); MinHashLSH transform is a map-only signature
@@ -25,6 +49,26 @@ from dic_a1_spark.sources.readers import load_table
 
 KMEANS_K = 8
 SEED = 42
+
+# MinHashLSH(seed=42, numHashTables=4) hash coefficients (a_j, b_j):
+# h_j(S) = min_i ((1 + i) * a_j + b_j) mod HASH_PRIME over S's token
+# indices. Data-independent (drawn from the seed at fit time); solved
+# from two singleton vectors (the hash is linear in the index, so two
+# evaluations determine (a, b) mod the prime) and pinned against the
+# fitted model in tests/test_ml_ops.py.
+MINHASH_PRIME = 2038074743
+MINHASH_COEFFS = (
+    (1562431131, 117392763),
+    (1467211249, 102948884),
+    (662969971, 2023087525),
+    (595021506, 1519796918),
+)
+MINHASH_TABLES = len(MINHASH_COEFFS)
+MINHASH_DIST = 0.5  # approxSimilarityJoin threshold (STRICT <)
+# Loud driver-collect bound for the deterministic vocabulary (the same
+# driver footprint CountVectorizer.fit itself has — spark.ml collects
+# the vocabulary to build the model either way).
+_VOCAB_CAP = 2_000_000
 
 
 def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,8 +111,20 @@ def ml_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     has a 248-member identical group, which made the uncollapsed form a
     270 s query). Exact-dedup-before-near-dup is also the production
     admission order (operators/incremental.py), so the demo now shows
-    the shape a 100 TB pipeline actually runs."""
-    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+    the shape a 100 TB pipeline actually runs.
+
+    HASH-GATED since round 9: the vocabulary index is DETERMINISTIC
+    (alphabetical, CountVectorizerModel.from_vocabulary) instead of
+    CountVectorizer.fit's frequency order (whose tie order is
+    partition-dependent), which makes every minhash value a pure
+    function of (token set, seed) — the oracle restates the band
+    collisions with the model's seed-derived coefficients as constants
+    (MINHASH_COEFFS, pinned in tests/test_ml_ops.py) and the exact
+    STRICT keyDistance filter (dist < 0.5, verified empirically: an
+    exactly-0.5-distance pair is NOT emitted). Vocabulary sort parity:
+    Python sorted() orders by code point, DuckDB ORDER BY by UTF-8
+    bytes — identical orders, UTF-8 preserves code-point order."""
+    from pyspark.ml.feature import CountVectorizerModel, MinHashLSH
 
     from dic_a1_spark.functions.text import tokens_distinct
 
@@ -90,22 +146,42 @@ def ml_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("gkey", "toks")
     )
-    cv = CountVectorizer(
-        inputCol="toks", outputCol="features", binary=True, minDF=1.0
-    ).fit(reps)
+    # Deterministic vocabulary: every distinct token, alphabetical.
+    # Driver-bounded exactly like CountVectorizer.fit's own vocabulary
+    # collect; the limit(cap+1) bounds what the driver materializes and
+    # the over-cap check fails LOUDLY (the embdecontam guard pattern).
+    vocab_rows = (
+        reps.select(F.explode("toks").alias("t"))
+        .distinct()
+        .limit(_VOCAB_CAP + 1)
+        .collect()
+    )
+    if len(vocab_rows) > _VOCAB_CAP:
+        raise ValueError(
+            f"ml_minhash_neardups: vocabulary exceeds the documented "
+            f"driver bound ({_VOCAB_CAP}) — shard the corpus or raise "
+            f"the cap deliberately"
+        )
+    vocab = sorted(r["t"] for r in vocab_rows)
+    cv = CountVectorizerModel.from_vocabulary(
+        vocab, inputCol="toks", outputCol="features", binary=True
+    )
     # Persist the vectorized frame: approxSimilarityJoin references it as
     # BOTH join sides and the LSH fit scans it again — unpersisted, the
-    # tokenize -> CountVectorizer chain re-runs three times.
+    # tokenize -> vectorize chain re-runs three times.
     feats = (
         cv.transform(reps)
         .select("gkey", "features")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=4, seed=SEED
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=MINHASH_TABLES,
+        seed=SEED,
     ).fit(feats)
     rep_pairs = (
-        lsh.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+        lsh.approxSimilarityJoin(feats, feats, MINHASH_DIST, distCol="jaccard_dist")
         .where(F.col("datasetA.gkey") < F.col("datasetB.gkey"))
         .select(
             F.col("datasetA.gkey").alias("g1"),
@@ -145,8 +221,101 @@ def ml_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "ml_kmeans_clusters": ml_kmeans_clusters,   # rows-only (iterative fit)
-    "ml_minhash_neardups": ml_minhash_neardups,  # rows-only (model hashes)
+    # rows-only BY DESIGN — see the module docstring ledger paragraph
+    # (k-means|| init RNG is partition-dependent; not SQL-restatable).
+    "ml_kmeans_clusters": ml_kmeans_clusters,
+    # HASH-GATED since r9 (deterministic vocabulary + seed-pinned
+    # coefficients — see the module docstring).
+    "ml_minhash_neardups": ml_minhash_neardups,
 }
 
-ORACLES: dict[str, str] = {}
+from dic_a1_spark.config import duckdb_tokens_sql  # noqa: E402
+
+_COEFF_VALUES = ", ".join(
+    f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_COEFFS)
+)
+
+# Restates the whole library pipeline: tokenset collapse -> alphabetical
+# vocabulary index -> 4 seed-pinned minhashes -> band-collision
+# candidates -> STRICT keyDistance filter -> member expansion. Two
+# engine-parity facts carry it: (1) equal minhash in table j forces the
+# SAME argmin token (a != 0 and vocab < prime make the hash injective on
+# indices), so every candidate pair shares >= 1 token and union > 0;
+# (2) round/div shapes restate Spark's 1.0 - (1 - i/u) association
+# exactly (all counts integral < 2^53, so the casts are exact).
+ORACLES: dict[str, str] = {
+    "ml_minhash_neardups": f"""
+        WITH doc_toks AS (
+            SELECT doc_id,
+                   list_distinct({duckdb_tokens_sql()}) AS toks
+            FROM documents
+        ),
+        nonempty AS (
+            SELECT doc_id,
+                   md5(coalesce(array_to_string(list_sort(toks), ' '),
+                                '')) AS gkey,
+                   toks
+            FROM doc_toks WHERE len(toks) > 0
+        ),
+        members AS (SELECT gkey, doc_id FROM nonempty),
+        rep_tok AS (
+            SELECT DISTINCT gkey, t.token
+            FROM nonempty, unnest(toks) AS t(token)
+        ),
+        sizes AS (SELECT gkey, count(*) AS n FROM rep_tok GROUP BY gkey),
+        vocab AS (
+            SELECT token, row_number() OVER (ORDER BY token) - 1 AS idx
+            FROM (SELECT DISTINCT token FROM rep_tok)
+        ),
+        hashes AS (
+            SELECT r.gkey, c.j,
+                   min(((1 + v.idx) * c.a + c.b) % {MINHASH_PRIME}) AS h
+            FROM rep_tok r
+            JOIN vocab v USING (token)
+            CROSS JOIN (VALUES {_COEFF_VALUES}) AS c(j, a, b)
+            GROUP BY r.gkey, c.j
+        ),
+        cand AS (
+            SELECT DISTINCT h1.gkey AS g1, h2.gkey AS g2
+            FROM hashes h1
+            JOIN hashes h2 ON h1.j = h2.j AND h1.h = h2.h
+            WHERE h1.gkey < h2.gkey
+        ),
+        inter AS (
+            SELECT c.g1, c.g2, count(*) AS i
+            FROM cand c
+            JOIN rep_tok r1 ON r1.gkey = c.g1
+            JOIN rep_tok r2 ON r2.gkey = c.g2 AND r2.token = r1.token
+            GROUP BY c.g1, c.g2
+        ),
+        rep_pairs AS (
+            SELECT g1, g2,
+                   round(1.0 - (1.0 - CAST(i AS DOUBLE)
+                                / CAST(s1.n + s2.n - i AS DOUBLE)),
+                         4) AS jaccard
+            FROM inter
+            JOIN sizes s1 ON s1.gkey = g1
+            JOIN sizes s2 ON s2.gkey = g2
+            WHERE (1.0 - CAST(i AS DOUBLE)
+                   / CAST(s1.n + s2.n - i AS DOUBLE)) < {MINHASH_DIST}
+        ),
+        cross_pairs AS (
+            SELECT least(ma.doc_id, mb.doc_id) AS doc1,
+                   greatest(ma.doc_id, mb.doc_id) AS doc2,
+                   p.jaccard
+            FROM rep_pairs p
+            JOIN members ma ON ma.gkey = p.g1
+            JOIN members mb ON mb.gkey = p.g2
+        ),
+        within_pairs AS (
+            SELECT m1.doc_id AS doc1, m2.doc_id AS doc2,
+                   CAST(1.0 AS DOUBLE) AS jaccard
+            FROM members m1
+            JOIN members m2
+              ON m1.gkey = m2.gkey AND m1.doc_id < m2.doc_id
+        )
+        SELECT doc1, doc2, jaccard FROM cross_pairs
+        UNION ALL
+        SELECT doc1, doc2, jaccard FROM within_pairs
+    """,
+}
