@@ -45,7 +45,12 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dic_a1_spark.operators.similarity import N_QUERIES, TOP_K, _dot
+from dic_a1_spark.operators.similarity import (
+    N_QUERIES,
+    TOP_K,
+    _dot,
+    _nan_to_null,
+)
 from dic_a1_spark.sources.readers import load_table
 
 # 64-dim embeddings -> M subspaces of SUBDIM dims; PQ_K codes per
@@ -179,8 +184,11 @@ def pq_recon_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(_dot(F.col("emb"), F.col("emb")))
         * F.sqrt(_dot(F.col("recon"), F.col("recon")))
     )
+    # NaN -> NULL (zero-norm vector or all-zero reconstruction): the
+    # certificate REPORTS undefined cohesion as NULL, matching DuckDB's
+    # 0/0 and the fast twins' Arrow NaN->NULL (similarity._nan_to_null).
     return e.join(r, "vec_id").select(
-        "vec_id", F.round(sim, 4).alias("recon_sim_r")
+        "vec_id", F.round(_nan_to_null(sim), 4).alias("recon_sim_r")
     )
 
 
@@ -218,7 +226,9 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(queries)
         .crossJoin(cands)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qe", "neighbor_id", adc.alias("adc_sim"))
+        .select(
+            "query_id", "qe", "neighbor_id", _nan_to_null(adc).alias("adc_sim")
+        )
         .withColumn("srank", F.row_number().over(w_short))
         .where(F.col("srank") <= PQ_SHORTLIST)
         .select("query_id", "qe", "neighbor_id")
@@ -236,7 +246,7 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         shortlist.join(exact_side, "neighbor_id")
-        .select("query_id", "neighbor_id", exact.alias("sim_raw"))
+        .select("query_id", "neighbor_id", _nan_to_null(exact).alias("sim_raw"))
         .withColumn("rank", F.row_number().over(w_final))
         .where(F.col("rank") <= TOP_K)
         .select(
@@ -595,7 +605,7 @@ def knn_cosine_pq_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shortlist.join(F.broadcast(queries), "query_id")
         .join(exact_side, "neighbor_id")
-        .select("query_id", "neighbor_id", exact.alias("sim_raw"))
+        .select("query_id", "neighbor_id", _nan_to_null(exact).alias("sim_raw"))
         .withColumn("rank", F.row_number().over(w_final))
         .where(F.col("rank") <= TOP_K)
         .select(

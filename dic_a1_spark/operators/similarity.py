@@ -90,6 +90,23 @@ def _cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return _dot_seq_batch(a, b) / (na * nb)
 
 
+
+def _nan_to_null(c: Column) -> Column:
+    """Normalize a NaN cosine (zero-norm participant: 0/0) to NULL.
+
+    Rationale (round-9 fuzz): DuckDB maps ANY division by zero to NULL,
+    and the Arrow-batched fast twins already ship numpy NaN as NULL —
+    but a raw JVM Column division yields true NaN, which Spark's
+    DESCENDING sort ranks FIRST (NaN is greatest in Spark's total
+    order) while NULL ranks LAST in both engines. On a corpus with a
+    zero-norm vector or centroid the exact paths would therefore fork
+    from both their fast twins and the shared oracles. Normalizing at
+    the point of division makes exact == fast == oracle: NULL sims
+    rank last, ties resolve on the id key, and emitted values agree.
+    Value-identical on any corpus without zero-norm vectors."""
+    return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
@@ -125,7 +142,10 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.round(
-                _cosine_pre(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")), 4
+                _nan_to_null(
+                    _cosine_pre(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"))
+                ),
+                4,
             ).alias("sim"),
         )
     )
@@ -158,7 +178,10 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "centroid_id",
         F.round(
-            _cosine_pre(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")), 4
+            _nan_to_null(
+                _cosine_pre(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn"))
+            ),
+            4,
         ).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
@@ -193,7 +216,10 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id", "qv", "qn", "centroid_id",
             F.round(
-                _cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 4
+                _nan_to_null(
+                    _cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+                ),
+                4,
             ).alias("csim"),
         )
     )
@@ -218,7 +244,10 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.round(
-                _cosine_pre(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")), 4
+                _nan_to_null(
+                    _cosine_pre(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"))
+                ),
+                4,
             ).alias("sim"),
         )
         .distinct()  # a neighbor can appear via multiple probed lists
@@ -299,7 +328,10 @@ def _ivf_multi_assign(e: DataFrame, nprobe: int, ivf_k: int = IVF_K) -> DataFram
         "v",
         "vn",
         F.round(
-            _cosine_pre(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")), 4
+            _nan_to_null(
+                _cosine_pre(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn"))
+            ),
+            4,
         ).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
@@ -974,7 +1006,9 @@ def label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = e.join(cvec, "label").select(
         "vec_id",
         "label",
-        F.round(cosine(F.col("embedding"), F.col("cv")), 4).alias("centroid_sim"),
+        F.round(
+            _nan_to_null(cosine(F.col("embedding"), F.col("cv"))), 4
+        ).alias("centroid_sim"),
     )
     return joined
 
