@@ -49,7 +49,7 @@ from dic_a1_spark.operators.similarity import (
     N_QUERIES,
     TOP_K,
     _dot,
-    _nan_to_null,
+    _null_div,
 )
 from dic_a1_spark.sources.readers import load_table
 
@@ -180,15 +180,17 @@ def pq_recon_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double(F.col("embedding")).alias("emb")
     )
     r = _with_recon(spark, sf_dir)
-    sim = _dot(F.col("emb"), F.col("recon")) / (
-        F.sqrt(_dot(F.col("emb"), F.col("emb")))
-        * F.sqrt(_dot(F.col("recon"), F.col("recon")))
-    )
-    # NaN -> NULL (zero-norm vector or all-zero reconstruction): the
+    # Division via _null_div (zero-norm vector or all-zero recon): the
     # certificate REPORTS undefined cohesion as NULL, matching DuckDB's
-    # 0/0 and the fast twins' Arrow NaN->NULL (similarity._nan_to_null).
+    # 0/0 and the fast twins' Arrow NaN->NULL; a raw `/` would THROW
+    # under ANSI (similarity._null_div).
+    sim = _null_div(
+        _dot(F.col("emb"), F.col("recon")),
+        F.sqrt(_dot(F.col("emb"), F.col("emb")))
+        * F.sqrt(_dot(F.col("recon"), F.col("recon"))),
+    )
     return e.join(r, "vec_id").select(
-        "vec_id", F.round(_nan_to_null(sim), 4).alias("recon_sim_r")
+        "vec_id", F.round(sim, 4).alias("recon_sim_r")
     )
 
 
@@ -215,9 +217,10 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = _with_recon(spark, sf_dir).select(
         F.col("vec_id").alias("neighbor_id"), F.col("recon").alias("ne")
     )
-    adc = _dot(F.col("qe"), F.col("ne")) / (
+    adc = _null_div(
+        _dot(F.col("qe"), F.col("ne")),
         F.sqrt(_dot(F.col("qe"), F.col("qe")))
-        * F.sqrt(_dot(F.col("ne"), F.col("ne")))
+        * F.sqrt(_dot(F.col("ne"), F.col("ne"))),
     )
     w_short = Window.partitionBy("query_id").orderBy(
         F.desc("adc_sim"), F.asc("neighbor_id")
@@ -227,7 +230,7 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(cands)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            "query_id", "qe", "neighbor_id", _nan_to_null(adc).alias("adc_sim")
+            "query_id", "qe", "neighbor_id", adc.alias("adc_sim")
         )
         .withColumn("srank", F.row_number().over(w_short))
         .where(F.col("srank") <= PQ_SHORTLIST)
@@ -237,16 +240,17 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         _as_double(F.col("embedding")).alias("ne_exact"),
     )
-    exact = _dot(F.col("qe"), F.col("ne_exact")) / (
+    exact = _null_div(
+        _dot(F.col("qe"), F.col("ne_exact")),
         F.sqrt(_dot(F.col("qe"), F.col("qe")))
-        * F.sqrt(_dot(F.col("ne_exact"), F.col("ne_exact")))
+        * F.sqrt(_dot(F.col("ne_exact"), F.col("ne_exact"))),
     )
     w_final = Window.partitionBy("query_id").orderBy(
         F.desc("sim_raw"), F.asc("neighbor_id")
     )
     return (
         shortlist.join(exact_side, "neighbor_id")
-        .select("query_id", "neighbor_id", _nan_to_null(exact).alias("sim_raw"))
+        .select("query_id", "neighbor_id", exact.alias("sim_raw"))
         .withColumn("rank", F.row_number().over(w_final))
         .where(F.col("rank") <= TOP_K)
         .select(
@@ -595,9 +599,10 @@ def knn_cosine_pq_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         _as_double(F.col("embedding")).alias("ne_exact"),
     )
-    exact = _dot(F.col("qe"), F.col("ne_exact")) / (
+    exact = _null_div(
+        _dot(F.col("qe"), F.col("ne_exact")),
         F.sqrt(_dot(F.col("qe"), F.col("qe")))
-        * F.sqrt(_dot(F.col("ne_exact"), F.col("ne_exact")))
+        * F.sqrt(_dot(F.col("ne_exact"), F.col("ne_exact"))),
     )
     w_final = Window.partitionBy("query_id").orderBy(
         F.desc("sim_raw"), F.asc("neighbor_id")
@@ -605,7 +610,7 @@ def knn_cosine_pq_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shortlist.join(F.broadcast(queries), "query_id")
         .join(exact_side, "neighbor_id")
-        .select("query_id", "neighbor_id", _nan_to_null(exact).alias("sim_raw"))
+        .select("query_id", "neighbor_id", exact.alias("sim_raw"))
         .withColumn("rank", F.row_number().over(w_final))
         .where(F.col("rank") <= TOP_K)
         .select(

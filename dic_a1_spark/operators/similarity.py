@@ -72,8 +72,27 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _null_div(num: Column, den: Column) -> Column:
+    """Cosine division with DuckDB's zero-denominator semantics: NULL.
+
+    Rationale (round-9 zero-norm fuzz, tests/test_r9_oracle_fuzz.py):
+    a zero-norm participant makes the cosine 0/0. DuckDB (1.0.0) maps
+    ANY division by zero to NULL, and the Arrow-batched fast twins
+    already ship numpy's NaN as NULL (pandas->Arrow treats float NaN
+    as null) — but a raw JVM Column division under Spark 4's default
+    ANSI mode does not even produce NaN: it THROWS DIVIDE_BY_ZERO and
+    kills the job. ``try_divide`` is the ANSI-sanctioned escape and
+    lands exactly on the oracle's semantics: NULL, which ranks LAST
+    under ``ORDER BY sim DESC`` in both engines (ties then resolve on
+    the id key). Using it at every cosine division makes
+    exact == fast == oracle on corpora with zero-norm vectors, and is
+    value-identical everywhere else. NaN INPUT components are out of
+    contract (the embeddings schema is finite float32)."""
+    return F.try_divide(num, den)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    return _null_div(_dot(a, b), _norm(a) * _norm(b))
 
 
 def _cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
@@ -86,25 +105,9 @@ def _cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
     dot/(sqrt(dot)*sqrt(dot)) shape since each norm is the identical
     sequential fold, just evaluated once. The dot itself is the
     Arrow-batched _dot_seq_batch (same accumulation order, ~100x faster
-    than the interpreted HOF fold)."""
-    return _dot_seq_batch(a, b) / (na * nb)
-
-
-
-def _nan_to_null(c: Column) -> Column:
-    """Normalize a NaN cosine (zero-norm participant: 0/0) to NULL.
-
-    Rationale (round-9 fuzz): DuckDB maps ANY division by zero to NULL,
-    and the Arrow-batched fast twins already ship numpy NaN as NULL —
-    but a raw JVM Column division yields true NaN, which Spark's
-    DESCENDING sort ranks FIRST (NaN is greatest in Spark's total
-    order) while NULL ranks LAST in both engines. On a corpus with a
-    zero-norm vector or centroid the exact paths would therefore fork
-    from both their fast twins and the shared oracles. Normalizing at
-    the point of division makes exact == fast == oracle: NULL sims
-    rank last, ties resolve on the id key, and emitted values agree.
-    Value-identical on any corpus without zero-norm vectors."""
-    return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
+    than the interpreted HOF fold). Division via _null_div: a zero-norm
+    side yields NULL, matching DuckDB and the numpy fast twins."""
+    return _null_div(_dot_seq_batch(a, b), na * nb)
 
 
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,9 +145,7 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.round(
-                _nan_to_null(
-                    _cosine_pre(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"))
-                ),
+                _cosine_pre(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")),
                 4,
             ).alias("sim"),
         )
@@ -178,9 +179,7 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "centroid_id",
         F.round(
-            _nan_to_null(
-                _cosine_pre(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn"))
-            ),
+            _cosine_pre(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")),
             4,
         ).alias("sim"),
     )
@@ -216,9 +215,7 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id", "qv", "qn", "centroid_id",
             F.round(
-                _nan_to_null(
-                    _cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
-                ),
+                _cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
                 4,
             ).alias("csim"),
         )
@@ -244,9 +241,7 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.round(
-                _nan_to_null(
-                    _cosine_pre(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"))
-                ),
+                _cosine_pre(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")),
                 4,
             ).alias("sim"),
         )
@@ -328,9 +323,7 @@ def _ivf_multi_assign(e: DataFrame, nprobe: int, ivf_k: int = IVF_K) -> DataFram
         "v",
         "vn",
         F.round(
-            _nan_to_null(
-                _cosine_pre(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn"))
-            ),
+            _cosine_pre(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")),
             4,
         ).alias("sim"),
     )
@@ -1007,7 +1000,7 @@ def label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.round(
-            _nan_to_null(cosine(F.col("embedding"), F.col("cv"))), 4
+            cosine(F.col("embedding"), F.col("cv")), 4
         ).alias("centroid_sim"),
     )
     return joined
