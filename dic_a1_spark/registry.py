@@ -21,101 +21,111 @@ from pyspark.sql import DataFrame, SparkSession
 # module's later bare entry picks up the rest) — this gives the rotation
 # per-QUERY window control instead of per-module granularity.
 #
-# ROUND-8 ROTATION. Entering this round every registry entry has a green
-# driver row (CORRECTNESS_r07: 50/50; cross-round 232/232 graded,
-# 228/228 oracle-gated hash-green). The r7 window graded the 14-entry
-# late-r6 block, 3 ADVICE re-grades, all 30 NEW r7 entries, and 3 chisq
-# re-certs. The r8 window therefore fronts, in order:
-#   (a) re-grades of every query EDITED this round — bm25_batch_topk
-#       (one tagged fold instead of B corpus folds), ragpack 2 (inherit
-#       the scorer), postings 2 (cap moved inside the aggregation),
-#       attribution 2 (fixed-offset pipe-safe decode + width guard),
-#       diversity_distinct_ngrams (degenerate sources kept via left
-#       join), bpe_pair_census (oracle predicate states the >= 2-symbol
-#       invariant directly) — 9 entries (cum 9);
-#   (b) newly oracle-gated: embedding_neardup_blocked_fast +
-#       embedding_neardup_groups (decorated-view oracles, previously
-#       rows-only) — 2 (cum 11);
-#   (c) oldest-green-first re-certification — the 45 entries whose
-#       newest driver row is r2: chisq_top75 + chisq_vocab_union
-#       (cum 13), sql_surface 6 (cum 19), tpch_extra 5 (cum 24),
-#       relational 32 (cum 56 — the last ~6 relational entries sit just
-#       past the window and lead the r9 rotation).
-#   (d) anything NEW in r8 is appended AFTER the stale block (positions
-#       51+), staged for the r9 front-rotation (the r6->r7 pattern), so
-#       new work does not evict stale re-certs from the window.
+# ROUND-9 ROTATION. Entering this round: 230/240 entries driver-graded
+# at least once, all hash-green; 8 NEW r8 entries + the 2 rows-only
+# yardsticks never graded; 9 entries' newest row is r2. The r9 window
+# fronts, in order:
+#   (a) re-grades of everything EDITED in r9 — the try_divide zero-norm
+#       fix (similarity 9 + pq 5 + every _cosine_pre consumer;
+#       tests/test_r9_oracle_fuzz.py found raw `/` THROWS under ANSI on
+#       a zero-norm corpus), the quote-safe bm25 batch map, the
+#       parquet-footer codebook sizing (embdecontam), and the newly
+#       oracle-gated spark.ml MinHashLSH yardstick (deterministic
+#       vocabulary + seed-pinned hash family; ml_kmeans_clusters stays
+#       rows-only — k-means|| init is partition-RNG-dependent, see the
+#       ml_ops module ledger) — 22 entries (cum 22);
+#   (b) the 6 remaining NEW-r8 never-graded entries (tokapply 2,
+#       repselect 2, postcompress 2; embdecontam's 2 are in (a))
+#       (cum 28);
+#   (c) the r2-stale spillover — relational's 5 scalar_* + set_except,
+#       the events trio (cum 37);
+#   (d) re-grades of the r8 fuzz ORACLE edits (value-identical on the
+#       driver corpora, confirmed by pytest + sweep; a driver row makes
+#       it official): events_session_windows (>= -> > gap boundary) and
+#       the coalesced tokenset-md5 family — dedup_tokenset_groups,
+#       dedup_incremental_keep/stats, split_leakage_safe_assign/audit,
+#       doc_fingerprint, corpus_datacard (repselect's 2 are in (b))
+#       (cum 45);
+#   (e) ragpack 2 — downstream of the (a) batch-scorer edit (cum 47);
+#   (f) oldest-green-first: the r3 textstats tranche — 8 entries
+#       (cum 55; the last few spill past the ~50 window and lead r10).
 #
-# NOTE (late r8): the hostile-corpus fuzz found DuckDB's
-# array_to_string([], ' ') is NULL where Spark's concat_ws is '' — the
-# six oracles inlining the tokenset-md5 now use the coalesced
-# config.duckdb_tokenset_md5_sql. The edit is ORACLE-side only and
-# value-identical on every driver corpus (no empty-token documents
-# exist at sf0.001/0.01/0.1 — pytest re-ran all six families green),
-# so those entries are NOT fronted over the stale block; they keep
-# their tail positions and the committed sweep covers them. Same class:
-# the hostile-events fuzz (tests/test_events_fuzz.py) found Spark's
-# session_window merges an event landing EXACTLY on the session end
-# while the oracle's >= split it — the oracle now uses strict >, again
-# value-identical on every driver corpus (no exact-gap events exist).
-#
-# R9 STAGING: front (a) re-grades of anything edited in r9, (b) the
-# relational tail that spilled past position 50, (c) everything NEW in
-# r8 (see (d) above), then (d) oldest-green-first: the r4/r5 tranches
-# (scrub, incremental, quantize, lexical, evalops, ml_ops, pq,
-# curation, events, textstats, sketches, ngrams, udxf, multimodal,
-# dedup, tpch_full, similarity rest, lsh), then the r6 tranche (substr,
-# linededup, semdedup, sampling, mixing, mining, winnow, corpusops).
+# R10 STAGING: front anything edited in r10, then continue
+# oldest-green-first — whatever r3/r4 textstats entries spilled here,
+# then the r4 tranche (sketches, ngrams, lexical, udxf, multimodal,
+# dedup rest, tpch_full, lsh), then r5 (scrub, incremental rest,
+# quantize, evalops, ml_ops rest, curation, events rest), then r6
+# (substr, linededup, semdedup, sampling rest, mixing, mining, winnow,
+# corpusops rest), then r7 (dsir, lm, cdc, colloc, vocabgrowth, panel,
+# graphrank, taxonomy, seasonality, qlinear, provenance, diversity,
+# bpe, bm25 rest, chisq), then r8 (sql_surface, tpch_extra, relational
+# rest, postings, attribution).
 _MODULES = (
-    # (a) edited in round 8
+    # (a) edited in round 9 (try_divide zero-norm fix + quote-safe
+    # batch map + footer-metadata sizing + newly oracle-gated ml)
+    "dic_a1_spark.operators.similarity",
+    "dic_a1_spark.operators.pq",
     ("dic_a1_spark.operators.bm25", ("bm25_batch_topk",)),
-    "dic_a1_spark.operators.ragpack",
-    "dic_a1_spark.operators.postings",
-    "dic_a1_spark.operators.attribution",
-    ("dic_a1_spark.operators.diversity", ("diversity_distinct_ngrams",)),
-    ("dic_a1_spark.operators.bpe", ("bpe_pair_census",)),
-    # (b) newly oracle-gated (rows-only -> hash-gated this round)
-    (
-        "dic_a1_spark.operators.similarity",
-        ("embedding_neardup_blocked_fast", "embedding_neardup_groups"),
-    ),
-    # (c) oldest-green-first: the r2-stale block
-    (
-        "dic_a1_spark.operators.chisq",
-        ("chisq_top75", "chisq_vocab_union"),
-    ),
-    "dic_a1_spark.operators.sql_surface",
-    "dic_a1_spark.operators.tpch_extra",
-    "dic_a1_spark.operators.relational",
-    # (d) NEW in round 8 — appended here as built (positions 51+,
-    # staged for the r9 front-rotation)
-    "dic_a1_spark.operators.tokapply",
     "dic_a1_spark.operators.embdecontam",
+    ("dic_a1_spark.operators.ml_ops", ("ml_minhash_neardups",)),
+    # (b) NEW in r8, never driver-graded (staged for this window)
+    "dic_a1_spark.operators.tokapply",
     "dic_a1_spark.operators.repselect",
     "dic_a1_spark.operators.postcompress",
-    # --- tail: remaining queries of fronted modules, then the r4-r6
-    # tranches (all have r4+ green rows + the committed sweep)
-    "dic_a1_spark.operators.bm25",
-    "dic_a1_spark.operators.diversity",
-    "dic_a1_spark.operators.bpe",
-    "dic_a1_spark.operators.similarity",
-    "dic_a1_spark.operators.chisq",
-    "dic_a1_spark.operators.scrub",
-    "dic_a1_spark.operators.incremental",
-    "dic_a1_spark.operators.quantize",
-    "dic_a1_spark.operators.lexical",
-    "dic_a1_spark.operators.evalops",
-    "dic_a1_spark.operators.ml_ops",
-    "dic_a1_spark.operators.pq",
-    "dic_a1_spark.operators.curation",
-    "dic_a1_spark.operators.events",
+    # (c) r2-stale spillover
+    (
+        "dic_a1_spark.operators.relational",
+        (
+            "set_except",
+            "scalar_string_funcs",
+            "scalar_date_funcs",
+            "scalar_math_funcs",
+            "scalar_json_funcs",
+            "scalar_case_when",
+        ),
+    ),
+    (
+        "dic_a1_spark.operators.events",
+        (
+            "events_hour_of_day_matrix",
+            "events_first_per_user_type",
+            "events_value_percentiles",
+        ),
+    ),
+    # (d) r8 fuzz oracle edits — official driver re-grades
+    ("dic_a1_spark.operators.events", ("events_session_windows",)),
+    ("dic_a1_spark.operators.dedup", ("dedup_tokenset_groups",)),
+    (
+        "dic_a1_spark.operators.incremental",
+        ("dedup_incremental_keep", "dedup_incremental_stats"),
+    ),
+    (
+        "dic_a1_spark.operators.sampling",
+        ("split_leakage_safe_assign", "split_leakage_audit"),
+    ),
+    ("dic_a1_spark.operators.textstats", ("doc_fingerprint",)),
+    ("dic_a1_spark.operators.corpusops", ("corpus_datacard",)),
+    # (e) downstream of the edited batch scorer
+    "dic_a1_spark.operators.ragpack",
+    # (f) oldest-green-first: the r3 textstats tranche
     "dic_a1_spark.operators.textstats",
+    # --- tail: remaining queries of fronted modules + the r4-r8
+    # tranches, oldest-green-first (all have green rows + the sweep)
     "dic_a1_spark.operators.sketches",
     "dic_a1_spark.operators.ngrams",
+    "dic_a1_spark.operators.lexical",
     "dic_a1_spark.operators.udxf",
     "dic_a1_spark.operators.multimodal",
     "dic_a1_spark.operators.dedup",
     "dic_a1_spark.operators.tpch_full",
     "dic_a1_spark.operators.lsh",
+    "dic_a1_spark.operators.scrub",
+    "dic_a1_spark.operators.incremental",
+    "dic_a1_spark.operators.quantize",
+    "dic_a1_spark.operators.evalops",
+    "dic_a1_spark.operators.ml_ops",
+    "dic_a1_spark.operators.curation",
+    "dic_a1_spark.operators.events",
     "dic_a1_spark.operators.substr",
     "dic_a1_spark.operators.linededup",
     "dic_a1_spark.operators.semdedup",
@@ -135,6 +145,15 @@ _MODULES = (
     "dic_a1_spark.operators.seasonality",
     "dic_a1_spark.operators.qlinear",
     "dic_a1_spark.operators.provenance",
+    "dic_a1_spark.operators.diversity",
+    "dic_a1_spark.operators.bpe",
+    "dic_a1_spark.operators.bm25",
+    "dic_a1_spark.operators.chisq",
+    "dic_a1_spark.operators.sql_surface",
+    "dic_a1_spark.operators.tpch_extra",
+    "dic_a1_spark.operators.relational",
+    "dic_a1_spark.operators.postings",
+    "dic_a1_spark.operators.attribution",
 )
 
 
