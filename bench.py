@@ -146,6 +146,12 @@ HEADLINE = [
     "bm25_batch_topk",
     "bpe_merges",
     "graph_pagerank",
+    # r8->r9 note: diversity_simpson was the one r8 shared-set
+    # regression >1.3x (0.5695 -> 0.818 s, module untouched). Isolated
+    # re-run in the r9 session (tools/drift_check.py, 6 cold-cache
+    # repeats, idle machine): min 0.550 / med 0.624 / max 1.014 s —
+    # median back at the r7 value; in-bench scheduling noise, the same
+    # class as the r7/r8 notes above.
     "diversity_simpson",
     "taxonomy_doc_topics",
     "qlin_doc_scores",
