@@ -5,8 +5,11 @@ punctuation, unicode whitespace, `<`/`>` survivors, empty and one-token
 docs, repeated runs); the embeddings-based embdecontam gets a planted
 corpus: exact duplicates STRADDLING the %MOD benchmark boundary (the
 case the driver corpus lacks — its dup clusters never cross it),
-near-threshold sims, an all-zeros vector (NaN cosine — both engines
-rank NaN high), and sign-flipped vectors (negative sims)."""
+near-threshold sims, an all-zeros vector (0/0 cosine — ships as NULL
+via pandas->Arrow on the Spark side, NULL from DuckDB's division by
+zero; NULL ranks LAST under DESC in both engines, the r9 finding
+pinned exhaustively in test_r9_oracle_fuzz), and sign-flipped vectors
+(negative sims)."""
 
 from __future__ import annotations
 

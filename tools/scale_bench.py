@@ -469,6 +469,61 @@ def main() -> None:
         }
         print(f"# {name}: {sec}s, {rows_out} rows", file=sys.stderr, flush=True)
 
+    # --- BM25 batch fan-out flatness (r9: VERDICT item 6) -----------------
+    # The r8 tagged-fold re-shape's contract is that batch scoring pays
+    # ONE corpus pass regardless of B (the r7 shape paid B corpus folds).
+    # The plan-shape test pins the exchange count; this measures the
+    # wall-clock consequence on the amplified corpus: B=3 (the registered
+    # batch) vs B=12 must be near-flat, not ~4x.
+    from pyspark.sql import Window
+
+    from dic_a1_spark.operators.bm25 import BM25_BATCH, BM25_BATCH_K, _scored_batch
+
+    _FANOUT_VOCAB = [
+        "dup", "hash", "key", "scan", "filter", "merge",
+        "stream", "batch", "window", "join", "vector", "table",
+    ]
+
+    def _batch_topk_sec(batch) -> tuple[float, int]:
+        docs = load_table(spark, args.work_dir, "documents")
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        rows_out = (
+            _scored_batch(docs, batch)
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rank") <= BM25_BATCH_K)
+            .count()
+        )
+        return round(time.perf_counter() - t0, 3), rows_out
+
+    big_batch = tuple(
+        (
+            f"q{i:02d}",
+            tuple(_FANOUT_VOCAB[(i + j) % len(_FANOUT_VOCAB)] for j in range(3)),
+        )
+        for i in range(12)
+    )
+    sec_b3, rows_b3 = _batch_topk_sec(BM25_BATCH)
+    sec_b12, rows_b12 = _batch_topk_sec(big_batch)
+    bm25_fanout = {
+        "note": (
+            "one tagged corpus fold regardless of B (r8 re-shape): "
+            "wall-clock must stay ~flat in batch width, not scale ~B"
+        ),
+        "b3": {"sec": sec_b3, "rows_out": rows_b3},
+        "b12": {"sec": sec_b12, "rows_out": rows_b12},
+        "b12_over_b3": round(sec_b12 / sec_b3, 2) if sec_b3 > 0 else None,
+    }
+    print(
+        f"# bm25_batch_fanout: B=3 {sec_b3}s, B=12 {sec_b12}s "
+        f"(ratio {bm25_fanout['b12_over_b3']})",
+        file=sys.stderr,
+        flush=True,
+    )
+
     # --- BPE induction past demo depth -----------------------------------
     bpe_row = None
     if args.bpe_rounds > 0:
@@ -518,6 +573,7 @@ def main() -> None:
         "n_lineitems": n_li,
         "graph_queries": graph_queries,
         "bpe_deep_run": bpe_row,
+        "bm25_batch_fanout": bm25_fanout,
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
