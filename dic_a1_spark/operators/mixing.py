@@ -171,11 +171,18 @@ def lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_docs",
             "c_tokens",
-            F.round(F.col("w") / F.col("w_total"), 6).alias("p_sample"),
+            # try_divide: a zero-token lang (or an all-empty corpus) makes
+            # the denominator 0 — ANSI `/` THROWS where DuckDB yields NULL
+            # (r9 degenerate-corpus sweep). Bit-identical when nonzero.
+            F.round(F.try_divide(F.col("w"), F.col("w_total")), 6).alias(
+                "p_sample"
+            ),
             F.round(
-                F.lit(float(TOKEN_BUDGET))
-                * (F.col("w") / F.col("w_total"))
-                / F.col("c_tokens").cast("double"),
+                F.try_divide(
+                    F.lit(float(TOKEN_BUDGET))
+                    * F.try_divide(F.col("w"), F.col("w_total")),
+                    F.col("c_tokens").cast("double"),
+                ),
                 4,
             ).alias("eff_epochs"),
         )
@@ -189,17 +196,22 @@ def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _source_census(spark, sf_dir)
     weighted = c.withColumn("w", _temp_weight(F.col("c_tokens")))
     tot = _w_total(weighted)
-    epochs_raw = (
+    # try_divide as in lang_temperature_mix: zero-token source -> NULL
+    # epochs (least() then ignores the NULL in BOTH engines, capping at
+    # MAX_EPOCHS; planned_tokens floors to 0 with c_tokens = 0).
+    epochs_raw = F.try_divide(
         F.lit(float(TOKEN_BUDGET))
-        * (F.col("w") / F.col("w_total"))
-        / F.col("c_tokens").cast("double")
+        * F.try_divide(F.col("w"), F.col("w_total")),
+        F.col("c_tokens").cast("double"),
     )
     return (
         weighted.crossJoin(F.broadcast(tot))
         .select(
             "source",
             "c_tokens",
-            F.round(F.col("w") / F.col("w_total"), 6).alias("p_target"),
+            F.round(F.try_divide(F.col("w"), F.col("w_total")), 6).alias(
+                "p_target"
+            ),
             F.round(
                 F.least(F.lit(MAX_EPOCHS), epochs_raw), 4
             ).alias("epochs"),

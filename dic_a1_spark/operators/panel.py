@@ -54,9 +54,14 @@ def _level(units_keyed: DataFrame, name: str) -> DataFrame:
             "n_units",
             "n_distinct",
             (F.col("n_units") - F.col("n_distinct")).alias("excess"),
+            # try_divide: a granularity with ZERO units (e.g. no window
+            # reaches the substr width on a tiny-doc corpus) is 0/0 —
+            # ANSI `/` THROWS where DuckDB yields NULL (r9 sweep).
             F.round(
-                (F.col("n_units") - F.col("n_distinct")).cast("double")
-                / F.col("n_units").cast("double"),
+                F.try_divide(
+                    (F.col("n_units") - F.col("n_distinct")).cast("double"),
+                    F.col("n_units").cast("double"),
+                ),
                 4,
             ).alias("excess_share"),
         )

@@ -125,15 +125,28 @@ def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
     per_doc = d.select("source", F.explode(F.array_distinct(toks)).alias("word"))
+    # LEFT join FROM the doc census: a source whose documents are all
+    # token-free has no exploded word rows at all, and the former inner
+    # join dropped it while the oracle (grouping the documents table
+    # directly) kept it with vocab_size 0 (r9 degenerate-corpus sweep).
     return (
-        per_doc.groupBy("source")
-        .agg(F.countDistinct("word").alias("vocab_size"))
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(toks)).alias("total_tokens"),
+        )
         .join(
-            d.groupBy("source").agg(
-                F.count("*").alias("n_docs"),
-                F.sum(F.size(toks)).alias("total_tokens"),
+            per_doc.groupBy("source").agg(
+                F.countDistinct("word").alias("vocab_size")
             ),
             "source",
+            "left",
+        )
+        .select(
+            "source",
+            F.coalesce("vocab_size", F.lit(0)).alias("vocab_size"),
+            "n_docs",
+            "total_tokens",
         )
     )
 

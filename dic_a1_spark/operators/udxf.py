@@ -51,13 +51,22 @@ def make_geo_mean():
     """Geometric mean as a custom pandas aggregate (UDAF). Values are
     sorted before the log-sum so the result is deterministic under
     Spark's arbitrary within-group row order (floating addition isn't
-    commutative-associative at the ulp level)."""
+    commutative-associative at the ulp level).
+
+    A zero member makes the geometric mean exactly 0.0 — stated as an
+    explicit branch (r9 degenerate-corpus sweep): numpy's ln(0) = -inf
+    happens to flow to exp(-inf) = 0.0 anyway but warns, while DuckDB's
+    ln(0) is a hard Out of Range error, so the oracle needs the same
+    branch and the contract belongs in code, not in float accident."""
 
     @pandas_udf("double")
     def geo_mean(v: pd.Series) -> float:
         import numpy as np
 
-        return float(np.exp(np.log(np.sort(v.to_numpy(dtype="float64"))).mean()))
+        a = v.to_numpy(dtype="float64")
+        if (a == 0.0).any():
+            return 0.0
+        return float(np.exp(np.log(np.sort(a)).mean()))
 
     return geo_mean
 
@@ -108,7 +117,14 @@ ORACLES: dict[str, str] = {
     """,
     "lang_chars_geomean": """
         SELECT lang,
-               round(exp(avg(ln(CAST(n_chars AS DOUBLE)))), 6) AS geomean_chars,
+               -- any zero member -> geomean exactly 0.0 (udxf.make_geo_mean
+               -- branches the same way; DuckDB's ln(0) is a hard error, and
+               -- a CASE AROUND the aggregate does not stop the aggregate's
+               -- argument from evaluating on every row — the zero must be
+               -- nulled out INSIDE via nullif)
+               CASE WHEN min(n_chars) = 0 THEN 0.0
+                    ELSE round(exp(avg(ln(CAST(nullif(n_chars, 0) AS DOUBLE)))), 6)
+               END AS geomean_chars,
                count(*) AS n_docs
         FROM documents GROUP BY lang
     """,

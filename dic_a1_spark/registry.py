@@ -107,6 +107,19 @@ _MODULES = (
     ("dic_a1_spark.operators.corpusops", ("corpus_datacard",)),
     # (e) downstream of the edited batch scorer
     "dic_a1_spark.operators.ragpack",
+    # (e2) edited LATE in r9 — the degenerate-corpus sweep
+    # (tests/test_degenerate_corpus.py) found three ANSI divide-by-zero
+    # crashes (mixing x2: zero-token lang/source; panel: zero-unit
+    # granularity), one dropped-group fork (text_source_profile inner
+    # join), and one oracle-side ln(0) hard error (lang_chars_geomean);
+    # all fixed value-identically on the driver corpora — re-grade.
+    ("dic_a1_spark.operators.udxf", ("lang_chars_geomean",)),
+    (
+        "dic_a1_spark.operators.mixing",
+        ("lang_temperature_mix", "mix_epoch_plan"),
+    ),
+    ("dic_a1_spark.operators.panel", ("redundancy_panel",)),
+    ("dic_a1_spark.operators.textstats", ("text_source_profile",)),
     # (f) oldest-green-first: the r3 textstats tranche
     "dic_a1_spark.operators.textstats",
     # --- tail: remaining queries of fronted modules + the r4-r8
