@@ -139,8 +139,14 @@ def events_attribution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pinned association); the gap mean is one exact integer division
     pair."""
     a = _attributed(spark, sf_dir)
+    # NULL-value semantics = SQL SUM (r9 NULL-corpus sweep): NULL revenue
+    # rows are excluded from the fold (collect_list already skips them;
+    # the oracle adds FILTER (value IS NOT NULL) since DuckDB's list()
+    # KEEPS NULLs and one NULL poisons the whole reduce), and a group
+    # with no non-NULL revenue sums to NULL, not 0.0.
     agg = a.groupBy("attributed_type").agg(
         F.count("*").cast("bigint").alias("n_purchases"),
+        F.count("value").cast("bigint").alias("n_values"),
         F.aggregate(
             F.array_sort(F.collect_list("value")),
             F.lit(0.0),
@@ -154,7 +160,9 @@ def events_attribution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "attributed_type",
         "n_purchases",
-        F.round("sum_value", 2).alias("sum_value_r"),
+        F.when(
+            F.col("n_values") > 0, F.round("sum_value", 2)
+        ).otherwise(F.lit(None).cast("double")).alias("sum_value_r"),
         F.when(
             F.col("gap_n") > 0,
             F.round(
@@ -228,8 +236,11 @@ ORACLES: dict[str, str] = {
         WITH {_ATTR_CTE}
         SELECT attributed_type,
                CAST(count(*) AS BIGINT) AS n_purchases,
-               round(list_reduce(list_sort(list(value)),
-                                 (a, b) -> a + b), 2) AS sum_value_r,
+               CASE WHEN count(value) > 0
+                    THEN round(list_reduce(list_sort(
+                             list(value) FILTER (value IS NOT NULL)),
+                             (a, b) -> a + b), 2)
+                    ELSE NULL END AS sum_value_r,
                CASE WHEN count(gap_s) > 0
                     THEN round(CAST(sum(gap_s) AS DOUBLE)
                                / CAST(count(gap_s) AS DOUBLE), 4)

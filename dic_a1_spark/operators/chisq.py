@@ -87,6 +87,14 @@ def chi2_scores(
     join back via broadcast — the Spark-native form of the reference's
     counters.txt distributed-cache map-side join (src/chiSquaredJob.py:37-57).
     """
+    # NULL-category docs are excluded from the ENTIRE contingency
+    # universe (the engine-side analogue of the reference's
+    # malformed-record skip, src/chiSquaredJob.py field-missing guard):
+    # keeping them would leak their word counts into the per-word window
+    # (computed BELOW the category join) while the category join drops
+    # their rows — the inconsistent-cells fork the r9 NULL-corpus sweep
+    # caught. The oracle applies the same lang IS NOT NULL filter.
+    docs = docs.where(F.col(category_col).isNotNull())
     wc = doc_frequency(docs, id_col, category_col, text_col)
     cat = category_totals(docs, category_col)
     # Derive the global total from the category totals (sum of 22-ish rows)
@@ -202,8 +210,9 @@ wc AS (
 
 _CHI_CTE = f"""
 {_TOK_CTE},
-cat AS (SELECT lang AS category, count(*) AS cat_n FROM documents GROUP BY lang),
-tot AS (SELECT count(*) AS n_total FROM documents),
+cat AS (SELECT lang AS category, count(*) AS cat_n FROM documents
+        WHERE lang IS NOT NULL GROUP BY lang),
+tot AS (SELECT count(*) AS n_total FROM documents WHERE lang IS NOT NULL),
 cells AS (
     SELECT wc.category, wc.word,
            CAST(wc.n AS DOUBLE) AS a,

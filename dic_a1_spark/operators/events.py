@@ -261,9 +261,14 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("approx_users") - F.col("exact_users"))
             <= F.col("exact_users").cast("double") * 0.06
         ).alias("users_in_band"),
-        (
+        # Vacuous truth for an all-NULL value group: every percentile is
+        # NULL, the comparison is NULL, and the oracle's literal TRUE
+        # would hash-mismatch (r9 NULL-corpus sweep). An empty error band
+        # is not a violated error band.
+        F.coalesce(
             (F.col("approx_median") >= F.col("p45"))
-            & (F.col("approx_median") <= F.col("p55"))
+            & (F.col("approx_median") <= F.col("p55")),
+            F.lit(True),
         ).alias("median_in_band"),
     )
 

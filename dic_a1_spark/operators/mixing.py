@@ -133,8 +133,12 @@ def domain_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "rnk",
         F.row_number().over(
+            # asc_nulls_last: Spark's bare asc puts a NULL source FIRST
+            # where DuckDB's ASC default puts it LAST — a tie at the
+            # leftover boundary then hands the extra token to different
+            # sources (r9 NULL-corpus sweep). NULLS LAST in both.
             Window.partitionBy().orderBy(
-                F.desc("remainder"), F.asc("source")
+                F.desc("remainder"), F.asc_nulls_last("source")
             )
         ),
     )

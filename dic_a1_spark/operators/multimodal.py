@@ -73,15 +73,26 @@ def decode_batches(blobs: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            lens = pdf["payload"].map(len)
-            w, h, nf = zip(*lens.map(_fake_decode)) if len(pdf) else ((), (), ())
+            # A NULL payload (absent asset) decodes to NULL metadata —
+            # the oracle's octet_length(encode(NULL)) is NULL; len(None)
+            # in the worker was a hard crash (r9 NULL-corpus sweep).
+            # Nullable Int32 (not int32): NaN survives the Arrow trip as
+            # a proper SQL NULL.
+            lens = pdf["payload"].map(
+                lambda b: len(b) if b is not None else None
+            )
+            trip = [
+                _fake_decode(int(n)) if pd.notna(n) else (None, None, None)
+                for n in lens
+            ]
+            w, h, nf = zip(*trip) if len(pdf) else ((), (), ())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": lens.astype("int32"),
-                    "width": pd.Series(w, index=pdf.index, dtype="int32"),
-                    "height": pd.Series(h, index=pdf.index, dtype="int32"),
-                    "n_frames": pd.Series(nf, index=pdf.index, dtype="int32"),
+                    "byte_len": lens.astype("Int32"),
+                    "width": pd.Series(w, index=pdf.index, dtype="Int32"),
+                    "height": pd.Series(h, index=pdf.index, dtype="Int32"),
+                    "n_frames": pd.Series(nf, index=pdf.index, dtype="Int32"),
                     "mode": pd.Series("stub", index=pdf.index, dtype="object"),
                 }
             )

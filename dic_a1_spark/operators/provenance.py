@@ -152,11 +152,12 @@ def source_overlap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_pairs"),
         F.max("jaccard_r").alias("max_jaccard_r"),
     )
+    # countDistinct, not distinct().count(): a NULL source is unknown
+    # provenance, not a source — SQL count(DISTINCT) skips it while the
+    # distinct-rows count kept it (r9 NULL-corpus sweep).
     nsrc = (
         load_table(spark, sf_dir, "documents")
-        .select("source")
-        .distinct()
-        .agg(F.count("*").cast("bigint").alias("n_sources"))
+        .agg(F.countDistinct("source").cast("bigint").alias("n_sources"))
     )
     return (
         nsrc.crossJoin(F.broadcast(agg))

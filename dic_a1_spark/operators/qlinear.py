@@ -105,11 +105,19 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             F.size("toks").cast("bigint").alias("n_tokens"),
+            # Outer coalesce: a NULL text tokenizes to a NULL array and
+            # the fold returns NULL, while the oracle's LEFT JOIN +
+            # COALESCE(dot, 0) scores the doc at the bias (r9 NULL-corpus
+            # sweep). An absent document body carries zero evidence —
+            # raw = bias, label = bias >= 0 — in both engines.
             (
-                F.expr(
-                    f"aggregate(toks, CAST(0 AS BIGINT),"
-                    f" (acc, w) -> acc + coalesce(map({map_lit})[w],"
-                    f" CAST(0 AS BIGINT)))"
+                F.coalesce(
+                    F.expr(
+                        f"aggregate(toks, CAST(0 AS BIGINT),"
+                        f" (acc, w) -> acc + coalesce(map({map_lit})[w],"
+                        f" CAST(0 AS BIGINT)))"
+                    ),
+                    F.lit(0).cast("bigint"),
                 )
                 + F.lit(QLIN_BIAS).cast("bigint")
             ).alias("raw"),

@@ -91,9 +91,14 @@ def events_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_weekday",
         "n_weekend",
+        # try_divide: a type seen ONLY on weekends has n_weekday = 0 —
+        # ANSI `/` THROWS where DuckDB yields NULL (r9 NULL-corpus
+        # sweep; the planted corpus starts on a Saturday).
         F.round(
-            (F.col("n_weekend").cast("double") * F.lit(5.0))
-            / (F.col("n_weekday").cast("double") * F.lit(2.0)),
+            F.try_divide(
+                F.col("n_weekend").cast("double") * F.lit(5.0),
+                F.col("n_weekday").cast("double") * F.lit(2.0),
+            ),
             6,
         ).alias("lift_r"),
     )

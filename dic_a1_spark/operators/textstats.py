@@ -178,16 +178,23 @@ def docs_grouped_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     def quartiles(pdf: pd.DataFrame) -> pd.DataFrame:
-        xs = pdf["n_chars"].sort_values().to_numpy()
+        # NULL n_chars members are excluded from the DISTRIBUTION but
+        # still counted in n_docs — exactly DuckDB's percentile_disc
+        # (skips NULLs) next to count(*) (keeps them). Without the
+        # dropna a NaN sorts last and q3 lands on it (r9 NULL-corpus
+        # sweep fork).
+        xs = pdf["n_chars"].dropna().sort_values().to_numpy()
         n = len(xs)
 
         def disc(p: float):
+            if n == 0:
+                return None
             return xs[max(0, math.ceil(p * n) - 1)]
 
         return pd.DataFrame(
             {
                 "lang": [pdf["lang"].iloc[0]],
-                "n_docs": [n],
+                "n_docs": [len(pdf)],
                 "q1_chars": [disc(0.25)],
                 "median_chars": [disc(0.5)],
                 "q3_chars": [disc(0.75)],

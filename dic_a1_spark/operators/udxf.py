@@ -63,7 +63,12 @@ def make_geo_mean():
     def geo_mean(v: pd.Series) -> float:
         import numpy as np
 
-        a = v.to_numpy(dtype="float64")
+        # NULL members arrive as NaN in the float64 view; aggregates skip
+        # NULLs in both engines (r9 NULL-corpus sweep), so drop them
+        # before the log fold instead of letting NaN poison the mean.
+        a = v.dropna().to_numpy(dtype="float64")
+        if len(a) == 0:
+            return None
         if (a == 0.0).any():
             return 0.0
         return float(np.exp(np.log(np.sort(a)).mean()))
@@ -97,7 +102,11 @@ def lang_chars_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(geo_mean("n_chars"), 6).alias("geomean_chars")
     )
     counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
-    return gm.join(counts, "lang")
+    # eqNullSafe: both engines keep the NULL lang GROUP, but a plain
+    # equi-join drops the NULL-key row (r9 NULL-corpus sweep).
+    return gm.join(
+        counts, gm["lang"].eqNullSafe(counts["lang"])
+    ).select(gm["lang"], "geomean_chars", "n_docs")
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

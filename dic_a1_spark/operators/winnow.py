@@ -194,9 +194,14 @@ def winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_grams",
         "n_fingerprints",
         "n_docs",
+        # try_divide: a corpus whose docs are all shorter than the gram
+        # width has n_grams = 0 — ANSI `/` THROWS where DuckDB yields
+        # NULL (r9 NULL-corpus sweep).
         F.round(
-            F.col("n_fingerprints").cast("double")
-            / F.col("n_grams").cast("double"),
+            F.try_divide(
+                F.col("n_fingerprints").cast("double"),
+                F.col("n_grams").cast("double"),
+            ),
             4,
         ).alias("density"),
     )

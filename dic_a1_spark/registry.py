@@ -23,43 +23,47 @@ from pyspark.sql import DataFrame, SparkSession
 #
 # ROUND-9 ROTATION. Entering this round: 230/240 entries driver-graded
 # at least once, all hash-green; 8 NEW r8 entries + the 2 rows-only
-# yardsticks never graded; 9 entries' newest row is r2. The r9 window
-# fronts, in order:
-#   (a) re-grades of everything EDITED in r9 — the try_divide zero-norm
-#       fix (similarity 9 + pq 5 + every _cosine_pre consumer;
-#       tests/test_r9_oracle_fuzz.py found raw `/` THROWS under ANSI on
-#       a zero-norm corpus), the quote-safe bm25 batch map, the
-#       parquet-footer codebook sizing (embdecontam), and the newly
-#       oracle-gated spark.ml MinHashLSH yardstick (deterministic
-#       vocabulary + seed-pinned hash family; ml_kmeans_clusters stays
-#       rows-only — k-means|| init is partition-RNG-dependent, see the
-#       ml_ops module ledger) — 22 entries (cum 22);
+# yardsticks never graded; 9 entries' newest row is r2. Edited code
+# outranks stale re-certs, so the window fronts, in order:
+#   (a) re-grades of everything EDITED EARLY in r9 — the try_divide
+#       zero-norm fix (similarity 9 + pq 5 + every _cosine_pre
+#       consumer; tests/test_r9_oracle_fuzz.py found raw `/` THROWS
+#       under ANSI on a zero-norm corpus), the quote-safe bm25 batch
+#       map, the parquet-footer codebook sizing (embdecontam), and the
+#       newly oracle-gated spark.ml MinHashLSH yardstick
+#       (ml_kmeans_clusters stays rows-only — k-means|| init is
+#       partition-RNG-dependent, see the ml_ops module ledger)
+#       — 18 entries (cum 18);
+#   (e2) re-grades of everything EDITED LATE in r9 by the degenerate +
+#       NULL corpus sweeps (see the inline block comment) — 21 entries
+#       (cum 39);
 #   (b) the 6 remaining NEW-r8 never-graded entries (tokapply 2,
 #       repselect 2, postcompress 2; embdecontam's 2 are in (a))
-#       (cum 28);
-#   (c) the r2-stale spillover — relational's 5 scalar_* + set_except,
-#       the events trio (cum 37);
-#   (d) re-grades of the r8 fuzz ORACLE edits (value-identical on the
-#       driver corpora, confirmed by pytest + sweep; a driver row makes
-#       it official): events_session_windows (>= -> > gap boundary) and
-#       the coalesced tokenset-md5 family — dedup_tokenset_groups,
-#       dedup_incremental_keep/stats, split_leakage_safe_assign/audit,
-#       doc_fingerprint, corpus_datacard (repselect's 2 are in (b))
 #       (cum 45);
-#   (e) ragpack 2 — downstream of the (a) batch-scorer edit (cum 47);
-#   (f) oldest-green-first: the r3 textstats tranche — 8 entries
-#       (cum 55; the last few spill past the ~50 window and lead r10).
+#   (c) the r2-stale spillover — relational's 5 scalar_* + set_except,
+#       the events trio (cum 54; the tail of this block straddles the
+#       ~50 window edge);
+#   (d) re-grades of the r8 fuzz ORACLE edits (value-identical on the
+#       driver corpora, confirmed by pytest + sweep):
+#       events_session_windows (>= -> > gap boundary) and the coalesced
+#       tokenset-md5 family — doc_fingerprint, corpus_datacard,
+#       dedup_tokenset_groups, dedup_incremental_keep/stats,
+#       split_leakage_safe_assign/audit (repselect's 2 are in (b)) —
+#       spill past the window and LEAD R10 (sweep-green meanwhile);
+#   (e) ragpack 2 — downstream of the (a) batch-scorer edit;
+#   (f) oldest-green-first: the r3 textstats tranche.
 #
-# R10 STAGING: front anything edited in r10, then continue
-# oldest-green-first — whatever r3/r4 textstats entries spilled here,
-# then the r4 tranche (sketches, ngrams, lexical, udxf, multimodal,
-# dedup rest, tpch_full, lsh), then r5 (scrub, incremental rest,
+# R10 STAGING: front anything edited in r10, then (d) and whatever (c)
+# straddled, then the r3 textstats tranche, then oldest-green-first —
+# the r4 tranche (sketches, ngrams, lexical, udxf rest, multimodal
+# rest, dedup rest, tpch_full, lsh), then r5 (scrub, incremental rest,
 # quantize, evalops, ml_ops rest, curation, events rest), then r6
-# (substr, linededup, semdedup, sampling rest, mixing, mining, winnow,
-# corpusops rest), then r7 (dsir, lm, cdc, colloc, vocabgrowth, panel,
-# graphrank, taxonomy, seasonality, qlinear, provenance, diversity,
-# bpe, bm25 rest, chisq), then r8 (sql_surface, tpch_extra, relational
-# rest, postings, attribution).
+# (substr, linededup, semdedup, sampling rest, mixing rest, mining,
+# winnow rest, corpusops rest), then r7 (dsir, lm, cdc, colloc,
+# vocabgrowth, panel rest, graphrank, taxonomy, seasonality rest,
+# qlinear — NB several of these got fresh r9 rows via (e2), skip those
+# — provenance rest, diversity, bpe, bm25 rest, chisq rest), then r8
+# (sql_surface, tpch_extra, relational rest, postings).
 _MODULES = (
     # (a) edited in round 9 (try_divide zero-norm fix + quote-safe
     # batch map + footer-metadata sizing + newly oracle-gated ml)
@@ -68,6 +72,40 @@ _MODULES = (
     ("dic_a1_spark.operators.bm25", ("bm25_batch_topk",)),
     "dic_a1_spark.operators.embdecontam",
     ("dic_a1_spark.operators.ml_ops", ("ml_minhash_neardups",)),
+    # (e2) edited LATE in r9 — the degenerate + NULL corpus sweeps
+    # (tests/test_degenerate_corpus.py) found 5 ANSI divide-by-zero
+    # crashes (mixing x2, panel, seasonality, winnow), 2 Python-worker
+    # crashes (multimodal: len(None)), 1 oracle-side ln(0) hard error
+    # (lang_chars_geomean), and 6 cross-engine NULL forks (chisq
+    # NULL-category window/join inconsistency; NULL ordering in the
+    # Hamilton rank; NaN-poisoned quartiles; vacuous approx band;
+    # list()-kept-NULL revenue fold; distinct-rows-vs-count(DISTINCT)
+    # n_sources; qlinear NULL-text raw). All fixed value-identically on
+    # the driver corpora (19/19 sf0.01 driver-replica MATCH) — re-grade.
+    ("dic_a1_spark.operators.udxf", ("lang_chars_geomean",)),
+    (
+        "dic_a1_spark.operators.mixing",
+        ("lang_temperature_mix", "mix_epoch_plan", "domain_mix_allocation"),
+    ),
+    ("dic_a1_spark.operators.panel", ("redundancy_panel",)),
+    (
+        "dic_a1_spark.operators.textstats",
+        ("text_source_profile", "docs_grouped_quartiles"),
+    ),
+    (
+        "dic_a1_spark.operators.chisq",
+        ("chisq_scores", "chisq_top75", "chisq_vocab_union"),
+    ),
+    ("dic_a1_spark.operators.events", ("events_approx_stats",)),
+    ("dic_a1_spark.operators.seasonality", ("events_weekend_lift",)),
+    "dic_a1_spark.operators.attribution",
+    ("dic_a1_spark.operators.winnow", ("winnow_stats",)),
+    "dic_a1_spark.operators.qlinear",
+    ("dic_a1_spark.operators.provenance", ("source_overlap_summary",)),
+    (
+        "dic_a1_spark.operators.multimodal",
+        ("multimodal_decode_stub", "multimodal_frame_sample"),
+    ),
     # (b) NEW in r8, never driver-graded (staged for this window)
     "dic_a1_spark.operators.tokapply",
     "dic_a1_spark.operators.repselect",
@@ -107,19 +145,6 @@ _MODULES = (
     ("dic_a1_spark.operators.corpusops", ("corpus_datacard",)),
     # (e) downstream of the edited batch scorer
     "dic_a1_spark.operators.ragpack",
-    # (e2) edited LATE in r9 — the degenerate-corpus sweep
-    # (tests/test_degenerate_corpus.py) found three ANSI divide-by-zero
-    # crashes (mixing x2: zero-token lang/source; panel: zero-unit
-    # granularity), one dropped-group fork (text_source_profile inner
-    # join), and one oracle-side ln(0) hard error (lang_chars_geomean);
-    # all fixed value-identically on the driver corpora — re-grade.
-    ("dic_a1_spark.operators.udxf", ("lang_chars_geomean",)),
-    (
-        "dic_a1_spark.operators.mixing",
-        ("lang_temperature_mix", "mix_epoch_plan"),
-    ),
-    ("dic_a1_spark.operators.panel", ("redundancy_panel",)),
-    ("dic_a1_spark.operators.textstats", ("text_source_profile",)),
     # (f) oldest-green-first: the r3 textstats tranche
     "dic_a1_spark.operators.textstats",
     # --- tail: remaining queries of fronted modules + the r4-r8

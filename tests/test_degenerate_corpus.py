@@ -121,6 +121,67 @@ def degen_dir(tmp_path_factory):
     return str(out)
 
 
+@pytest.fixture(scope="module")
+def nulls_dir(tmp_path_factory):
+    """Second hostile shape: NULL-bearing columns. The r8 fuzz already
+    proved NULL propagation is a real fork source (DuckDB's
+    array_to_string([]) vs Spark's concat_ws); this corpus plants NULLs
+    in every nullable documents/events column the parquet schema allows
+    — NULL text (tokenizers must propagate, not crash), NULL lang and
+    source (grouping keys: both engines group NULLs together), NULL
+    n_chars (aggregates skip), and NULL event value (sums/percentiles
+    skip). Embeddings stay healthy: a NULL embedding ARRAY is out of
+    contract (the schema is finite float32 — similarity._null_div), so
+    it is deliberately not planted."""
+    out = tmp_path_factory.mktemp("nulls_sf")
+    for t in TABLES:
+        if t in ("documents", "events"):
+            continue
+        shutil.copy(Path(SF_SMOKE) / f"{t}.parquet", Path(out) / f"{t}.parquet")
+
+    texts = [
+        "normal doc alpha beta",
+        None,                       # NULL text
+        "second normal doc gamma",
+        None,
+        "shared vocab alpha",
+    ]
+    langs = ["en", None, "de", "en", None]          # NULL group keys
+    sources = ["s0", "s0", None, None, "s1"]
+    n_chars = [len(t) if t is not None else None for t in texts]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, Path(out) / "documents.parquet")
+
+    t0 = datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        (t0, 1, "click", 1.25, '{"k": 1}'),
+        (t0 + timedelta(minutes=5), 1, "purchase", None, '{"k": 2}'),  # NULL value
+        (t0 + timedelta(minutes=9), 2, "click", 2.5, None),            # NULL props
+        (t0 + timedelta(minutes=15), 2, "error", None, '{"k": 3}'),
+        (t0 + timedelta(hours=1), 3, "click", 3.75, '{"k": 4}'),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, Path(out) / "events.parquet")
+    return str(out)
+
+
 def _registry():
     reg = importlib.import_module("dic_a1_spark.registry")
     return reg.all_queries(), reg.all_oracles()
@@ -136,3 +197,12 @@ def test_registry_survives_degenerate_corpus(spark, degen_dir, name):
         compare(spark, _ORACLES[name], fn, degen_dir, name)
     else:
         fn(spark, degen_dir).count()  # rows-only: must materialize
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_registry_survives_null_corpus(spark, nulls_dir, name):
+    fn = _QUERIES[name]
+    if name in _ORACLES:
+        compare(spark, _ORACLES[name], fn, nulls_dir, name)
+    else:
+        fn(spark, nulls_dir).count()  # rows-only: must materialize
