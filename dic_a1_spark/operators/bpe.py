@@ -129,14 +129,30 @@ def _top1(census: DataFrame) -> DataFrame:
 
 
 def _apply_merge(seqs: DataFrame, top: DataFrame) -> DataFrame:
-    """Merge every leftmost-nonoverlapping (x, y) in one replace."""
-    return seqs.crossJoin(F.broadcast(top.select("x", "y"))).select(
-        "word",
-        "freq",
-        F.expr(
-            "replace(seq, concat('<', x, '><', y, '>'),"
-            " concat('<', x, y, '>'))"
-        ).alias("seq"),
+    """Merge every leftmost-nonoverlapping (x, y) in one replace.
+
+    LEFT join on a constant key, NOT a crossJoin: when a round's pair
+    census is EMPTY (tiny vocabulary fully merged before BPE_ROUNDS —
+    the r10 degenerate-corpus find), `top` has 0 rows and a crossJoin
+    would silently WIPE the vocabulary; the left join degrades to a
+    per-word no-op instead (seq passes through unchanged)."""
+    t = F.broadcast(top.select("x", "y").withColumn("_j", F.lit(1)))
+    return (
+        seqs.withColumn("_j", F.lit(1))
+        .join(t, "_j", "left")
+        .select(
+            "word",
+            "freq",
+            F.when(
+                F.col("x").isNotNull(),
+                F.expr(
+                    "replace(seq, concat('<', x, '><', y, '>'),"
+                    " concat('<', x, y, '>'))"
+                ),
+            )
+            .otherwise(F.col("seq"))
+            .alias("seq"),
+        )
     )
 
 
@@ -291,10 +307,15 @@ def _round_ctes(n_rounds: int) -> str:
         SELECT x, y, cnt FROM cen_{r} ORDER BY cnt DESC, x, y LIMIT 1
     ),
     seqs_{r} AS (
+        -- LEFT JOIN ON TRUE, not CROSS JOIN: an empty top_{r} (census
+        -- exhausted before round {r}) must pass seqs through unchanged,
+        -- not wipe them (mirrors _apply_merge).
         SELECT s.word, s.freq,
-               replace(s.seq, '<' || t.x || '><' || t.y || '>',
-                       '<' || t.x || t.y || '>') AS seq
-        FROM {prev} s CROSS JOIN top_{r} t
+               CASE WHEN t.x IS NOT NULL
+                    THEN replace(s.seq, '<' || t.x || '><' || t.y || '>',
+                                 '<' || t.x || t.y || '>')
+                    ELSE s.seq END AS seq
+        FROM {prev} s LEFT JOIN top_{r} t ON TRUE
     )"""
         )
     return ",".join(parts)

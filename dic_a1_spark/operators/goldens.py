@@ -169,3 +169,72 @@ def golden_topk(
         .withColumn("rank", F.row_number().over(rank_win))
         .where(F.col("rank") <= k)
     )
+
+
+# --- driver surface (r10, VERDICT item 6) ---------------------------------
+# The byte-parity harness above was pytest-only; these two entries put the
+# same evidence under the driver's DuckDB hash gate. Both are pinned to the
+# reference's checked-in devset artifacts (read-only), NOT to sf_dir — the
+# goldens exist at exactly one scale, so the sf_dir argument is ignored.
+
+#: Reference devset output root (checked-in artifacts, read-only).
+REF_OUT = "/root/reference/src/output/amazon_reviews_chiotp"
+
+
+def goldens_stage1_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tidy (word, category, n) decoded from the reference's OWN stage-1
+    wordcount artifacts (32 JSON-KV text parts). The oracle re-parses the
+    same lines in DuckDB (read_csv + JSON->MAP explode), so the driver hash
+    certifies our splittable JVM-side decoder against an independent parse
+    of the reference's bytes. 273 K tidy rows on the devset."""
+    return read_wordcount_kv(spark, f"{REF_OUT}/wordcount/part-*")
+
+
+def goldens_chisq_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(category, word, chi2): our distributed exact-int chi-square + top-75
+    over the reference's stage-1 artifacts, hash-gated against the
+    reference's FINAL answer file (chisq/part-00000, 22x75 cells). The
+    oracle side is a parse of the reference's Python-repr dict lines — so a
+    green row is bit-for-bit parity with the reference's own output, not
+    with a reimplementation."""
+    hist = read_wordcount_kv(spark, f"{REF_OUT}/wordcount/part-*")
+    return golden_topk(hist, DEVSET_TOTAL, DEVSET_CATEGORY_COUNTS).select(
+        "category", "word", "chi2"
+    )
+
+
+QUERIES = {
+    "goldens_stage1_histogram": goldens_stage1_histogram,
+    "goldens_chisq_lines": goldens_chisq_lines,
+}
+
+# DuckDB oracles over the reference artifacts themselves. Notes:
+# - quote=''/escape='' disables CSV quote handling (words may contain ");
+#   real tabs inside words are impossible (JSON escapes them as \t).
+# - null_padding covers the final vocab line of the chisq file (no \t);
+#   the `d IS NOT NULL` filter then drops it.
+# - the chisq dict lines are Python repr; no golden word contains ' or "
+#   (asserted in tests/test_golden_parity.py), so a single-quote ->
+#   double-quote replace yields valid JSON and DuckDB's strtod parses the
+#   repr'd doubles back to identical bits.
+ORACLES = {
+    "goldens_stage1_histogram": f"""
+        SELECT json_extract_string(t.word, '$') AS word,
+               e.key AS category,
+               e.value AS n
+        FROM read_csv('{REF_OUT}/wordcount/part-*',
+                      delim=chr(9), header=false, quote='', escape='',
+                      columns={{'word': 'VARCHAR', 'hist': 'VARCHAR'}}) t,
+             unnest(map_entries(CAST(t.hist::JSON AS MAP(VARCHAR, BIGINT)))) AS u(e)
+    """,
+    "goldens_chisq_lines": f"""
+        SELECT t.category, e.key AS word, e.value AS chi2
+        FROM read_csv('{REF_OUT}/chisq/part-00000',
+                      delim=chr(9), header=false, quote='', escape='',
+                      columns={{'category': 'VARCHAR', 'd': 'VARCHAR'}},
+                      null_padding=true, auto_detect=false) t,
+             unnest(map_entries(CAST(replace(t.d, chr(39), chr(34))::JSON
+                                     AS MAP(VARCHAR, DOUBLE)))) AS u(e)
+        WHERE t.d IS NOT NULL
+    """,
+}

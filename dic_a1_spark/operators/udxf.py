@@ -60,7 +60,7 @@ def make_geo_mean():
     branch and the contract belongs in code, not in float accident."""
 
     @pandas_udf("double")
-    def geo_mean(v: pd.Series) -> float:
+    def geo_mean(v: pd.Series) -> float | None:
         import numpy as np
 
         # NULL members arrive as NaN in the float64 view; aggregates skip

@@ -21,115 +21,49 @@ from pyspark.sql import DataFrame, SparkSession
 # module's later bare entry picks up the rest) — this gives the rotation
 # per-QUERY window control instead of per-module granularity.
 #
-# ROUND-9 ROTATION. Entering this round: 230/240 entries driver-graded
-# at least once, all hash-green; 8 NEW r8 entries + the 2 rows-only
-# yardsticks never graded; 9 entries' newest row is r2. Edited code
-# outranks stale re-certs, so the window fronts, in order:
-#   (a) re-grades of everything EDITED EARLY in r9 — the try_divide
-#       zero-norm fix (similarity 9 + pq 5 + every _cosine_pre
-#       consumer; tests/test_r9_oracle_fuzz.py found raw `/` THROWS
-#       under ANSI on a zero-norm corpus), the quote-safe bm25 batch
-#       map, the parquet-footer codebook sizing (embdecontam), and the
-#       newly oracle-gated spark.ml MinHashLSH yardstick
-#       (ml_kmeans_clusters stays rows-only — k-means|| init is
-#       partition-RNG-dependent, see the ml_ops module ledger)
-#       — 18 entries (cum 18);
-#   (e2) re-grades of everything EDITED LATE in r9 by the degenerate +
-#       NULL corpus sweeps (see the inline block comment) — 21 entries
-#       (cum 39);
-#   (b) the 6 remaining NEW-r8 never-graded entries (tokapply 2,
-#       repselect 2, postcompress 2; embdecontam's 2 are in (a))
-#       (cum 45);
-#   (c) the r2-stale spillover — relational's 5 scalar_* + set_except,
-#       the events trio (cum 54; the tail of this block straddles the
-#       ~50 window edge);
-#   (d) re-grades of the r8 fuzz ORACLE edits (value-identical on the
-#       driver corpora, confirmed by pytest + sweep):
+# ROUND-10 ROTATION. Entering this round: 240/240 entries driver-
+# observed at least once, 239 hash-green on their newest grade (the one
+# rows-only entry, ml_kmeans_clusters, is by documented design). The r9
+# window closed at position 50 (scalar_json_funcs); scalar_case_when +
+# the events trio straddled exactly as staged. The window fronts:
+#   (g) NEW in r10 — the goldens driver promotion (VERDICT r9 item 6):
+#       2 entries hash-gating our stage-1 decoder and exact-int chi2
+#       top-75 against the reference's own checked-in artifacts (cum 2);
+#   (d) re-grades of the r8 fuzz ORACLE edits, spilled from r9 exactly
+#       as staged (value-identical per pytest + sweep meanwhile):
 #       events_session_windows (>= -> > gap boundary) and the coalesced
-#       tokenset-md5 family — doc_fingerprint, corpus_datacard,
-#       dedup_tokenset_groups, dedup_incremental_keep/stats,
-#       split_leakage_safe_assign/audit (repselect's 2 are in (b)) —
-#       spill past the window and LEAD R10 (sweep-green meanwhile);
-#   (e) ragpack 2 — downstream of the (a) batch-scorer edit;
-#   (f) oldest-green-first: the r3 textstats tranche.
+#       tokenset-md5 family — dedup_tokenset_groups,
+#       dedup_incremental_keep/stats, split_leakage_safe_assign/audit,
+#       doc_fingerprint, corpus_datacard (cum 10);
+#   (e) ragpack 2 — downstream of the r9 quote-safe batch-map edit
+#       (cum 12);
+#   (c) the r2-stale stragglers that straddled the r9 edge:
+#       scalar_case_when + the events trio (cum 16);
+#   (f) oldest-green-first — the r3 textstats tranche (rest of module;
+#       text_source_profile/docs_grouped_quartiles/doc_fingerprint got
+#       r9/r10 rows via earlier selections), then the r4 tranche:
+#       sketches, ngrams, lexical, udxf rest, multimodal rest, dedup
+#       rest, tpch_full, lsh — the window edge lands inside this block.
 #
-# R10 STAGING: front anything edited in r10, then (d) and whatever (c)
-# straddled, then the r3 textstats tranche, then oldest-green-first —
-# the r4 tranche (sketches, ngrams, lexical, udxf rest, multimodal
-# rest, dedup rest, tpch_full, lsh), then r5 (scrub, incremental rest,
-# quantize, evalops, ml_ops rest, curation, events rest), then r6
-# (substr, linededup, semdedup, sampling rest, mixing rest, mining,
-# winnow rest, corpusops rest), then r7 (dsir, lm, cdc, colloc,
-# vocabgrowth, panel rest, graphrank, taxonomy, seasonality rest,
-# qlinear — NB several of these got fresh r9 rows via (e2), skip those
-# — provenance rest, diversity, bpe, bm25 rest, chisq rest), then r8
-# (sql_surface, tpch_extra, relational rest, postings).
+# R11 STAGING: front anything edited in r11, then wherever the r10
+# window edge landed in the r4 tranche (check CORRECTNESS_r10's last
+# key), then r5 (scrub, incremental rest, quantize, evalops, ml_ops
+# rest, curation, events rest), then r6 (substr, linededup, semdedup,
+# sampling rest, mixing rest, mining, winnow rest, corpusops rest),
+# then r7 (dsir, lm, cdc, colloc, vocabgrowth, panel rest, graphrank,
+# taxonomy, seasonality rest, qlinear, provenance rest, diversity, bpe,
+# bm25 rest, chisq rest — skip any with fresh r9 (e2) rows), then r8/r9
+# (sql_surface, tpch_extra, relational rest, postings, similarity, pq,
+# embdecontam).
 _MODULES = (
-    # (a) edited in round 9 (try_divide zero-norm fix + quote-safe
-    # batch map + footer-metadata sizing + newly oracle-gated ml)
-    "dic_a1_spark.operators.similarity",
-    "dic_a1_spark.operators.pq",
-    ("dic_a1_spark.operators.bm25", ("bm25_batch_topk",)),
-    "dic_a1_spark.operators.embdecontam",
-    ("dic_a1_spark.operators.ml_ops", ("ml_minhash_neardups",)),
-    # (e2) edited LATE in r9 — the degenerate + NULL corpus sweeps
-    # (tests/test_degenerate_corpus.py) found 5 ANSI divide-by-zero
-    # crashes (mixing x2, panel, seasonality, winnow), 2 Python-worker
-    # crashes (multimodal: len(None)), 1 oracle-side ln(0) hard error
-    # (lang_chars_geomean), and 6 cross-engine NULL forks (chisq
-    # NULL-category window/join inconsistency; NULL ordering in the
-    # Hamilton rank; NaN-poisoned quartiles; vacuous approx band;
-    # list()-kept-NULL revenue fold; distinct-rows-vs-count(DISTINCT)
-    # n_sources; qlinear NULL-text raw). All fixed value-identically on
-    # the driver corpora (19/19 sf0.01 driver-replica MATCH) — re-grade.
-    ("dic_a1_spark.operators.udxf", ("lang_chars_geomean",)),
-    (
-        "dic_a1_spark.operators.mixing",
-        ("lang_temperature_mix", "mix_epoch_plan", "domain_mix_allocation"),
-    ),
-    ("dic_a1_spark.operators.panel", ("redundancy_panel",)),
-    (
-        "dic_a1_spark.operators.textstats",
-        ("text_source_profile", "docs_grouped_quartiles"),
-    ),
-    (
-        "dic_a1_spark.operators.chisq",
-        ("chisq_scores", "chisq_top75", "chisq_vocab_union"),
-    ),
-    ("dic_a1_spark.operators.events", ("events_approx_stats",)),
-    ("dic_a1_spark.operators.seasonality", ("events_weekend_lift",)),
-    "dic_a1_spark.operators.attribution",
-    ("dic_a1_spark.operators.winnow", ("winnow_stats",)),
-    "dic_a1_spark.operators.qlinear",
-    ("dic_a1_spark.operators.provenance", ("source_overlap_summary",)),
-    (
-        "dic_a1_spark.operators.multimodal",
-        ("multimodal_decode_stub", "multimodal_frame_sample"),
-    ),
-    # (b) NEW in r8, never driver-graded (staged for this window)
+    # (g) NEW in r10 — golden byte-parity promoted to the driver surface
+    "dic_a1_spark.operators.goldens",
+    # (g2) EDITED in r10 — the merge-exhaustion fix (empty top-pair
+    # census must no-op, not wipe the vocabulary; both engines edited —
+    # tests/test_degenerate_corpus.py::test_bpe_vocab_survives_merge_
+    # exhaustion) and its downstream vocabulary consumer
+    "dic_a1_spark.operators.bpe",
     "dic_a1_spark.operators.tokapply",
-    "dic_a1_spark.operators.repselect",
-    "dic_a1_spark.operators.postcompress",
-    # (c) r2-stale spillover
-    (
-        "dic_a1_spark.operators.relational",
-        (
-            "set_except",
-            "scalar_string_funcs",
-            "scalar_date_funcs",
-            "scalar_math_funcs",
-            "scalar_json_funcs",
-            "scalar_case_when",
-        ),
-    ),
-    (
-        "dic_a1_spark.operators.events",
-        (
-            "events_hour_of_day_matrix",
-            "events_first_per_user_type",
-            "events_value_percentiles",
-        ),
-    ),
     # (d) r8 fuzz oracle edits — official driver re-grades
     ("dic_a1_spark.operators.events", ("events_session_windows",)),
     ("dic_a1_spark.operators.dedup", ("dedup_tokenset_groups",)),
@@ -143,12 +77,20 @@ _MODULES = (
     ),
     ("dic_a1_spark.operators.textstats", ("doc_fingerprint",)),
     ("dic_a1_spark.operators.corpusops", ("corpus_datacard",)),
-    # (e) downstream of the edited batch scorer
+    # (e) downstream of the r9 quote-safe batch-scorer edit
     "dic_a1_spark.operators.ragpack",
-    # (f) oldest-green-first: the r3 textstats tranche
+    # (c) r2-stale stragglers (straddled the r9 window edge)
+    ("dic_a1_spark.operators.relational", ("scalar_case_when",)),
+    (
+        "dic_a1_spark.operators.events",
+        (
+            "events_hour_of_day_matrix",
+            "events_first_per_user_type",
+            "events_value_percentiles",
+        ),
+    ),
+    # (f) oldest-green-first: r3 textstats tranche, then the r4 tranche
     "dic_a1_spark.operators.textstats",
-    # --- tail: remaining queries of fronted modules + the r4-r8
-    # tranches, oldest-green-first (all have green rows + the sweep)
     "dic_a1_spark.operators.sketches",
     "dic_a1_spark.operators.ngrams",
     "dic_a1_spark.operators.lexical",
@@ -157,6 +99,7 @@ _MODULES = (
     "dic_a1_spark.operators.dedup",
     "dic_a1_spark.operators.tpch_full",
     "dic_a1_spark.operators.lsh",
+    # --- tail: r5-r9 tranches, oldest-green-first (all green + sweep)
     "dic_a1_spark.operators.scrub",
     "dic_a1_spark.operators.incremental",
     "dic_a1_spark.operators.quantize",
@@ -184,7 +127,6 @@ _MODULES = (
     "dic_a1_spark.operators.qlinear",
     "dic_a1_spark.operators.provenance",
     "dic_a1_spark.operators.diversity",
-    "dic_a1_spark.operators.bpe",
     "dic_a1_spark.operators.bm25",
     "dic_a1_spark.operators.chisq",
     "dic_a1_spark.operators.sql_surface",
@@ -192,6 +134,11 @@ _MODULES = (
     "dic_a1_spark.operators.relational",
     "dic_a1_spark.operators.postings",
     "dic_a1_spark.operators.attribution",
+    "dic_a1_spark.operators.similarity",
+    "dic_a1_spark.operators.pq",
+    "dic_a1_spark.operators.embdecontam",
+    "dic_a1_spark.operators.repselect",
+    "dic_a1_spark.operators.postcompress",
 )
 
 

@@ -206,3 +206,282 @@ def test_registry_survives_null_corpus(spark, nulls_dir, name):
         compare(spark, _ORACLES[name], fn, nulls_dir, name)
     else:
         fn(spark, nulls_dir).count()  # rows-only: must materialize
+
+
+# ---------------------------------------------------------------------------
+# Round-10 family-specific degenerate shapes (VERDICT r9 item 3). The two
+# sweeps above mutate documents/events/embeddings but copy the TPC-H tables
+# intact, so the iterative families whose hostile inputs live in OTHER
+# shapes were never stressed: graphrank (degenerate GRAPHS), bpe/tokapply
+# (merge exhaustion), dsir (target-side degeneracy), cdc (docs shorter than
+# the boundary window).
+# ---------------------------------------------------------------------------
+
+
+def _docs_dir(tmp_path_factory, label: str, texts, sources=None, langs=None):
+    """Fixture dir with a custom documents table; everything else copied
+    intact from sf0.001."""
+    out = tmp_path_factory.mktemp(label)
+    for t in TABLES:
+        if t == "documents":
+            continue
+        shutil.copy(Path(SF_SMOKE) / f"{t}.parquet", Path(out) / f"{t}.parquet")
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs or ["en"] * n, pa.string()),
+            "source": pa.array(sources or ["s0"] * n, pa.string()),
+            "n_chars": pa.array(
+                [len(t) if t is not None else None for t in texts], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, Path(out) / "documents.parquet")
+    return str(out)
+
+
+def _family(prefix: str | tuple[str, ...]) -> list[str]:
+    pre = (prefix,) if isinstance(prefix, str) else prefix
+    names = [n for n in _QUERIES if n.startswith(pre)]
+    assert names, f"no registry entries match {prefix!r}"
+    return sorted(names)
+
+
+def _check(spark, name: str, sf_dir: str) -> None:
+    if name in _ORACLES:
+        compare(spark, _ORACLES[name], _QUERIES[name], sf_dir, name)
+    else:
+        _QUERIES[name](spark, sf_dir).count()
+
+
+# --- bpe / tokapply: merge exhaustion --------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bpe_tiny_dir(tmp_path_factory):
+    """Vocabulary that fully merges after 2 rounds (BPE_ROUNDS = 6): the
+    pair census goes EMPTY mid-run. Before the r10 fix, the empty top-pair
+    crossJoin silently WIPED the vocabulary on BOTH engines (parity green,
+    answer wrong); single-char words additionally have no pairs at all."""
+    texts = ["ab ab ab cd", "a b c d a"] * 3
+    return _docs_dir(tmp_path_factory, "bpe_tiny_sf", texts)
+
+
+@pytest.mark.parametrize("name", _family(("bpe_",)))
+def test_bpe_survives_merge_exhaustion(spark, bpe_tiny_dir, name):
+    _check(spark, name, bpe_tiny_dir)
+
+
+def test_bpe_vocab_survives_merge_exhaustion(spark, bpe_tiny_dir):
+    """The semantic half the parity gate can't see: after merges exhaust,
+    the vocabulary must still be THERE (6 words: ab cd a b c d), with the
+    two mergeable words fully collapsed to single symbols."""
+    from dic_a1_spark.operators.bpe import QUERIES as BQ
+
+    rows = {
+        r["word"]: r
+        for r in BQ["bpe_segmented_vocab"](spark, bpe_tiny_dir).collect()
+    }
+    assert set(rows) == {"ab", "cd", "a", "b", "c", "d"}
+    assert rows["ab"]["n_pieces"] == 1 and rows["cd"]["n_pieces"] == 1
+
+
+# --- graphrank: degenerate graphs -------------------------------------------
+
+
+def _write_graph_tables(out: Path, lineitem_rows) -> None:
+    """Micro TPC-H slice with full driver schemas: 4 nations (DELTA
+    isolated), a NULL-nationkey customer AND supplier, and caller-chosen
+    lineitem rows (orderkey, suppkey) controlling the edge set."""
+    from datetime import datetime as dt
+
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1, 2, 3], pa.int32()),
+                "n_name": pa.array(
+                    ["ALPHA", "BRAVO", "CHARLIE", "DELTA"], pa.string()
+                ),
+                "n_regionkey": pa.array([0, 0, 1, 1], pa.int32()),
+            }
+        ),
+        out / "nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_name": pa.array(["c1", "c2", "c3"], pa.string()),
+                "c_nationkey": pa.array([0, 2, None], pa.int32()),
+                "c_acctbal": pa.array([10.0, 20.0, 30.0], pa.float64()),
+                "c_mktsegment": pa.array(["BUILDING"] * 3, pa.string()),
+            }
+        ),
+        out / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                "s_name": pa.array(["s1", "s2", "s3"], pa.string()),
+                "s_nationkey": pa.array([0, 1, None], pa.int32()),
+                "s_acctbal": pa.array([5.0, 6.0, 7.0], pa.float64()),
+            }
+        ),
+        out / "supplier.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([100, 200, 300], pa.int64()),
+                "o_custkey": pa.array([1, 2, 3], pa.int64()),
+                "o_orderstatus": pa.array(["F", "O", "F"], pa.string()),
+                "o_totalprice": pa.array([1e3, 2e3, 3e3], pa.float64()),
+                "o_orderdate": pa.array([dt(2024, 1, 1 + i) for i in range(3)], pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * 3, pa.string()),
+            }
+        ),
+        out / "orders.parquet",
+    )
+    n = len(lineitem_rows)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in lineitem_rows], pa.int64()),
+                "l_partkey": pa.array([1] * n, pa.int64()),
+                "l_suppkey": pa.array([r[1] for r in lineitem_rows], pa.int64()),
+                "l_linenumber": pa.array(range(1, n + 1), pa.int32()),
+                "l_quantity": pa.array([1.0] * n, pa.float64()),
+                "l_extendedprice": pa.array([100.0] * n, pa.float64()),
+                "l_discount": pa.array([0.0] * n, pa.float64()),
+                "l_tax": pa.array([0.0] * n, pa.float64()),
+                "l_returnflag": pa.array(["N"] * n, pa.string()),
+                "l_linestatus": pa.array(["O"] * n, pa.string()),
+                "l_shipdate": pa.array([dt(2024, 2, 1)] * n, pa.timestamp("us")),
+            }
+        ),
+        out / "lineitem.parquet",
+    )
+
+
+def _graph_dir(tmp_path_factory, label: str, lineitem_rows) -> str:
+    out = tmp_path_factory.mktemp(label)
+    for t in TABLES:
+        if t in ("nation", "customer", "supplier", "orders", "lineitem"):
+            continue
+        shutil.copy(Path(SF_SMOKE) / f"{t}.parquet", Path(out) / f"{t}.parquet")
+    _write_graph_tables(Path(out), lineitem_rows)
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def graph_degen_dir(tmp_path_factory):
+    """Edges ALPHA→ALPHA (self-loop, w2), ALPHA→BRAVO (w1), CHARLIE→BRAVO
+    (w3). BRAVO is a rank SINK (in-edges, no out — leaks mass under the
+    documented dangling rule), CHARLIE a pure source, DELTA fully isolated;
+    the NULL-nationkey customer and supplier rows must drop identically in
+    both engines' inner joins."""
+    rows = [(100, 1), (100, 1), (100, 2), (200, 2), (200, 2), (200, 2),
+            (300, 1), (100, 3)]
+    return _graph_dir(tmp_path_factory, "graph_degen_sf", rows)
+
+
+@pytest.fixture(scope="module")
+def graph_empty_dir(tmp_path_factory):
+    """ZERO edges (empty lineitem): every nation is isolated, every rank
+    collapses to the teleport floor (1-d)/N, all degrees are 0."""
+    return _graph_dir(tmp_path_factory, "graph_empty_sf", [])
+
+
+@pytest.mark.parametrize("name", _family("graph_"))
+def test_graph_survives_sinks_selfloops_nullkeys(spark, graph_degen_dir, name):
+    _check(spark, name, graph_degen_dir)
+
+
+@pytest.mark.parametrize("name", _family("graph_"))
+def test_graph_survives_empty_graph(spark, graph_empty_dir, name):
+    _check(spark, name, graph_empty_dir)
+
+
+def test_graph_empty_ranks_are_teleport_floor(spark, graph_empty_dir):
+    from dic_a1_spark.operators.graphrank import PR_D
+    from dic_a1_spark.operators.graphrank import QUERIES as GQ
+
+    rows = GQ["graph_pagerank"](spark, graph_empty_dir).collect()
+    assert len(rows) == 4
+    floor = round((1.0 - PR_D) / 4.0, 8)
+    assert all(r["rank_r"] == floor for r in rows)
+    assert all(r["in_deg"] == 0 and r["out_deg"] == 0 for r in rows)
+
+
+# --- dsir: target-side degeneracy -------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dsir_notarget_dir(tmp_path_factory):
+    """No document belongs to DSIR_TARGET_SOURCE: t = 0 in every bucket
+    (weights collapse toward the +1-smoothing floor) — plus single-token
+    docs whose feature set is one unigram (the single-bucket shape)."""
+    texts = ["x", "x", "y", "alpha beta gamma", "beta gamma delta"]
+    sources = ["s1", "s1", "s2", "s2", "s3"]
+    return _docs_dir(tmp_path_factory, "dsir_notarget_sf", texts, sources)
+
+
+@pytest.fixture(scope="module")
+def dsir_alltarget_dir(tmp_path_factory):
+    """EVERY document is the target: the raw pool is empty, so the
+    resampler has nothing to select (0 rows) and c = 0 in every bucket."""
+    texts = ["alpha beta", "beta gamma", "solo"]
+    sources = ["src0", "src0", "src0"]
+    return _docs_dir(tmp_path_factory, "dsir_alltarget_sf", texts, sources)
+
+
+@pytest.mark.parametrize("name", _family("dsir_"))
+def test_dsir_survives_no_target(spark, dsir_notarget_dir, name):
+    _check(spark, name, dsir_notarget_dir)
+
+
+@pytest.mark.parametrize("name", _family("dsir_"))
+def test_dsir_survives_all_target(spark, dsir_alltarget_dir, name):
+    _check(spark, name, dsir_alltarget_dir)
+
+
+def test_dsir_all_target_selects_nothing(spark, dsir_alltarget_dir):
+    from dic_a1_spark.operators.dsir import QUERIES as DQ
+
+    assert DQ["dsir_selected"](spark, dsir_alltarget_dir).count() == 0
+
+
+# --- cdc: docs shorter than the boundary window ------------------------------
+
+
+@pytest.fixture(scope="module")
+def cdc_short_dir(tmp_path_factory):
+    """Documents of 1-3 tokens (below CDC_K = 4, the descending-sequence
+    guard path): each must yield exactly ONE whole-document chunk; the
+    duplicated short doc must still census as a cross-doc duplicate."""
+    texts = ["one", "two tok", "three tok doc", "one", "four token doc here"]
+    return _docs_dir(tmp_path_factory, "cdc_short_sf", texts)
+
+
+@pytest.mark.parametrize("name", _family("cdc_"))
+def test_cdc_survives_subwindow_docs(spark, cdc_short_dir, name):
+    _check(spark, name, cdc_short_dir)
+
+
+def test_cdc_short_docs_are_single_chunks(spark, cdc_short_dir):
+    from dic_a1_spark.operators.cdc import QUERIES as CQ
+
+    chunks = CQ["cdc_chunks"](spark, cdc_short_dir).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # docs 0-3 are sub-window: exactly one chunk spanning the whole doc
+    for doc_id, n_tok in [(0, 1), (1, 2), (2, 3), (3, 1)]:
+        assert len(by_doc[doc_id]) == 1
+        (c,) = by_doc[doc_id]
+        assert (c["chunk_start"], c["chunk_end"]) == (1, n_tok)
+    dups = CQ["cdc_dup_chunks"](spark, cdc_short_dir).collect()
+    assert any(d["cross_doc"] == 1 and d["n_tokens"] == 1 for d in dups)

@@ -79,3 +79,28 @@ def test_formatted_lines_parse_back_to_golden(topk_rows):
         cat, d = line.split("\t", 1)
         assert ast.literal_eval(d) == golden_cats[cat]
     assert ast.literal_eval(lines[-1]) == golden_vocab
+
+
+def test_no_golden_word_needs_quote_escaping():
+    """The goldens_chisq_lines oracle turns Python dict repr into JSON with
+    a single-quote -> double-quote replace; that is only sound while no
+    golden word contains a quote character. Pin the precondition."""
+    golden_cats, golden_vocab = _load_golden()
+    words = set(golden_vocab)
+    for d in golden_cats.values():
+        words.update(d)
+    offenders = [w for w in words if "'" in w or '"' in w or "\\" in w]
+    assert not offenders, offenders
+
+
+@pytest.mark.parametrize(
+    "name", ["goldens_stage1_histogram", "goldens_chisq_lines"]
+)
+def test_driver_surface_oracle_parity(spark, name):
+    """Local replica of the driver gate for the r10 goldens entries: the
+    Spark decode/compute vs the DuckDB re-parse of the reference bytes."""
+    from dic_a1_spark.operators import goldens as G
+    from tests.conftest import SF_CORRECT
+    from tests.oracle_utils import compare
+
+    compare(spark, G.ORACLES[name], G.QUERIES[name], SF_CORRECT, name)

@@ -6,8 +6,9 @@ judge to diff PLANS.md.
 
 Counts pinned to the committed PLANS.md audit (regenerated r8):
 curation_pipeline 3, corpus_hygiene_pipeline 10, redundancy_panel 8.
-The assertions are <= pins: fewer exchanges is an improvement (update
-the pin), more is a regression (fail loudly with the delta).
+The assertions are EXACT (ADVICE r9): a regression fails loudly, and an
+improvement also fails so the pin and PLANS.md are updated in the same
+change instead of drifting stale.
 """
 
 from __future__ import annotations
@@ -30,8 +31,15 @@ def test_pipeline_exchange_count_pinned(spark, mod_name, query, pin):
 
     mod = importlib.import_module(f"dic_a1_spark.operators.{mod_name}")
     got = plan_audit(mod.QUERIES[query](spark, SF_SMOKE))["exchanges"]
-    assert got <= pin, (
-        f"{query}: exchange count regressed — plan now compiles to {got} "
-        f"shuffle exchanges vs the PLANS.md pin of {pin}. If the extra "
-        f"shuffles are intentional, update PLANS.md and this pin together."
-    )
+    if got > pin:
+        raise AssertionError(
+            f"{query}: exchange count regressed — plan now compiles to {got} "
+            f"shuffle exchanges vs the PLANS.md pin of {pin}. If the extra "
+            f"shuffles are intentional, update PLANS.md and this pin together."
+        )
+    if got < pin:
+        raise AssertionError(
+            f"{query}: plan IMPROVED to {got} exchanges (pin {pin}) — "
+            f"update the pin and PLANS.md in this same change so the "
+            f"guard stays tight."
+        )
