@@ -165,11 +165,18 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
         import pandas as pd
 
         (user_id,) = key
-        n, mx = state.get if state.exists else (0, float("-inf"))
+        n, mx = state.get if state.exists else (0, None)
         for pdf in pdfs:
             n += len(pdf)
             if len(pdf):
-                mx = max(mx, float(pdf["value"].max()))
+                # NULL values arrive as NaN; pandas max skips them but
+                # returns NaN for an ALL-NULL batch, and a -inf seed
+                # would leak into the output where the batch twin's
+                # max(value) is NULL (r10 hostile-corpus find) — so the
+                # max is None until the first real value.
+                vmax = pdf["value"].max()
+                if pd.notna(vmax):
+                    mx = float(vmax) if mx is None else max(mx, float(vmax))
         state.update((n, mx))
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n], "max_value": [mx]}
@@ -641,10 +648,23 @@ def bm25_stream_scores(
     stats_df, tstats_df, _ = _pipeline(docs, BM25_QUERY)
     avgdl = stats_df.collect()[0]["avgdl"]
     idf = {r["term"]: r["idf_w"] for r in tstats_df.collect()}
+    # Degenerate-corpus guards (r10 hostile sweep): a corpus where NO
+    # query term occurs yields an EMPTY idf table — and a bare `map()`
+    # literal is VOID-typed, so the lookup would fail analysis and kill
+    # the stream at plan time. An unknown term's idf is NULL either way
+    # (the partial-idf contract below), so substitute a typed NULL. An
+    # empty/all-NULL corpus likewise has no avgdl; any finite stand-in
+    # works because every doc's hit set is empty (0 output rows).
     qlit = ", ".join(f"'{t}'" for t in BM25_QUERY)
-    map_lit = ", ".join(
-        f"'{t}', CAST({w} AS BIGINT)" for t, w in sorted(idf.items())
-    )
+    if idf:
+        map_lit = ", ".join(
+            f"'{t}', CAST({w} AS BIGINT)" for t, w in sorted(idf.items())
+        )
+        idf_expr = f"CAST(map({map_lit})[h.term] AS DOUBLE)"
+    else:
+        idf_expr = "CAST(NULL AS DOUBLE)"
+    if avgdl is None:
+        avgdl = 1.0
     hits_expr = (
         f"filter(transform(array({qlit}),"
         f" t -> struct(t AS term, CAST(size(filter(toks, w -> w = t))"
@@ -653,7 +673,7 @@ def bm25_stream_scores(
     # Literal-substituted bm25._contrib: idf -> map lookup, avgdl ->
     # the collected double (repr round-trips exactly).
     contrib_expr = (
-        f"transform(hits, h -> CAST(map({map_lit})[h.term] AS DOUBLE)"
+        f"transform(hits, h -> {idf_expr}"
         f" * (CAST(h.tf AS DOUBLE) * {BM25_K1 + 1.0!r})"
         f" / (CAST(h.tf AS DOUBLE) + {BM25_K1!r} * ({1.0 - BM25_B!r}"
         f" + {BM25_B!r} * CAST(dl AS DOUBLE) / {avgdl!r})))"

@@ -1,0 +1,453 @@
+"""Hostile-corpus sweep over the STREAMING twins (VERDICT r9 item 4).
+
+The r9 degenerate/NULL sweeps covered the batch registry; the nine
+streaming jobs share most — but not all — code paths with their batch
+twins: the applyInPandasWithState update closures (pandas-side NULL
+handling: NaN/None arrive where the batch Column expressions see SQL
+NULL), the foreachBatch/mapInPandas folds, and the session-window merge
+are streaming-only. This module replays the batch sweeps' hostile
+shapes through every streaming job and pins parity against the same
+batch twins the healthy-corpus tests use:
+
+- events with NULL value and NULL props, including one user whose
+  values are ALL NULL (the pandas ``max`` poisoning shape) and funnel /
+  interval-join sequences carrying NULL values;
+- documents with NULL text / lang / source / n_chars (the
+  ``int(NaN)`` worker-crash shape for stateful update closures), empty
+  and whitespace-only texts, sub-window token counts, and duplicate
+  content split across the corpus and the increment residue class;
+- embeddings with zero-norm vectors on BOTH the benchmark and the
+  training side plus exactly-identical vectors (cosine 1.0 at the
+  round(.,4) boundary).
+
+A crash anywhere here is a real incident: at 100 TB some micro-batch IS
+all-NULL, and a streaming job dies with its state store, not just a
+task retry.
+"""
+
+from __future__ import annotations
+
+import shutil
+from datetime import datetime, timedelta
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dic_a1_spark.config import TABLES
+from dic_a1_spark.operators import events as batch_events
+from dic_a1_spark.streaming import jobs
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df, cols):
+    return sorted(
+        (tuple(r[c] for c in cols) for r in df.collect()), key=repr
+    )
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("stream_hostile_sf")
+    for t in TABLES:
+        if t in ("documents", "events", "embeddings"):
+            continue
+        shutil.copy(Path(SF_SMOKE) / f"{t}.parquet", Path(out) / f"{t}.parquet")
+
+    # --- documents: NULLs everywhere the schema allows + increment
+    # residue-class (doc_id % 8 == 3) coverage with hostile members.
+    docs = [
+        # (doc_id, text, lang, source)
+        (0, "normal doc alpha beta", "en", "s0"),
+        (1, None, None, "s0"),                     # corpus NULL text
+        (2, "shared vocab alpha", "de", None),
+        (3, None, "en", None),                      # INCREMENT, NULL text + NULL n_chars
+        (4, "   \t ", "en", "s1"),                  # whitespace only
+        (5, "solo alpha beta alpha", None, "s1"),
+        (6, "x x x", "zh", "s2"),
+        (7, "one two", "en", "s2"),                 # sub-window (< CDC_K)
+        (11, "alpha vocab shared", "en", "s3"),     # INCREMENT, tokenset-dup of doc 2
+        (19, "fresh unique increment doc", "de", "s3"),  # INCREMENT, admitted
+        (27, "", "en", "s4"),                       # INCREMENT, empty text
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+            "lang": pa.array([d[2] for d in docs], pa.string()),
+            "source": pa.array([d[3] for d in docs], pa.string()),
+            "n_chars": pa.array(
+                [len(d[1]) if d[1] is not None else None for d in docs],
+                pa.int64(),
+            ),
+        }
+    )
+    pq.write_table(tbl, Path(out) / "documents.parquet")
+
+    # --- events: NULL value / NULL props; user 2 is ALL-NULL values.
+    t0 = datetime(2024, 6, 1, 12, 0, 0)
+    ev = [
+        # (ts, user_id, event_type, value, props)
+        (t0, 1, "view", 1.0, '{"k": 1}'),
+        (t0 + timedelta(minutes=4), 1, "click", None, None),
+        (t0 + timedelta(minutes=20), 1, "purchase", 9.5, '{"k": 2}'),
+        (t0, 2, "view", None, None),
+        (t0 + timedelta(minutes=7), 2, "click", None, '{"k": 3}'),
+        (t0 + timedelta(minutes=11), 2, "purchase", None, None),
+        (t0 + timedelta(hours=1), 3, "click", 2.5, None),
+        (t0 + timedelta(hours=1, minutes=25), 3, "purchase", None, '{"k": 4}'),
+        (t0 + timedelta(hours=2), 3, "error", 0.0, '{"k": 5}'),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(ev)), pa.int64()),
+            "ts": pa.array([r[0] for r in ev], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in ev], pa.int64()),
+            "event_type": pa.array([r[2] for r in ev], pa.string()),
+            "value": pa.array([r[3] for r in ev], pa.float64()),
+            "props": pa.array([r[4] for r in ev], pa.string()),
+        }
+    )
+    pq.write_table(tbl, Path(out) / "events.parquet")
+
+    # --- embeddings: bench slice is vec_id % 97 == 0 -> {0, 97}.
+    # vec 0 (bench) is ZERO-NORM; vec 97 (bench) is the constant vector;
+    # stream side mixes zero-norm, the identical constant (cos == 1.0),
+    # and a scaled copy (cos == 1.0 again) with ordinary vectors.
+    dim = 16
+    const = [1.0 if d % 2 else -1.0 for d in range(dim)]
+    vecs, ids = [], []
+    for i in range(120):
+        ids.append(i)
+        if i == 0:
+            vecs.append([0.0] * dim)            # zero-norm BENCH vector
+        elif i == 97:
+            vecs.append(const)                  # constant BENCH vector
+        elif i % 5 == 0:
+            vecs.append([0.0] * dim)            # zero-norm stream vectors
+        elif i % 5 == 1:
+            vecs.append(const)                  # cos exactly 1.0
+        elif i % 5 == 2:
+            vecs.append([2.0 * x for x in const])  # scaled: cos 1.0
+        else:
+            vecs.append(
+                [float((i * 7 + d * 3) % 11 - 5) for d in range(dim)]
+            )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 4 for i in ids], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, Path(out) / "embeddings.parquet")
+    return str(out)
+
+
+# --- windowed / dedup aggregations ------------------------------------------
+
+
+def test_hostile_tumbling_matches_batch(spark, hostile_dir):
+    stream = jobs.read_events_stream(spark, hostile_dir)
+    jobs.run_to_memory(jobs.tumbling_counts(stream), "h_tumbling")
+    got = spark.table("h_tumbling")
+    want = batch_events.events_tumbling_hour(spark, hostile_dir)
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_hostile_sessions_match_batch(spark, hostile_dir):
+    stream = jobs.read_events_stream(spark, hostile_dir)
+    jobs.run_to_memory(jobs.session_counts(stream), "h_sessions")
+    got = spark.table("h_sessions")
+    want = batch_events.events_session_windows(spark, hostile_dir).select(
+        "user_id", "session_start", "n_events"
+    )
+    cols = ["user_id", "session_start", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_hostile_dedup_within_watermark(spark, hostile_dir):
+    stream = jobs.read_events_stream(spark, hostile_dir)
+    jobs.run_to_memory(
+        jobs.dedup_within_watermark(stream), "h_dedup", output_mode="append"
+    )
+    got = spark.table("h_dedup")
+    want_keys = batch_events.events_first_per_user_type(
+        spark, hostile_dir
+    ).select("user_id", "event_type")
+    assert _rows(got.select("user_id", "event_type"), ["user_id", "event_type"]) == _rows(
+        want_keys, ["user_id", "event_type"]
+    )
+
+
+# --- stateful pandas closures -------------------------------------------------
+
+
+def test_hostile_running_stats_all_null_user(spark, hostile_dir):
+    """User 2's values are ALL NULL: the batch max(value) is NULL, and
+    the stateful pandas max must agree — not emit -inf (the seed) or NaN
+    (pandas all-NaN max)."""
+    from pyspark.sql import functions as F
+
+    from dic_a1_spark.sources.readers import load_table
+
+    stream = jobs.read_events_stream(spark, hostile_dir)
+    jobs.run_to_memory(
+        jobs.running_user_stats(stream), "h_state", output_mode="update"
+    )
+    got = spark.table("h_state")
+    last = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("max_value").alias("max_value"),
+    )
+    want = (
+        load_table(spark, hostile_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.max("value").alias("max_value"))
+    )
+    cols = ["user_id", "n_events", "max_value"]
+    assert _rows(last, cols) == _rows(want, cols)
+
+
+def test_hostile_funnel_matches_batch(spark, hostile_dir):
+    from pyspark.sql import functions as F
+
+    from dic_a1_spark.operators.events import events_funnel_depth
+
+    stream = jobs.read_events_stream(spark, hostile_dir)
+    jobs.run_to_memory(
+        jobs.funnel_depths(stream), "h_funnel", output_mode="update"
+    )
+    got = spark.table("h_funnel")
+    last = (
+        got.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("funnel_depth", "view_ts", "click_ts", "purchase_ts")
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.view_ts").alias("view_ts"),
+            F.col("s.click_ts").alias("click_ts"),
+            F.col("s.purchase_ts").alias("purchase_ts"),
+            F.col("s.funnel_depth").cast("long").alias("funnel_depth"),
+        )
+    )
+    want = events_funnel_depth(spark, hostile_dir).withColumn(
+        "funnel_depth", F.col("funnel_depth").cast("long")
+    )
+    cols = ["user_id", "view_ts", "click_ts", "purchase_ts", "funnel_depth"]
+    assert _rows(last, cols) == _rows(want, cols)
+
+
+def test_hostile_interval_join_matches_static(spark, hostile_dir):
+    from pyspark.sql import functions as F
+
+    from dic_a1_spark.sources.readers import load_table
+
+    stream = jobs.read_events_stream(spark, hostile_dir)
+    jobs.run_to_memory(
+        jobs.clicks_before_purchases(stream), "h_ssjoin", output_mode="append"
+    )
+    got = spark.table("h_ssjoin").select("purchase_id", "click_id")
+    e = load_table(spark, hostile_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = purchases.join(
+        clicks,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+        ),
+    ).select("purchase_id", "click_id")
+    cols = ["purchase_id", "click_id"]
+    assert _rows(got, cols) == _rows(want, cols) and got.count() > 0
+
+
+def test_hostile_incremental_admission_matches_batch(spark, hostile_dir):
+    """NULL text hashes to a NULL content key and NULL n_chars arrives
+    as NaN in the pandas state closure — the exact `len(None)` crash
+    class the r9 multimodal sweep hit, now on the streaming surface."""
+    from pyspark.sql import functions as F
+
+    from dic_a1_spark.operators.incremental import dedup_incremental_keep
+
+    stream = jobs.read_increment_stream(spark, hostile_dir)
+    jobs.run_to_memory(
+        jobs.incremental_admission(stream, spark, hostile_dir),
+        "h_inc_admit",
+        output_mode="update",
+    )
+    last = (
+        spark.table("h_inc_admit")
+        .groupBy("content_hash")
+        .agg(F.min(F.struct("doc_id", "lang", "source", "n_chars")).alias("s"))
+        .select("content_hash", "s.doc_id", "s.lang", "s.source", "s.n_chars")
+    )
+    got = {
+        (r["doc_id"], r["content_hash"], r["lang"], r["source"], r["n_chars"])
+        for r in last.collect()
+    }
+    want = {
+        (r["doc_id"], r["content_hash"], r["lang"], r["source"], r["n_chars"])
+        for r in dedup_incremental_keep(spark, hostile_dir).collect()
+    }
+    assert got == want
+    assert got, "no admissions — increment residue class empty?"
+
+
+# --- stateless scoring twins ---------------------------------------------------
+
+
+def test_hostile_dsir_scores_match_batch(spark, hostile_dir):
+    from dic_a1_spark.operators.dsir import dsir_logratio_weights
+
+    stream = jobs.read_documents_stream(spark, hostile_dir)
+    jobs.run_to_memory(
+        jobs.dsir_stream_scores(stream, spark, hostile_dir),
+        "h_dsirscores",
+        output_mode="append",
+    )
+    got = _rows(
+        spark.table("h_dsirscores"),
+        ["doc_id", "n_feats", "score_fp", "avg_fp"],
+    )
+    want = _rows(
+        dsir_logratio_weights(spark, hostile_dir).select(
+            "doc_id", "n_feats", "score_fp", "avg_fp"
+        ),
+        ["doc_id", "n_feats", "score_fp", "avg_fp"],
+    )
+    assert got == want and got
+
+
+def test_hostile_bm25_scores_match_batch(spark, hostile_dir):
+    from dic_a1_spark.operators.bm25 import BM25_QUERY, _scored
+    from dic_a1_spark.sources.readers import load_table
+
+    stream = jobs.read_documents_stream(spark, hostile_dir)
+    jobs.run_to_memory(
+        jobs.bm25_stream_scores(stream, spark, hostile_dir),
+        "h_bm25scores",
+        output_mode="append",
+    )
+    cols = ["doc_id", "dl", "n_hit_terms", "score"]
+    got = _rows(spark.table("h_bm25scores"), cols)
+    want = _rows(
+        _scored(load_table(spark, hostile_dir, "documents"), BM25_QUERY), cols
+    )
+    assert got == want  # may be empty: BM25_QUERY terms need not occur
+
+
+def test_hostile_line_census_matches_batch(spark, hostile_dir):
+    from dic_a1_spark.operators import linededup
+
+    stream = jobs.read_documents_stream(spark, hostile_dir)
+    jobs.run_to_memory(jobs.line_instance_census(stream), "h_linecensus")
+    got = _rows(spark.table("h_linecensus"), ["line_text", "n_inst"])
+    want = _rows(
+        linededup._census(linededup._lines(spark, hostile_dir)).select(
+            "line_text", "n_inst"
+        ),
+        ["line_text", "n_inst"],
+    )
+    assert got == want
+
+
+def test_hostile_cdc_census_matches_batch(spark, hostile_dir):
+    from pyspark.sql import functions as F
+
+    from dic_a1_spark.operators import cdc
+    from dic_a1_spark.sources.readers import load_table
+
+    stream = jobs.read_documents_stream(spark, hostile_dir)
+    jobs.run_to_memory(jobs.cdc_chunk_census(stream), "h_cdccensus")
+    got = _rows(spark.table("h_cdccensus"), ["chunk_hash", "n_tokens", "n_inst"])
+    want = _rows(
+        cdc._chunks(load_table(spark, hostile_dir, "documents"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.count("*").alias("n_inst"),
+        ),
+        ["chunk_hash", "n_tokens", "n_inst"],
+    )
+    assert got == want and got
+
+
+def test_hostile_embdecontam_zero_norms(spark, hostile_dir):
+    """Zero-norm vectors on BOTH sides of the bipartite screen: NaN
+    similarities must never flag, the zero-norm bench column must be
+    inert, and the exact-1.0 cosines (identical and scaled copies of the
+    constant bench vector) must flag with best_sim_r == 1.0."""
+    import numpy as np
+
+    from dic_a1_spark.operators.embdecontam import (
+        EMBDECONTAM_MOD,
+        EMBDECONTAM_SIM,
+    )
+    from dic_a1_spark.operators.similarity import _round4_ge_boundary
+    from dic_a1_spark.sources.readers import load_table
+
+    stream = jobs.read_embeddings_stream(spark, hostile_dir)
+    jobs.run_to_memory(
+        jobs.embdecontam_stream_flags(stream, spark, hostile_dir),
+        "h_embdec",
+        output_mode="append",
+    )
+    got = {r["vec_id"]: r for r in spark.table("h_embdec").collect()}
+
+    rows = (
+        load_table(spark, hostile_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    V = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    is_b = (ids % EMBDECONTAM_MOD) == 0
+    bids, B = ids[is_b], V[is_b]
+    tids, T = ids[~is_b], V[~is_b]
+    bo, to = np.argsort(bids), np.argsort(tids)
+    bids, B, tids, T = bids[bo], B[bo], tids[to], T[to]
+    floor = _round4_ge_boundary(EMBDECONTAM_SIM)
+    bacc = np.zeros(len(B))
+    tacc = np.zeros(len(T))
+    acc = np.zeros((len(T), len(B)))
+    for d in range(V.shape[1]):
+        bacc += B[:, d] * B[:, d]
+        tacc += T[:, d] * T[:, d]
+        acc += T[:, d][:, None] * B[:, d][None, :]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        S = acc / (np.sqrt(tacc)[:, None] * np.sqrt(bacc)[None, :])
+
+    assert set(got) == set(tids.tolist())
+    n_flagged = 0
+    for i, vid in enumerate(tids.tolist()):
+        with np.errstate(invalid="ignore"):
+            hits = S[i] >= floor
+        r = got[vid]
+        assert r["flagged"] == bool(hits.any()), vid
+        assert r["n_hits"] == int(hits.sum()), vid
+        if vid % 5 == 0:  # zero-norm training vectors: never flagged
+            assert not r["flagged"] and r["best_bench_id"] is None, vid
+        if vid % 5 in (1, 2) and vid % EMBDECONTAM_MOD != 0:
+            assert r["flagged"] and r["best_sim_r"] == 1.0, vid
+        if hits.any():
+            n_flagged += 1
+            masked = np.where(hits, S[i], -np.inf)
+            j = int(np.argmax(masked))
+            assert r["best_bench_id"] == int(bids[j]), vid
+    assert n_flagged > 0
