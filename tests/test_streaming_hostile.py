@@ -388,6 +388,92 @@ def test_hostile_cdc_census_matches_batch(spark, hostile_dir):
     assert got == want and got
 
 
+@pytest.fixture(scope="module")
+def barren_dir(tmp_path_factory):
+    """Second hostile shape: the collected-statistics twins' sources are
+    BARREN — every document is NULL/whitespace (token-free: the dsir
+    census and bm25 idf tables collect EMPTY) and no embedding vec_id
+    hits the benchmark residue class (the bench collect is EMPTY). Every
+    'fit stats batch-side, embed as literals' stream job must survive
+    plan construction and produce the correct degenerate output, not die
+    on a VOID map() literal or an np.stack([]) on the driver."""
+    out = tmp_path_factory.mktemp("stream_barren_sf")
+    for t in TABLES:
+        if t in ("documents", "embeddings"):
+            continue
+        shutil.copy(Path(SF_SMOKE) / f"{t}.parquet", Path(out) / f"{t}.parquet")
+    texts = [None, "   ", None, "\t", None]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s0"] * len(texts), pa.string()),
+            "n_chars": pa.array(
+                [len(t) if t is not None else None for t in texts], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, Path(out) / "documents.parquet")
+    dim = 8
+    ids = list(range(1, 61))  # no id % 97 == 0 -> EMPTY bench slice
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [[float(i + d) for d in range(dim)] for i in ids],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([i % 3 for i in ids], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, Path(out) / "embeddings.parquet")
+    return str(out)
+
+
+def test_barren_dsir_stream_survives_empty_census(spark, barren_dir):
+    """Token-free corpus -> EMPTY collected bucket census: the weight
+    map literal must stay typed (not VOID) and the stream must simply
+    emit nothing (no doc has a scorable token)."""
+    stream = jobs.read_documents_stream(spark, barren_dir)
+    jobs.run_to_memory(
+        jobs.dsir_stream_scores(stream, spark, barren_dir),
+        "b_dsirscores",
+        output_mode="append",
+    )
+    assert spark.table("b_dsirscores").count() == 0
+
+
+def test_barren_bm25_stream_survives_empty_idf(spark, barren_dir):
+    stream = jobs.read_documents_stream(spark, barren_dir)
+    jobs.run_to_memory(
+        jobs.bm25_stream_scores(stream, spark, barren_dir),
+        "b_bm25scores",
+        output_mode="append",
+    )
+    assert spark.table("b_bm25scores").count() == 0
+
+
+def test_barren_embdecontam_survives_empty_bench(spark, barren_dir):
+    """Empty benchmark slice: every incoming vector passes unflagged —
+    the driver must not np.stack an empty list at build time."""
+    stream = jobs.read_embeddings_stream(spark, barren_dir)
+    jobs.run_to_memory(
+        jobs.embdecontam_stream_flags(stream, spark, barren_dir),
+        "b_embdec",
+        output_mode="append",
+    )
+    rows = spark.table("b_embdec").collect()
+    assert len(rows) == 60
+    assert all(
+        (not r["flagged"])
+        and r["n_hits"] == 0
+        and r["best_bench_id"] is None
+        and r["best_sim_r"] is None
+        for r in rows
+    )
+
+
 def test_hostile_embdecontam_zero_norms(spark, hostile_dir):
     """Zero-norm vectors on BOTH sides of the bipartite screen: NaN
     similarities must never flag, the zero-norm bench column must be

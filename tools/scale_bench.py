@@ -152,6 +152,11 @@ HEADLINE_DOC_QUERIES = [
     "repselect_best_of_group",
     "repselect_gain",
     "index_compression",
+    # round 9 twins (VERDICT r9 item 7): the corpus-side vocabulary-fit
+    # panel (same census as bpe_corpus_token_counts, different rollup)
+    # and the postings-compression sizing rollup
+    "bpe_corpus_compression",
+    "index_compression_summary",
 ]
 
 
