@@ -380,13 +380,18 @@ def _stats_oracle() -> str:
         _feats_cte()
         + _census_cte()
         + """
-        SELECT CAST(max(t2.n_buckets) AS BIGINT) AS n_buckets,
-               CAST(max(t2.n_target_feats) AS BIGINT) AS n_target_feats,
-               CAST(max(t2.n_raw_feats) AS BIGINT) AS n_raw_feats,
+        -- GROUP BY mirrors the Spark groupBy exactly: on an EMPTY
+        -- census the join is empty and BOTH engines emit 0 rows (a
+        -- bare scalar aggregate would fabricate a 1-row NULL panel
+        -- DuckDB-side only — the r10 empty-corpus probe fork).
+        SELECT CAST(t2.n_buckets AS BIGINT) AS n_buckets,
+               CAST(t2.n_target_feats AS BIGINT) AS n_target_feats,
+               CAST(t2.n_raw_feats AS BIGINT) AS n_raw_feats,
                CAST(sum((w.t + 1) * w.w) AS BIGINT) AS kl_fp,
                CAST(min(w.w) AS BIGINT) AS min_w_fp,
                CAST(max(w.w) AS BIGINT) AS max_w_fp
         FROM wts w, tot t2
+        GROUP BY t2.n_buckets, t2.n_target_feats, t2.n_raw_feats
     """
     )
 

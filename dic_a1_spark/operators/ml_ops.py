@@ -88,6 +88,23 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-K codebook in operators/similarity.py)."""
     from pyspark.ml.clustering import KMeans
 
+    from dic_a1_spark.sources.readers import table_rowcount
+
+    if table_rowcount(sf_dir, "embeddings") == 0:
+        # KMeans.fit raises on an empty dataset (r10 empty-corpus
+        # probe); the footer-metadata count costs no corpus action.
+        import pyspark.sql.types as T
+
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("vec_id", T.LongType()),
+                    T.StructField("label", T.IntegerType()),
+                    T.StructField("cluster", T.IntegerType()),
+                ]
+            ),
+        )
     feats = _features(spark, sf_dir)
     model = KMeans(k=KMEANS_K, seed=SEED, maxIter=10).fit(feats)
     return model.transform(feats).select(
@@ -163,6 +180,22 @@ def ml_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"the cap deliberately"
         )
     vocab = sorted(r["t"] for r in vocab_rows)
+    if not vocab:
+        # Empty/token-free corpus: CountVectorizerModel.from_vocabulary
+        # raises on an empty list (r10 empty-corpus probe). No tokens ->
+        # no candidate pairs; emit the empty pair table.
+        import pyspark.sql.types as T
+
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("doc1", T.LongType()),
+                    T.StructField("doc2", T.LongType()),
+                    T.StructField("jaccard", T.DoubleType()),
+                ]
+            ),
+        )
     cv = CountVectorizerModel.from_vocabulary(
         vocab, inputCol="toks", outputCol="features", binary=True
     )

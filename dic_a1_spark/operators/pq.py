@@ -449,6 +449,17 @@ def embedding_pq_codes_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("codes", T.StringType()),
+        ]
+    )
+    if not cb_rows:
+        # Empty codebook collect <=> empty embeddings table (codewords
+        # are corpus rows); np.stack([]) raises driver-side (r10
+        # empty-corpus probe). Correct code table: empty.
+        return spark.createDataFrame([], out_schema)
     order = np.argsort([r["vec_id"] for r in cb_rows])
     C = np.stack(
         [np.asarray(cb_rows[i]["embedding"], dtype=np.float64) for i in order]
@@ -456,13 +467,6 @@ def embedding_pq_codes_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cb_sub, cb_norm = _np_codebook_parts(C)
     bc = spark.sparkContext.broadcast((cb_sub, cb_norm))
-
-    out_schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("codes", T.StringType()),
-        ]
-    )
 
     def assign_batches(batches):
         import pandas as pd
@@ -517,6 +521,29 @@ def knn_cosine_pq_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb_rows = (
         e.where(F.col("vec_id") < PQ_K).select("vec_id", "embedding").collect()
     )
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("adc_sim", T.DoubleType()),
+        ]
+    )
+    if not cb_rows:
+        # Empty codebook/query collect <=> empty embeddings table;
+        # np.stack([]) raises driver-side (r10 empty-corpus probe).
+        # Schema matches the final select below (rank is row_number's
+        # INT), so downstream consumers see the real shape, just empty.
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", T.LongType()),
+                    T.StructField("neighbor_id", T.LongType()),
+                    T.StructField("sim_pq", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
     order = np.argsort([r["vec_id"] for r in cb_rows])
     C = np.stack(
         [np.asarray(cb_rows[i]["embedding"], dtype=np.float64) for i in order]
@@ -528,18 +555,23 @@ def knn_cosine_pq_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
+    if not q_rows:
+        # No query rows (ids below N_QUERIES absent): nothing to rank.
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", T.LongType()),
+                    T.StructField("neighbor_id", T.LongType()),
+                    T.StructField("sim_pq", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
     sq_qn = np.sqrt(_np_seq_dot(Q, Q))
     bc = spark.sparkContext.broadcast((cb_sub, cb_norm, C, q_ids, Q, sq_qn))
-
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
-            T.StructField("adc_sim", T.DoubleType()),
-        ]
-    )
 
     def score_batches(batches):
         import pandas as pd

@@ -295,6 +295,23 @@ def knn_cosine_quantized_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     qz = _with_quantized(e).select("vec_id", "qvec")
     q_rows = qz.where(F.col("vec_id") < N_QUERIES).collect()
+    if not q_rows:
+        # Empty query collect <=> empty embeddings table (queries are
+        # corpus rows); np.stack([]) raises driver-side (r10
+        # empty-corpus probe). Schema matches the final select (rnk is
+        # row_number's INT).
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", T.LongType()),
+                    T.StructField("neighbor_id", T.LongType()),
+                    T.StructField("int_dot", T.LongType()),
+                    T.StructField("sim_q8", T.DoubleType()),
+                    T.StructField("rnk", T.IntegerType()),
+                ]
+            ),
+        )
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r["qvec"], dtype=np.int64) for r in q_rows])
     na = (Q * Q).sum(axis=1)

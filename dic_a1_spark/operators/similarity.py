@@ -468,6 +468,23 @@ def _neardup_fast_asg(
     cent_rows = (
         e.where(F.col("vec_id") < ivf_k).select("vec_id", "embedding").collect()
     )
+    cand_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("raw_sim", T.DoubleType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    if not cent_rows:
+        # Empty centroid collect <=> the embeddings table itself is
+        # empty (centroids ARE corpus rows: vec_id < ivf_k). np.stack
+        # of an empty list would raise on the DRIVER at plan-build time
+        # (r10 empty-corpus probe) — the correct assignment frame is
+        # simply empty, in the function's output column order.
+        return spark.createDataFrame([], cand_schema).select(
+            "centroid_id", "vec_id", "embedding"
+        )
     cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
     C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
     order = np.argsort(cent_ids)
@@ -477,15 +494,6 @@ def _neardup_fast_asg(
         cn += C[:, i] * C[:, i]
     cn = np.sqrt(cn)
     bc = spark.sparkContext.broadcast((cent_ids, C, cn))
-
-    cand_schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("centroid_id", T.LongType()),
-            T.StructField("raw_sim", T.DoubleType()),
-            T.StructField("embedding", T.ArrayType(T.FloatType())),
-        ]
-    )
     probe = nprobe
 
     def assign_batches(batches):
@@ -670,6 +678,22 @@ def ivf_assignments_fast(
     cent_rows = (
         e.where(F.col("vec_id") < ivf_k).select("vec_id", "embedding").collect()
     )
+    cand_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("raw_sim", T.DoubleType()),
+        ]
+    )
+    if not cent_rows:
+        # Empty collect <=> empty embeddings table (centroids are corpus
+        # rows); np.stack([]) would raise driver-side (r10 empty-corpus
+        # probe). The correct assignment table is empty.
+        return spark.createDataFrame([], cand_schema).select(
+            "vec_id",
+            "centroid_id",
+            F.col("raw_sim").alias("centroid_sim"),
+        )
     cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
     C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
     order = np.argsort(cent_ids)  # ascending ids; ties break low in the window
@@ -679,14 +703,6 @@ def ivf_assignments_fast(
         cn += C[:, i] * C[:, i]
     cn = np.sqrt(cn)
     bc = spark.sparkContext.broadcast((cent_ids, C, cn))
-
-    cand_schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("centroid_id", T.LongType()),
-            T.StructField("raw_sim", T.DoubleType()),
-        ]
-    )
 
     def assign_batches(batches):
         ids_c, c_mat, c_nrm = bc.value

@@ -50,7 +50,11 @@ def events_hll_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_type.agg(
             F.lit("ALL").alias("event_type"),
             F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
-            F.sum("n_events").alias("n_events"),
+            # coalesce: on an EMPTY events table sum() is NULL while the
+            # oracle's count(*) is 0 (r10 empty-corpus probe fork)
+            F.coalesce(F.sum("n_events"), F.lit(0).cast("bigint")).alias(
+                "n_events"
+            ),
         )
         .crossJoin(F.broadcast(exact_all))
     )

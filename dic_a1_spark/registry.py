@@ -64,6 +64,29 @@ _MODULES = (
     # exhaustion) and its downstream vocabulary consumer
     "dic_a1_spark.operators.bpe",
     "dic_a1_spark.operators.tokapply",
+    # (g3) EDITED in r10 by the EMPTY-corpus sweep (the third standing
+    # hostile shape, tests/test_degenerate_corpus.py): 8 driver-side
+    # np.stack([])-on-empty-codebook crashes (similarity/pq/quantize
+    # fast twins + the embdecontam consumers), 2 spark.ml empty-fit
+    # refusals, 1 NULL-vs-0 hll rollup fork, and the dsir stats oracle's
+    # scalar-agg 1-row fabrication — all now guarded/mirrored; re-grade.
+    (
+        "dic_a1_spark.operators.similarity",
+        (
+            "ivf_assignments_fast",
+            "embedding_neardup_blocked_fast",
+            "embedding_neardup_groups",
+        ),
+    ),
+    (
+        "dic_a1_spark.operators.pq",
+        ("embedding_pq_codes_fast", "knn_cosine_pq_fast"),
+    ),
+    ("dic_a1_spark.operators.quantize", ("knn_cosine_quantized_fast",)),
+    "dic_a1_spark.operators.embdecontam",
+    ("dic_a1_spark.operators.sketches", ("events_hll_user_counts",)),
+    ("dic_a1_spark.operators.dsir", ("dsir_bucket_stats",)),
+    "dic_a1_spark.operators.ml_ops",
     # (d) r8 fuzz oracle edits — official driver re-grades
     ("dic_a1_spark.operators.events", ("events_session_windows",)),
     ("dic_a1_spark.operators.dedup", ("dedup_tokenset_groups",)),

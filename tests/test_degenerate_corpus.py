@@ -208,6 +208,69 @@ def test_registry_survives_null_corpus(spark, nulls_dir, name):
         fn(spark, nulls_dir).count()  # rows-only: must materialize
 
 
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    """Third hostile shape (r10): the corpus tables are EMPTY — valid
+    parquet, zero rows. This is the filtered-to-nothing slice every
+    100 TB pipeline eventually feeds an operator (one lang, one day, one
+    source), and it is the shape that kills DRIVER-SIDE collected-
+    statistics construction: the r10 probe found 8 np.stack([]) crashes
+    (empty codebook/query collects across the ANN fast twins and
+    embdecontam), 2 spark.ml refusals (KMeans.fit, empty vocabulary), 1
+    NULL-vs-0 rollup fork (hll sum over no types), and 1 scalar-agg
+    1-row fabrication in the dsir stats oracle."""
+    out = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        if t in ("documents", "events", "embeddings"):
+            continue
+        shutil.copy(Path(SF_SMOKE) / f"{t}.parquet", Path(out) / f"{t}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        ),
+        Path(out) / "documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+                "props": pa.array([], pa.string()),
+            }
+        ),
+        Path(out) / "events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+                "label": pa.array([], pa.int32()),
+            }
+        ),
+        Path(out) / "embeddings.parquet",
+    )
+    return str(out)
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_registry_survives_empty_corpus(spark, empty_dir, name):
+    fn = _QUERIES[name]
+    if name in _ORACLES:
+        compare(spark, _ORACLES[name], fn, empty_dir, name)
+    else:
+        fn(spark, empty_dir).count()  # rows-only: must materialize
+
+
 # ---------------------------------------------------------------------------
 # Round-10 family-specific degenerate shapes (VERDICT r9 item 3). The two
 # sweeps above mutate documents/events/embeddings but copy the TPC-H tables
