@@ -630,21 +630,32 @@ ORACLES: dict[str, str] = {
                count(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag
     """,
+    # HAVING count(*) > 0 on the three grouping-set oracles mirrors a
+    # documented cross-engine fork (r10 empty-TPC-H probe): over an
+    # EMPTY table Spark's ROLLUP/CUBE/GROUPING SETS emit NOTHING, while
+    # DuckDB follows the SQL standard and fabricates the grand-total ()
+    # row (count 0, NULL sums). The registered contract is Spark's
+    # behavior; the filter only ever drops that fabricated row — every
+    # real group has count(*) >= 1 — so it is value-identical on all
+    # non-empty inputs.
     "agg_rollup": """
         SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        HAVING count(*) > 0
     """,
     "agg_cube": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
                round(sum(o_totalprice), 2) AS sum_total
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        HAVING count(*) > 0
     """,
     "agg_grouping_sets": """
         SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        HAVING count(*) > 0
     """,
     "agg_conditional_pivot": """
         SELECT o_orderpriority,

@@ -271,6 +271,34 @@ def test_registry_survives_empty_corpus(spark, empty_dir, name):
         fn(spark, empty_dir).count()  # rows-only: must materialize
 
 
+@pytest.fixture(scope="module")
+def empty_tpch_dir(tmp_path_factory):
+    """Fourth hostile shape (r10): the TPC-H tables are EMPTY while the
+    corpus tables stay healthy — the relational complement of empty_dir.
+    The probe found exactly one fork class here: Spark's ROLLUP / CUBE /
+    GROUPING SETS emit NOTHING over an empty table while DuckDB
+    fabricates the standard's grand-total () row; the oracles mirror
+    Spark via HAVING count(*) > 0 (see relational.py)."""
+    out = tmp_path_factory.mktemp("empty_tpch_sf")
+    tpch = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+    for t in TABLES:
+        src = Path(SF_SMOKE) / f"{t}.parquet"
+        if t in tpch:
+            pq.write_table(pq.read_table(src).slice(0, 0), Path(out) / f"{t}.parquet")
+        else:
+            shutil.copy(src, Path(out) / f"{t}.parquet")
+    return str(out)
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_registry_survives_empty_tpch(spark, empty_tpch_dir, name):
+    fn = _QUERIES[name]
+    if name in _ORACLES:
+        compare(spark, _ORACLES[name], fn, empty_tpch_dir, name)
+    else:
+        fn(spark, empty_tpch_dir).count()  # rows-only: must materialize
+
+
 # ---------------------------------------------------------------------------
 # Round-10 family-specific degenerate shapes (VERDICT r9 item 3). The two
 # sweeps above mutate documents/events/embeddings but copy the TPC-H tables
