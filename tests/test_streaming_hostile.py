@@ -474,6 +474,76 @@ def test_barren_embdecontam_survives_empty_bench(spark, barren_dir):
     )
 
 
+@pytest.fixture(scope="module")
+def empty_stream_dir(tmp_path_factory):
+    """Fully EMPTY sources (0-row valid parquet for documents, events,
+    embeddings): every streaming job must run an availableNow replay to
+    completion and emit nothing — not die in a collect, a state update,
+    or plan analysis."""
+    out = tmp_path_factory.mktemp("stream_empty_sf")
+    for t in TABLES:
+        if t in ("documents", "events", "embeddings"):
+            continue
+        shutil.copy(Path(SF_SMOKE) / f"{t}.parquet", Path(out) / f"{t}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        ),
+        Path(out) / "documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+                "props": pa.array([], pa.string()),
+            }
+        ),
+        Path(out) / "events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+                "label": pa.array([], pa.int32()),
+            }
+        ),
+        Path(out) / "embeddings.parquet",
+    )
+    return str(out)
+
+
+def test_all_streaming_jobs_survive_empty_sources(spark, empty_stream_dir):
+    d = empty_stream_dir
+    plans = [
+        ("tumbling", jobs.tumbling_counts(jobs.read_events_stream(spark, d)), "complete"),
+        ("sessions", jobs.session_counts(jobs.read_events_stream(spark, d)), "complete"),
+        ("dedup", jobs.dedup_within_watermark(jobs.read_events_stream(spark, d)), "append"),
+        ("runstats", jobs.running_user_stats(jobs.read_events_stream(spark, d)), "update"),
+        ("ssjoin", jobs.clicks_before_purchases(jobs.read_events_stream(spark, d)), "append"),
+        ("funnel", jobs.funnel_depths(jobs.read_events_stream(spark, d)), "update"),
+        ("linecensus", jobs.line_instance_census(jobs.read_documents_stream(spark, d)), "complete"),
+        ("cdccensus", jobs.cdc_chunk_census(jobs.read_documents_stream(spark, d)), "complete"),
+        ("dsir", jobs.dsir_stream_scores(jobs.read_documents_stream(spark, d), spark, d), "append"),
+        ("bm25", jobs.bm25_stream_scores(jobs.read_documents_stream(spark, d), spark, d), "append"),
+        ("incadmit", jobs.incremental_admission(jobs.read_increment_stream(spark, d), spark, d), "update"),
+        ("embdec", jobs.embdecontam_stream_flags(jobs.read_embeddings_stream(spark, d), spark, d), "append"),
+    ]
+    for name, df, mode in plans:
+        jobs.run_to_memory(df, f"es_{name}", output_mode=mode)
+        assert spark.table(f"es_{name}").count() == 0, name
+
+
 def test_hostile_embdecontam_zero_norms(spark, hostile_dir):
     """Zero-norm vectors on BOTH sides of the bipartite screen: NaN
     similarities must never flag, the zero-norm bench column must be
