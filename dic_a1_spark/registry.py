@@ -29,21 +29,28 @@ from pyspark.sql import DataFrame, SparkSession
 #   (g) NEW in r10 — the goldens driver promotion (VERDICT r9 item 6):
 #       2 entries hash-gating our stage-1 decoder and exact-int chi2
 #       top-75 against the reference's own checked-in artifacts (cum 2);
+#   (g2) EDITED in r10 — the bpe merge-exhaustion fix + its vocabulary
+#       consumer tokapply (cum 8);
+#   (g3) EDITED in r10 — the empty-corpus sweep fixes: ANN fast twins,
+#       embdecontam, hll rollup, dsir stats oracle, ml yardsticks
+#       (cum 20);
+#   (g4) EDITED in r10 — the empty-TPC-H grouping-sets oracle mirror
+#       (cum 23);
 #   (d) re-grades of the r8 fuzz ORACLE edits, spilled from r9 exactly
 #       as staged (value-identical per pytest + sweep meanwhile):
 #       events_session_windows (>= -> > gap boundary) and the coalesced
 #       tokenset-md5 family — dedup_tokenset_groups,
 #       dedup_incremental_keep/stats, split_leakage_safe_assign/audit,
-#       doc_fingerprint, corpus_datacard (cum 10);
+#       doc_fingerprint, corpus_datacard (cum 31);
 #   (e) ragpack 2 — downstream of the r9 quote-safe batch-map edit
-#       (cum 12);
+#       (cum 33);
 #   (c) the r2-stale stragglers that straddled the r9 edge:
-#       scalar_case_when + the events trio (cum 16);
+#       scalar_case_when + the events trio (cum 37);
 #   (f) oldest-green-first — the r3 textstats tranche (rest of module;
 #       text_source_profile/docs_grouped_quartiles/doc_fingerprint got
-#       r9/r10 rows via earlier selections), then the r4 tranche:
-#       sketches, ngrams, lexical, udxf rest, multimodal rest, dedup
-#       rest, tpch_full, lsh — the window edge lands inside this block.
+#       r9/r10 rows via earlier selections) — the ~50 window edge lands
+#       inside this block; then the r4 tranche: sketches rest, ngrams,
+#       lexical, udxf rest, multimodal rest, dedup rest, tpch_full, lsh.
 #
 # R11 STAGING: front anything edited in r11, then wherever the r10
 # window edge landed in the r4 tranche (check CORRECTNESS_r10's last
