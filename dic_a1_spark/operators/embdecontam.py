@@ -173,8 +173,14 @@ def embdecontam_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bench",
         "n_flagged",
         "n_pairs",
+        # try_divide: an all-bench slice has n_train = 0 and raw `/`
+        # THROWS under ANSI (r10 one-row-corpus probe); DuckDB's /0 is
+        # NULL, which try_divide matches exactly.
         F.round(
-            F.col("n_flagged").cast("double") / F.col("n_train").cast("double"),
+            F.try_divide(
+                F.col("n_flagged").cast("double"),
+                F.col("n_train").cast("double"),
+            ),
             6,
         ).alias("flag_rate_r"),
         "max_sim",

@@ -90,7 +90,8 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dic_a1_spark.sources.readers import table_rowcount
 
-    if table_rowcount(sf_dir, "embeddings") == 0:
+    n = table_rowcount(sf_dir, "embeddings")
+    if n == 0:
         # KMeans.fit raises on an empty dataset (r10 empty-corpus
         # probe); the footer-metadata count costs no corpus action.
         import pyspark.sql.types as T
@@ -106,7 +107,15 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     feats = _features(spark, sf_dir)
-    model = KMeans(k=KMEANS_K, seed=SEED, maxIter=10).fit(feats)
+    if n < 2:
+        # spark.ml KMeans requires k >= 2; a single-vector slice has
+        # exactly one possible clustering (r10 one-row-corpus probe).
+        return feats.select(
+            "vec_id", "label", F.lit(0).cast("int").alias("cluster")
+        )
+    # k > n also fails the fit (r10 one-row-corpus probe); a slice
+    # smaller than the configured k clusters to one point per row.
+    model = KMeans(k=min(KMEANS_K, n), seed=SEED, maxIter=10).fit(feats)
     return model.transform(feats).select(
         "vec_id", "label", F.col("prediction").alias("cluster")
     )

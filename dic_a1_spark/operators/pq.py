@@ -403,18 +403,26 @@ def _np_codebook_parts(C):
 
 
 def _np_assign_codes(V, cb_sub, cb_norm):
-    """(n, PQ_M) code matrix for a (n, D) float64 batch — the exact
-    query's d2 recipe (three sequential folds, da + db - 2*dab) with
-    np.argmin's first-minimal-index = lowest-code tiebreak."""
+    """(n, PQ_M) codeword POSITION matrix for a (n, D) float64 batch —
+    the exact query's d2 recipe (three sequential folds, da + db -
+    2*dab) with np.argmin's first-minimal-index = lowest-code tiebreak.
+
+    Iterates the ACTUAL collected codebook size, not PQ_K: a corpus
+    with fewer than PQ_K rows collects a short codebook, and indexing
+    to PQ_K crashed the executor (r10 one-row-corpus probe). Positions
+    index the ascending-vec_id codebook; callers that emit code IDS map
+    positions through the collected id array (positional order ==
+    ascending code order, so the argmin tiebreak is preserved)."""
     import numpy as np
 
     n = len(V)
+    k_actual = cb_sub[0].shape[0]
     codes = np.zeros((n, PQ_M), dtype=np.int64)
     for m in range(PQ_M):
         vs = V[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
         va = _np_seq_dot(vs, vs)
-        d2 = np.empty((n, PQ_K), dtype=np.float64)
-        for k in range(PQ_K):
+        d2 = np.empty((n, k_actual), dtype=np.float64)
+        for k in range(k_actual):
             ck = cb_sub[m][k]
             dab = np.zeros(n, dtype=np.float64)
             for i in range(PQ_SUBDIM):
@@ -464,21 +472,28 @@ def embedding_pq_codes_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     C = np.stack(
         [np.asarray(cb_rows[i]["embedding"], dtype=np.float64) for i in order]
     )  # (K, D) in ascending code order
+    # Code IDS of the collected codebook: contiguous 0..K-1 on the
+    # driver corpora, but a sparse/tiny corpus collects non-contiguous
+    # vec_ids — positions must map through this array to match the
+    # exact twin's code = vec_id (r10 one-row-corpus probe).
+    cb_ids = np.array(
+        sorted(r["vec_id"] for r in cb_rows), dtype=np.int64
+    )
 
     cb_sub, cb_norm = _np_codebook_parts(C)
-    bc = spark.sparkContext.broadcast((cb_sub, cb_norm))
+    bc = spark.sparkContext.broadcast((cb_sub, cb_norm, cb_ids))
 
     def assign_batches(batches):
         import pandas as pd
 
-        cb_sub_, cb_norm_ = bc.value
+        cb_sub_, cb_norm_, cb_ids_ = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
-            codes = _np_assign_codes(V, cb_sub_, cb_norm_)
+            codes = cb_ids_[_np_assign_codes(V, cb_sub_, cb_norm_)]
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),

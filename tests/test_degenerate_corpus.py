@@ -299,6 +299,71 @@ def test_registry_survives_empty_tpch(spark, empty_tpch_dir, name):
         fn(spark, empty_tpch_dir).count()  # rows-only: must materialize
 
 
+@pytest.fixture(scope="module")
+def onerow_dir(tmp_path_factory):
+    """Fifth hostile shape (r10): ONE row per corpus table — the
+    smaller-than-every-configured-constant slice (k-means k > n, PQ
+    codebook shorter than PQ_K with the single vec_id both bench-side
+    and sparse, quantiles over one sample). The probe found 4 defects:
+    the PQ fast twins indexed the codebook to PQ_K and equated argmin
+    position with code id (both wrong on a short/sparse codebook), the
+    contamination panel divided by a zero training count under ANSI,
+    and spark.ml KMeans refuses both k > n and k < 2."""
+    out = tmp_path_factory.mktemp("onerow_sf")
+    for t in TABLES:
+        if t in ("documents", "events", "embeddings"):
+            continue
+        shutil.copy(Path(SF_SMOKE) / f"{t}.parquet", Path(out) / f"{t}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["one lonely document with a few tokens"], pa.string()),
+                "lang": pa.array(["en"], pa.string()),
+                "source": pa.array(["s0"], pa.string()),
+                "n_chars": pa.array([38], pa.int64()),
+            }
+        ),
+        Path(out) / "documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([0], pa.int64()),
+                "ts": pa.array([datetime(2024, 7, 1, 8, 30)], pa.timestamp("us")),
+                "user_id": pa.array([1], pa.int64()),
+                "event_type": pa.array(["click"], pa.string()),
+                "value": pa.array([2.5], pa.float64()),
+                "props": pa.array(['{"k": 1}'], pa.string()),
+            }
+        ),
+        Path(out) / "events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0], pa.int64()),
+                "embedding": pa.array(
+                    [[float(d % 5 - 2) for d in range(64)]],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0], pa.int32()),
+            }
+        ),
+        Path(out) / "embeddings.parquet",
+    )
+    return str(out)
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_registry_survives_onerow_corpus(spark, onerow_dir, name):
+    fn = _QUERIES[name]
+    if name in _ORACLES:
+        compare(spark, _ORACLES[name], fn, onerow_dir, name)
+    else:
+        fn(spark, onerow_dir).count()  # rows-only: must materialize
+
+
 # ---------------------------------------------------------------------------
 # Round-10 family-specific degenerate shapes (VERDICT r9 item 3). The two
 # sweeps above mutate documents/events/embeddings but copy the TPC-H tables
