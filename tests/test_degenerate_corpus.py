@@ -189,8 +189,14 @@ def _registry():
 
 _QUERIES, _ORACLES = _registry()
 
+# The goldens_* entries are pinned to the reference's fixed devset artifacts
+# and ignore sf_dir entirely — re-running them once per hostile corpus is
+# vacuous coverage at nontrivial repeated cost (ADVICE r10). They keep their
+# own dedicated parity gate in tests/test_golden_parity.py.
+_SWEEP = sorted(n for n in _QUERIES if not n.startswith("goldens_"))
 
-@pytest.mark.parametrize("name", sorted(_QUERIES))
+
+@pytest.mark.parametrize("name", _SWEEP)
 def test_registry_survives_degenerate_corpus(spark, degen_dir, name):
     fn = _QUERIES[name]
     if name in _ORACLES:
@@ -199,7 +205,7 @@ def test_registry_survives_degenerate_corpus(spark, degen_dir, name):
         fn(spark, degen_dir).count()  # rows-only: must materialize
 
 
-@pytest.mark.parametrize("name", sorted(_QUERIES))
+@pytest.mark.parametrize("name", _SWEEP)
 def test_registry_survives_null_corpus(spark, nulls_dir, name):
     fn = _QUERIES[name]
     if name in _ORACLES:
@@ -262,7 +268,7 @@ def empty_dir(tmp_path_factory):
     return str(out)
 
 
-@pytest.mark.parametrize("name", sorted(_QUERIES))
+@pytest.mark.parametrize("name", _SWEEP)
 def test_registry_survives_empty_corpus(spark, empty_dir, name):
     fn = _QUERIES[name]
     if name in _ORACLES:
@@ -290,7 +296,7 @@ def empty_tpch_dir(tmp_path_factory):
     return str(out)
 
 
-@pytest.mark.parametrize("name", sorted(_QUERIES))
+@pytest.mark.parametrize("name", _SWEEP)
 def test_registry_survives_empty_tpch(spark, empty_tpch_dir, name):
     fn = _QUERIES[name]
     if name in _ORACLES:
@@ -355,7 +361,7 @@ def onerow_dir(tmp_path_factory):
     return str(out)
 
 
-@pytest.mark.parametrize("name", sorted(_QUERIES))
+@pytest.mark.parametrize("name", _SWEEP)
 def test_registry_survives_onerow_corpus(spark, onerow_dir, name):
     fn = _QUERIES[name]
     if name in _ORACLES:
@@ -641,3 +647,115 @@ def test_cdc_short_docs_are_single_chunks(spark, cdc_short_dir):
         assert (c["chunk_start"], c["chunk_end"]) == (1, n_tok)
     dups = CQ["cdc_dup_chunks"](spark, cdc_short_dir).collect()
     assert any(d["cross_doc"] == 1 and d["n_tokens"] == 1 for d in dups)
+
+
+# ---------------------------------------------------------------------------
+# Sixth hostile shape (r11, VERDICT r10 item 3): SKEW — one hot key
+# everywhere. All documents share one lang/source and are near-identical
+# (so every MinHash band value, every SimHash prefix, every shingle and
+# every line hash collapses into ONE bucket); all embeddings sit in one
+# centroid block (blocked-ANN fan-out = the whole corpus); all events
+# belong to one user and one type. This is the single-hot-key extreme a
+# 100 TB corpus actually exhibits, and it stresses exactly the
+# "fan-out bounded by largest block" claims in dedup.py / semdedup.py:
+# the plans must COMPLETE (no OOM-shaped candidate blowup in a *groups*
+# query) and the bounds must degrade as documented.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skew_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("skew_sf")
+    for t in TABLES:
+        if t in ("documents", "events", "embeddings"):
+            continue
+        shutil.copy(Path(SF_SMOKE) / f"{t}.parquet", Path(out) / f"{t}.parquet")
+
+    # documents: 60 docs, ONE lang, ONE source. 40 are byte-identical (the
+    # hot exact-dup group); 20 share the same long prefix with one token
+    # swapped (near-dups: same bands, jaccard just under 1).
+    base = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "miller grinds the grain and the river runs to the sea"
+    )
+    texts = [base] * 40 + [base.replace("river", f"river{i}") for i in range(20)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["hot_src"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, Path(out) / "documents.parquet")
+
+    # events: ONE user, ONE type — every sessionization / window / percentile
+    # partition collapses to a single hot partition key.
+    t0 = datetime(2024, 8, 1, 10, 0, 0)
+    n_ev = 50
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n_ev), pa.int64()),
+            "ts": pa.array(
+                [t0 + timedelta(minutes=3 * i) for i in range(n_ev)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([7] * n_ev, pa.int64()),
+            "event_type": pa.array(["click"] * n_ev, pa.string()),
+            "value": pa.array([float(i % 5) + 0.25 for i in range(n_ev)], pa.float64()),
+            "props": pa.array(['{"k": 1}'] * n_ev, pa.string()),
+        }
+    )
+    pq.write_table(tbl, Path(out) / "events.parquet")
+
+    # embeddings: ONE centroid block. Every vector is the same direction
+    # with a tiny deterministic wobble in one coordinate — cosine ~ 1.0
+    # pairwise, so blocked ANN's largest block IS the whole corpus.
+    n, dim = 60, 64
+    vecs = []
+    for i in range(n):
+        v = [float(d % 7 - 3) for d in range(dim)]
+        v[i % dim] += 1e-3 * (i + 1)
+        vecs.append(v)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, Path(out) / "embeddings.parquet")
+    return str(out)
+
+
+@pytest.mark.parametrize("name", _SWEEP)
+def test_registry_survives_skew_corpus(spark, skew_dir, name):
+    fn = _QUERIES[name]
+    if name in _ORACLES:
+        compare(spark, _ORACLES[name], fn, skew_dir, name)
+    else:
+        fn(spark, skew_dir).count()  # rows-only: must materialize
+
+
+def test_skew_minhash_groups_collapse_to_one(spark, skew_dir):
+    """The documented degradation: one hot band bucket must yield ONE
+    connected group containing every doc — label propagation converges,
+    no quadratic surprise in the groups query itself."""
+    from dic_a1_spark.operators.dedup import QUERIES as DQ
+
+    rows = DQ["dedup_minhash_groups"](spark, skew_dir).collect()
+    groups = {r["group_id"] for r in rows}
+    assert len(groups) == 1
+    assert len(rows) == 60
+
+
+def test_skew_embedding_block_is_whole_corpus(spark, skew_dir):
+    """Blocked near-dup groups under one-centroid skew: every vector lands
+    in one group (the largest-block bound degrades to n, as documented —
+    and the query still completes)."""
+    from dic_a1_spark.operators.similarity import QUERIES as SQ
+
+    rows = SQ["embedding_neardup_groups"](spark, skew_dir).collect()
+    assert len(rows) == 60
+    assert len({r["group_id"] for r in rows}) == 1
