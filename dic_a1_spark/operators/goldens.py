@@ -177,8 +177,21 @@ def golden_topk(
 # reference's checked-in devset artifacts (read-only), NOT to sf_dir — the
 # goldens exist at exactly one scale, so the sf_dir argument is ignored.
 
+import os  # noqa: E402
+
+#: Reference checkout root — overridable so a machine without the checkout
+#: (or with it elsewhere) degrades these two entries to ABSENT instead of
+#: failing every driver run / full-registry sweep (ADVICE r10).
+REF_ROOT = os.environ.get("DIC_A1_REFERENCE_ROOT", "/root/reference")
+
 #: Reference devset output root (checked-in artifacts, read-only).
-REF_OUT = "/root/reference/src/output/amazon_reviews_chiotp"
+REF_OUT = f"{REF_ROOT}/src/output/amazon_reviews_chiotp"
+
+#: Both entries need the stage-1 parts AND the final answer file; register
+#: them only when the artifacts are actually present.
+REF_AVAILABLE = os.path.isdir(f"{REF_OUT}/wordcount") and os.path.isfile(
+    f"{REF_OUT}/chisq/part-00000"
+)
 
 
 def goldens_stage1_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,10 +216,14 @@ def goldens_chisq_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {
-    "goldens_stage1_histogram": goldens_stage1_histogram,
-    "goldens_chisq_lines": goldens_chisq_lines,
-}
+QUERIES = (
+    {
+        "goldens_stage1_histogram": goldens_stage1_histogram,
+        "goldens_chisq_lines": goldens_chisq_lines,
+    }
+    if REF_AVAILABLE
+    else {}
+)
 
 # DuckDB oracles over the reference artifacts themselves. Notes:
 # - quote=''/escape='' disables CSV quote handling (words may contain ");
@@ -217,7 +234,7 @@ QUERIES = {
 #   (asserted in tests/test_golden_parity.py), so a single-quote ->
 #   double-quote replace yields valid JSON and DuckDB's strtod parses the
 #   repr'd doubles back to identical bits.
-ORACLES = {
+_ORACLES_ALL = {
     "goldens_stage1_histogram": f"""
         SELECT json_extract_string(t.word, '$') AS word,
                e.key AS category,
@@ -238,3 +255,5 @@ ORACLES = {
         WHERE t.d IS NOT NULL
     """,
 }
+
+ORACLES = _ORACLES_ALL if REF_AVAILABLE else {}

@@ -21,130 +21,60 @@ from pyspark.sql import DataFrame, SparkSession
 # module's later bare entry picks up the rest) — this gives the rotation
 # per-QUERY window control instead of per-module granularity.
 #
-# ROUND-10 ROTATION. Entering this round: 240/240 entries driver-
-# observed at least once, 239 hash-green on their newest grade (the one
-# rows-only entry, ml_kmeans_clusters, is by documented design). The r9
-# window closed at position 50 (scalar_json_funcs); scalar_case_when +
-# the events trio straddled exactly as staged. The window fronts:
-#   (g) NEW in r10 — the goldens driver promotion (VERDICT r9 item 6):
-#       2 entries hash-gating our stage-1 decoder and exact-int chi2
-#       top-75 against the reference's own checked-in artifacts (cum 2);
-#   (g2) EDITED in r10 — the bpe merge-exhaustion fix + its vocabulary
-#       consumer tokapply (cum 8);
-#   (g3) EDITED in r10 — the empty-corpus sweep fixes: ANN fast twins,
-#       embdecontam, hll rollup, dsir stats oracle, ml yardsticks
-#       (cum 20);
-#   (g4) EDITED in r10 — the empty-TPC-H grouping-sets oracle mirror
-#       (cum 23);
-#   (d) re-grades of the r8 fuzz ORACLE edits, spilled from r9 exactly
-#       as staged (value-identical per pytest + sweep meanwhile):
-#       events_session_windows (>= -> > gap boundary) and the coalesced
-#       tokenset-md5 family — dedup_tokenset_groups,
-#       dedup_incremental_keep/stats, split_leakage_safe_assign/audit,
-#       doc_fingerprint, corpus_datacard (cum 31);
-#   (e) ragpack 2 — downstream of the r9 quote-safe batch-map edit
-#       (cum 33);
-#   (c) the r2-stale stragglers that straddled the r9 edge:
-#       scalar_case_when + the events trio (cum 37);
-#   (f) oldest-green-first — the r3 textstats tranche (rest of module;
-#       text_source_profile/docs_grouped_quartiles/doc_fingerprint got
-#       r9/r10 rows via earlier selections) — the ~50 window edge lands
-#       inside this block; then the r4 tranche: sketches rest, ngrams,
-#       lexical, udxf rest, multimodal rest, dedup rest, tpch_full, lsh.
+# ROUND-11 ROTATION. Entering this round: 242/242 entries driver-
+# observed, every oracle-gated entry hash-green on its newest grade;
+# the last rows-only entry (ml_kmeans_clusters) is retired this round —
+# it is now a deterministic Lloyd's iteration with exact-integer
+# centroid state, fully DuckDB-restatable (ml_ops.py ledger). The r10
+# window closed exactly at text_token_freq_items (sketches), as staged.
+# The window fronts:
+#   (h) EDITED in r11 — ml_ops: the hash-gated Lloyd's kmeans (NEW
+#       oracle) and the minhash certification's deterministic doc slice
+#       (doc_id % 10 < 3 on both engines, buying back 19% of sweep
+#       wall-time) (cum 2);
+#   (h2) NEW in r11 — multimodal_header_meta: real PNG IHDR / WAV fmt
+#       byte-offset parsing (hex/conv, map-only JVM expressions) over
+#       synthesized spec-conformant containers, plus the module's three
+#       r4-stale siblings (cum 6);
+#   (f) the r4 tranche from the r10 edge's successor: ngrams, lexical,
+#       udxf, dedup rest, tpch_full, lsh (cum 37);
+#   (i) the r5 tranche: scrub, incremental rest, quantize, evalops —
+#       the ~50 window edge lands inside evalops (cum 52); then
+#       curation, events rest.
+# Tail: r6/r7/r8-r9 tranches oldest-green-first, with the modules fully
+# re-graded in r10 (textstats, sketches, bpe, tokapply, ragpack,
+# goldens, similarity/pq/quantize fast twins via their host modules)
+# at the very end.
 #
-# R11 STAGING: front anything edited in r11, then wherever the r10
-# window edge landed in the r4 tranche (check CORRECTNESS_r10's last
-# key), then r5 (scrub, incremental rest, quantize, evalops, ml_ops
-# rest, curation, events rest), then r6 (substr, linededup, semdedup,
-# sampling rest, mixing rest, mining, winnow rest, corpusops rest),
-# then r7 (dsir, lm, cdc, colloc, vocabgrowth, panel rest, graphrank,
-# taxonomy, seasonality rest, qlinear, provenance rest, diversity, bpe,
-# bm25 rest, chisq rest — skip any with fresh r9 (e2) rows), then r8/r9
-# (sql_surface, tpch_extra, relational rest, postings, similarity, pq,
-# embdecontam).
+# R12 STAGING: front anything edited in r12, then wherever the r11
+# window edge landed inside evalops (check CORRECTNESS_r11's last key),
+# then curation + events rest, then r6 (substr, linededup, semdedup,
+# sampling, mixing, mining, winnow, corpusops), then r7 (dsir, lm, cdc,
+# colloc, vocabgrowth, panel, graphrank, taxonomy, seasonality, qlinear,
+# provenance, diversity, bm25, chisq), then r8/r9 (sql_surface,
+# tpch_extra, relational, postings, attribution, similarity, pq,
+# embdecontam, repselect, postcompress), then the r10/r11-fresh tail.
 _MODULES = (
-    # (g) NEW in r10 — golden byte-parity promoted to the driver surface
-    "dic_a1_spark.operators.goldens",
-    # (g2) EDITED in r10 — the merge-exhaustion fix (empty top-pair
-    # census must no-op, not wipe the vocabulary; both engines edited —
-    # tests/test_degenerate_corpus.py::test_bpe_vocab_survives_merge_
-    # exhaustion) and its downstream vocabulary consumer
-    "dic_a1_spark.operators.bpe",
-    "dic_a1_spark.operators.tokapply",
-    # (g3) EDITED in r10 by the EMPTY-corpus sweep (the third standing
-    # hostile shape, tests/test_degenerate_corpus.py): 8 driver-side
-    # np.stack([])-on-empty-codebook crashes (similarity/pq/quantize
-    # fast twins + the embdecontam consumers), 2 spark.ml empty-fit
-    # refusals, 1 NULL-vs-0 hll rollup fork, and the dsir stats oracle's
-    # scalar-agg 1-row fabrication — all now guarded/mirrored; re-grade.
-    (
-        "dic_a1_spark.operators.similarity",
-        (
-            "ivf_assignments_fast",
-            "embedding_neardup_blocked_fast",
-            "embedding_neardup_groups",
-        ),
-    ),
-    (
-        "dic_a1_spark.operators.pq",
-        ("embedding_pq_codes_fast", "knn_cosine_pq_fast"),
-    ),
-    ("dic_a1_spark.operators.quantize", ("knn_cosine_quantized_fast",)),
-    "dic_a1_spark.operators.embdecontam",
-    ("dic_a1_spark.operators.sketches", ("events_hll_user_counts",)),
-    ("dic_a1_spark.operators.dsir", ("dsir_bucket_stats",)),
+    # (h) EDITED in r11 — deterministic Lloyd's kmeans (first driver
+    # grade of the new oracle) + the sampled minhash certification
     "dic_a1_spark.operators.ml_ops",
-    # (g4) EDITED in r10 by the EMPTY-TPC-H probe: Spark emits nothing
-    # for ROLLUP/CUBE/GROUPING SETS over an empty table while DuckDB
-    # fabricates the standard's grand-total row; oracles now mirror
-    # Spark (HAVING count(*) > 0, value-identical on non-empty input).
-    (
-        "dic_a1_spark.operators.relational",
-        ("agg_rollup", "agg_cube", "agg_grouping_sets"),
-    ),
-    # (d) r8 fuzz oracle edits — official driver re-grades
-    ("dic_a1_spark.operators.events", ("events_session_windows",)),
-    ("dic_a1_spark.operators.dedup", ("dedup_tokenset_groups",)),
-    (
-        "dic_a1_spark.operators.incremental",
-        ("dedup_incremental_keep", "dedup_incremental_stats"),
-    ),
-    (
-        "dic_a1_spark.operators.sampling",
-        ("split_leakage_safe_assign", "split_leakage_audit"),
-    ),
-    ("dic_a1_spark.operators.textstats", ("doc_fingerprint",)),
-    ("dic_a1_spark.operators.corpusops", ("corpus_datacard",)),
-    # (e) downstream of the r9 quote-safe batch-scorer edit
-    "dic_a1_spark.operators.ragpack",
-    # (c) r2-stale stragglers (straddled the r9 window edge)
-    ("dic_a1_spark.operators.relational", ("scalar_case_when",)),
-    (
-        "dic_a1_spark.operators.events",
-        (
-            "events_hour_of_day_matrix",
-            "events_first_per_user_type",
-            "events_value_percentiles",
-        ),
-    ),
-    # (f) oldest-green-first: r3 textstats tranche, then the r4 tranche
-    "dic_a1_spark.operators.textstats",
-    "dic_a1_spark.operators.sketches",
+    # (h2) NEW in r11 — real container-header parsing; siblings r4-stale
+    "dic_a1_spark.operators.multimodal",
+    # (f) r4 tranche, resuming after the r10 edge (text_token_freq_items)
     "dic_a1_spark.operators.ngrams",
     "dic_a1_spark.operators.lexical",
     "dic_a1_spark.operators.udxf",
-    "dic_a1_spark.operators.multimodal",
     "dic_a1_spark.operators.dedup",
     "dic_a1_spark.operators.tpch_full",
     "dic_a1_spark.operators.lsh",
-    # --- tail: r5-r9 tranches, oldest-green-first (all green + sweep)
+    # (i) r5 tranche — the ~50 window edge lands inside evalops
     "dic_a1_spark.operators.scrub",
     "dic_a1_spark.operators.incremental",
     "dic_a1_spark.operators.quantize",
     "dic_a1_spark.operators.evalops",
-    "dic_a1_spark.operators.ml_ops",
     "dic_a1_spark.operators.curation",
     "dic_a1_spark.operators.events",
+    # --- tail: r6-r9 tranches, oldest-green-first (all green + sweep)
     "dic_a1_spark.operators.substr",
     "dic_a1_spark.operators.linededup",
     "dic_a1_spark.operators.semdedup",
@@ -177,6 +107,13 @@ _MODULES = (
     "dic_a1_spark.operators.embdecontam",
     "dic_a1_spark.operators.repselect",
     "dic_a1_spark.operators.postcompress",
+    # --- r10-fresh: fully re-graded last round, rotate to the very end
+    "dic_a1_spark.operators.textstats",
+    "dic_a1_spark.operators.sketches",
+    "dic_a1_spark.operators.bpe",
+    "dic_a1_spark.operators.tokapply",
+    "dic_a1_spark.operators.ragpack",
+    "dic_a1_spark.operators.goldens",
 )
 
 

@@ -166,6 +166,14 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
 
         (user_id,) = key
         n, mx = state.get if state.exists else (0, None)
+        # Checkpoint-compat normalization (ADVICE r10): the pre-r10 code
+        # seeded max_value with -inf instead of None. All streams here
+        # are test replays with fresh checkpoints, but a checkpoint
+        # written by the old code would carry -inf state that the
+        # None-guard below never replaces — normalize it on read so the
+        # sentinel cannot be emitted forever for all-NULL users.
+        if mx == float("-inf"):
+            mx = None
         for pdf in pdfs:
             n += len(pdf)
             if len(pdf):

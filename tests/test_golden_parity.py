@@ -21,7 +21,7 @@ from dic_a1_spark.operators.goldens import (
     read_wordcount_kv,
 )
 
-REF = "/root/reference/src/output/amazon_reviews_chiotp"
+from dic_a1_spark.operators.goldens import REF_OUT as REF  # env-overridable
 WORDCOUNT_GLOB = os.path.join(REF, "wordcount", "part-*")
 GOLDEN = os.path.join(REF, "chisq", "part-00000")
 
@@ -104,3 +104,48 @@ def test_driver_surface_oracle_parity(spark, name):
     from tests.oracle_utils import compare
 
     compare(spark, G.ORACLES[name], G.QUERIES[name], SF_CORRECT, name)
+
+
+def test_topk_boundary_ties_agree_with_reference(spark):
+    """ADVICE r10 follow-up: golden_topk tiebreaks equal chi2 by word ASC,
+    while the reference relies on Python's stable sort (reducer-arrival
+    order) — a tie spanning the rank-75 boundary could therefore diverge.
+    Probing the devset shows boundary ties are REAL (two categories,
+    e.g. Apps_for_Android at chi2 86.6496...), and parity holds only
+    because the reference's arrival order happened to agree with word-asc
+    for those pairs. Pin the agreement explicitly per boundary tie: the word we rank 75 must be IN
+    the golden dict and the word we rank 76 must NOT be — so an artifact
+    refresh whose arrival order disagrees with word-asc fails HERE with a
+    tie-specific message, not just as an opaque hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from dic_a1_spark.config import CHI2_TOP_K
+
+    golden_cats, _ = _load_golden()
+    hist = read_wordcount_kv(spark, WORDCOUNT_GLOB)
+    ranked = golden_topk(
+        hist, DEVSET_TOTAL, DEVSET_CATEGORY_COUNTS, k=CHI2_TOP_K + 1
+    )
+    edge = ranked.where(
+        F.col("rank").isin(CHI2_TOP_K, CHI2_TOP_K + 1)
+    ).collect()
+    by_cat = {}
+    for r in edge:
+        by_cat.setdefault(r["category"], {})[r["rank"]] = (r["word"], r["chi2"])
+    assert len(by_cat) == len(DEVSET_CATEGORY_COUNTS)
+    n_ties = 0
+    for cat, ranks in by_cat.items():
+        (w_in, c_in) = ranks[CHI2_TOP_K]
+        (w_out, c_out) = ranks[CHI2_TOP_K + 1]
+        if c_in != c_out:
+            continue
+        n_ties += 1
+        assert w_in in golden_cats[cat] and w_out not in golden_cats[cat], (
+            f"{cat}: boundary chi2 tie ({c_in}) between {w_in!r} (kept) "
+            f"and {w_out!r} (cut) — the reference's stable-sort order no "
+            f"longer agrees with the word-asc tiebreak"
+        )
+    # the devset as shipped has exactly two boundary ties (both agreeing
+    # with word-asc); a change here means the artifacts were refreshed —
+    # re-examine the new ties, don't just bump the count
+    assert n_ties == 2

@@ -228,3 +228,22 @@ def test_ann_fast_twin_plan_shapes(spark):
             for s in a["read_schemas"]
         ), (name, a["read_schemas"])
     assert _audit(spark, "knn_cosine_pq_fast")["broadcast_join"]
+
+
+def test_multimodal_header_meta_is_map_only(spark):
+    """r11 contract: container-header parsing is pure projection — zero
+    exchanges, no broadcast, no Python. At 100 TB this is the difference
+    between scan-speed metadata extraction and an accidental shuffle."""
+    a = _audit(spark, "multimodal_header_meta")
+    assert a["exchanges"] == 0
+    assert not a["broadcast_join"]
+
+
+def test_kmeans_final_assignment_plan_shape(spark):
+    """r11 contract: the deterministic Lloyd's FINAL assignment is one
+    broadcast of the K-row centroid state plus exactly one shuffle (the
+    per-vector argmin window). Iteration state is localCheckpointed, so
+    the audited plan is the last round's — the per-round shape."""
+    a = _audit(spark, "ml_kmeans_clusters")
+    assert a["broadcast_join"], "K-row centroid state must broadcast"
+    assert a["exchanges"] == 1  # the vec_id argmin window partitioning

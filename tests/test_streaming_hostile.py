@@ -607,3 +607,167 @@ def test_hostile_embdecontam_zero_norms(spark, hostile_dir):
             j = int(np.argmax(masked))
             assert r["best_bench_id"] == int(bids[j]), vid
     assert n_flagged > 0
+
+
+# ---------------------------------------------------------------------------
+# Watermark-drop parity (r11, VERDICT r10 item 7). The suites above replay
+# everything in ONE micro-batch, so the watermark never advances mid-run and
+# the late-record filter is never exercised. Here the events arrive as THREE
+# files processed as separate micro-batches (maxFilesPerTrigger=1, ordered
+# by mtime): file 1 drives the watermark to max(ts) - 2h, file 2 is an
+# on-time continuation (needed because Spark's late-record filter uses the
+# PREVIOUS batch's eviction watermark — `watermarkForLateEvents` lags one
+# batch, verified empirically on a two-file layout where nothing dropped),
+# and file 3 carries events BELOW that lagged watermark — every watermarked
+# job must drop them, i.e. equal its own batch twin computed over the
+# events with the late rows filtered out. A flusher event far in the future
+# closes all real windows so append-mode emission is total except the
+# flusher's own window.
+# ---------------------------------------------------------------------------
+
+_WM_T0 = datetime(2024, 9, 1, 0, 0, 0)
+
+
+def _wm_events():
+    """(file1, file2, file3, late_ids): rows are (id, ts, user, type, val)."""
+    t = lambda m: _WM_T0 + timedelta(minutes=m)  # noqa: E731
+    file1 = [
+        (1, t(0), 1, "view", 1.0),
+        (2, t(8), 1, "click", 2.0),
+        (3, t(16), 1, "purchase", 3.0),
+        (4, t(300), 2, "click", 4.0),  # max ts 5h -> watermark = T0+3h
+        # high-ts purchase: the stream-stream join's global watermark is
+        # the MIN across both sides' watermarks, so the purchase branch
+        # must also reach T0+5h in batch 1 or the late filter stays at
+        # the epoch and drops nothing (observed empirically)
+        (10, t(300), 8, "purchase", 10.0),
+    ]
+    file2 = [
+        (7, t(330), 2, "purchase", 7.0),   # on time; matches id 4
+        (8, t(360), 1, "click", 8.0),      # on time, new window
+    ]
+    file3 = [
+        (5, t(60), 3, "click", 5.0),       # LATE (1h < lagged wm >= 3h)
+        (6, t(80), 3, "purchase", 6.0),    # LATE (would match id 5)
+        (9, t(6000), 9, "view", 9.0),      # flusher: watermark -> T0+98h
+    ]
+    return file1, file2, file3, {5, 6}
+
+
+def _write_events_file(path: Path, rows) -> None:
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        path,
+    )
+
+
+@pytest.fixture(scope="module")
+def wm_stream_dir(tmp_path_factory):
+    import os
+
+    out = tmp_path_factory.mktemp("wm_drop_sf")
+    *files, _late = _wm_events()
+    # The file source orders by modification time; pin mtimes explicitly
+    # so file 1 ALWAYS forms micro-batch 1 (it must set the watermark
+    # that — one batch later — drops file 3's late rows).
+    now = 1_700_000_000
+    for i, rows in enumerate(files):
+        p = Path(out) / f"events_{i}.parquet"
+        _write_events_file(p, rows)
+        os.utime(p, (now + 100 * i, now + 100 * i))
+    return str(out)
+
+
+def _wm_stream(spark, wm_dir):
+    from pyspark.sql.types import TimestampType
+
+    return (
+        spark.readStream.schema(jobs._events_schema(TimestampType()))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(wm_dir)
+    )
+
+
+def _batch_df(spark, rows):
+    from pyspark.sql.types import TimestampType
+
+    return spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], "{}") for r in rows],
+        jobs._events_schema(TimestampType()),
+    )
+
+
+def _kept(include_flusher: bool):
+    *files, late = _wm_events()
+    rows = [r for f in files for r in f if r[0] not in late]
+    if not include_flusher:
+        rows = [r for r in rows if r[2] != 9]
+    return rows
+
+
+def test_watermark_drops_late_tumbling(spark, wm_stream_dir):
+    jobs.run_to_memory(
+        jobs.tumbling_counts(_wm_stream(spark, wm_stream_dir)),
+        "wm_tumbling",
+        output_mode="append",
+    )
+    got = spark.table("wm_tumbling")
+    # batch twin: same grouping over the kept events; the flusher's own
+    # window is not closed by the final watermark, so it is excluded.
+    want = jobs.tumbling_counts(_batch_df(spark, _kept(include_flusher=False)))
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # the late window must truly be absent, not merely different
+    assert all(r["window_start"] != "2024-09-01 01:00:00" for r in got.collect())
+
+
+def test_watermark_drops_late_sessions(spark, wm_stream_dir):
+    jobs.run_to_memory(
+        jobs.session_counts(_wm_stream(spark, wm_stream_dir)),
+        "wm_sessions",
+        output_mode="append",
+    )
+    got = spark.table("wm_sessions")
+    want = jobs.session_counts(_batch_df(spark, _kept(include_flusher=False)))
+    cols = ["user_id", "session_start", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert all(r["user_id"] != 3 for r in got.collect())
+
+
+def test_watermark_drops_late_dedup(spark, wm_stream_dir):
+    jobs.run_to_memory(
+        jobs.dedup_within_watermark(_wm_stream(spark, wm_stream_dir)),
+        "wm_dedup",
+        output_mode="append",
+    )
+    got = spark.table("wm_dedup")
+    # dedup emits survivors immediately (no window finalization), so the
+    # flusher IS in the expected set; user 3's late events are not.
+    want_keys = sorted(
+        {(r[2], r[3]) for r in _kept(include_flusher=True)}
+    )
+    assert _rows(got.select("user_id", "event_type"), ["user_id", "event_type"]) == want_keys
+
+
+def test_watermark_drops_late_join_sides(spark, wm_stream_dir):
+    jobs.run_to_memory(
+        jobs.clicks_before_purchases(_wm_stream(spark, wm_stream_dir)),
+        "wm_ssjoin",
+        output_mode="append",
+    )
+    got = _rows(
+        spark.table("wm_ssjoin").select("purchase_id", "click_id"),
+        ["purchase_id", "click_id"],
+    )
+    # kept matches only: purchase 3 <- click 2, purchase 7 <- click 4;
+    # the late u3 pair (6 <- 5) must be dropped on BOTH sides.
+    assert got == [(3, 2), (7, 4)]

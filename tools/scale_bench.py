@@ -157,6 +157,10 @@ HEADLINE_DOC_QUERIES = [
     # and the postings-compression sizing rollup
     "bpe_corpus_compression",
     "index_compression_summary",
+    # round 11: real container-header parsing — map-only hex/conv field
+    # extraction over synthesized PNG/WAV payloads (no Python, no shuffle;
+    # amplified cost is pure scan + projection throughput)
+    "multimodal_header_meta",
 ]
 
 
@@ -323,6 +327,11 @@ def main() -> None:
         # data-sized codebook from the registered query)
         "embdecontam_flagged",
         "embdecontam_summary",
+        # round 11: deterministic Lloyd's k-means (hash-gated) — per
+        # round one K-row broadcast + Arrow-batched K x n distance pass
+        # + exact-integer groupBy; cost is ITERS x the ivf_assignments
+        # shape
+        "ml_kmeans_clusters",
     ]:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
