@@ -77,17 +77,59 @@ def duckdb_token_char_class() -> str:
     return "[" + "".join(out) + "]"
 
 
+# Private-use sentinel for the final-sigma mirror below. Not a \p{L}
+# letter, unaffected by lower(), and never present in corpus text (the
+# driver corpora and every hostile fixture are ASCII/natural-language).
+_SIGMA_SENTINEL = ""
+
+
+def duckdb_lower_sql(col: str) -> str:
+    """DuckDB expression matching Spark's ``lower()`` (Java
+    ``String.toLowerCase``, root locale, full Unicode casing) on the
+    inputs where utf8proc's per-codepoint mapping forks from it:
+
+    - U+0130 LATIN CAPITAL I WITH DOT ABOVE lowercases to ``i`` +
+      U+0307 combining dot in Java (TWO code points); DuckDB's utf8proc
+      gives bare ``i``. Mirrored by substituting the expansion BEFORE
+      lower (the expansion is a lower() fixed point).
+    - Greek capital sigma: Java applies the Unicode Final_Sigma rule
+      (``Σ`` at a word's final cased position → ``ς``, else ``σ``);
+      utf8proc maps every ``Σ`` → ``σ``. Mirrored by swapping ``Σ`` for
+      a private-use sentinel pre-lower, then resolving each sentinel
+      positionally: preceded by a cased letter (letter or sentinel, with
+      combining marks transparent per the rule's case-ignorable skip)
+      and NOT followed by one → ``ς``, otherwise ``σ``. ``\\p{L}`` plus
+      ``\\p{M}``-skipping stands in for "cased + case-ignorable" — exact
+      on text without non-mark case-ignorables (e.g. ``'``) at word
+      boundaries.
+
+    Everything else in Unicode SpecialCasing.txt is an UPPER/TITLE
+    expansion (ß→SS, ﬁ→FI, …) or locale-specific (tr/az/lt) and does not
+    affect root-locale lower(). Pinned empirically against Spark over an
+    adversarial battery in tests/test_degenerate_corpus.py."""
+    s = f"replace(replace({col}, 'İ', 'i̇'), 'Σ', '{_SIGMA_SENTINEL}')"
+    s = f"lower({s})"
+    s = (
+        f"regexp_replace({s}, "
+        f"'([\\p{{L}}{_SIGMA_SENTINEL}]\\p{{M}}*){_SIGMA_SENTINEL}"
+        f"(\\p{{M}}*(?:$|[^\\p{{L}}\\p{{M}}{_SIGMA_SENTINEL}]))', '\\1ς\\2', 'g')"
+    )
+    return f"replace({s}, '{_SIGMA_SENTINEL}', 'σ')"
+
+
 def duckdb_tokens_sql(text_col: str = "text") -> str:
     """DuckDB expression producing the SAME token array as
-    ``functions.text.tokenize`` over ``text_col`` — lower, translate the
-    token charset to spaces, split on the unicode-whitespace class, drop
+    ``functions.text.tokenize`` over ``text_col`` — lower (via the
+    Java-casefold mirror ``duckdb_lower_sql``), translate the token
+    charset to spaces, split on the unicode-whitespace class, drop
     empties. The SINGLE source of truth for every oracle's tokenizer:
     oracle parity with the Spark tokenizer is the correctness foundation
     of the hash-gated queries, so the expression must never fork per
     module (it was copy-pasted six times before this helper)."""
     cc = duckdb_token_char_class().replace("'", "''")
     return (
-        f"list_filter(regexp_split_to_array(regexp_replace(lower({text_col}),"
+        f"list_filter(regexp_split_to_array(regexp_replace("
+        f"{duckdb_lower_sql(text_col)},"
         f" '{cc}', ' ', 'g'), '{DUCKDB_WS_REGEX}'), w -> w <> '')"
     )
 

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from dic_a1_spark.config import (
     CHI2_TOP_K,
     DUCKDB_WS_REGEX,
+    duckdb_lower_sql,
     duckdb_token_char_class,
     sql_stopword_list,
 )
@@ -197,7 +198,8 @@ tok AS (
     FROM (
         SELECT doc_id, lang,
                unnest(regexp_split_to_array(
-                   regexp_replace(lower(text), '{_CHARCLASS}', ' ', 'g'),
+                   regexp_replace({duckdb_lower_sql("text")},
+                                  '{_CHARCLASS}', ' ', 'g'),
                    '{DUCKDB_WS_REGEX}')) AS word
         FROM documents
     )

@@ -157,18 +157,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 def _pairs_cte() -> str:
     toks = duckdb_tokens_sql()
     w = COLLOC_W
+    # Window pairs via a W-offset equi-join on (doc_id, position), NOT a
+    # correlated lateral unnest over a position table that carries the
+    # whole token array per row: DuckDB materializes the lateral's input,
+    # so the array-carrying form costs O(doc_tokens^2) MEMORY per
+    # document — the r11 giant-doc corpus (a 40K-token document) drove it
+    # past 60 GB. The offset join keeps one (doc_id, i, w) row per
+    # position and probes a composite equi-key, linear in W x tokens.
     return f"""
         WITH toks AS (
-            SELECT doc_id, {toks} AS a FROM documents WHERE len({toks}) >= 2
+            SELECT doc_id, a
+            FROM (SELECT doc_id, {toks} AS a FROM documents)
+            WHERE len(a) >= 2
         ),
-        posd AS (SELECT doc_id, a, generate_subscripts(a, 1) AS i FROM toks),
+        pos AS MATERIALIZED (
+            SELECT doc_id, CAST(generate_subscripts(a, 1) AS BIGINT) AS i,
+                   unnest(a) AS w
+            FROM toks
+        ),
         pr AS (
-            SELECT p.doc_id,
-                   least(p.a[p.i], p.a[j]) AS w1,
-                   greatest(p.a[p.i], p.a[j]) AS w2
-            FROM posd p, unnest(range(p.i + 1,
-                     least(p.i + {w}, len(p.a)) + 1)) AS u(j)
-            WHERE p.i < len(p.a)
+            SELECT p1.doc_id,
+                   least(p1.w, p2.w) AS w1,
+                   greatest(p1.w, p2.w) AS w2
+            FROM pos p1
+            JOIN (SELECT unnest(range(1, {w} + 1)) AS d) offs ON true
+            JOIN pos p2
+              ON p2.doc_id = p1.doc_id AND p2.i = p1.i + offs.d
         )
     """
 

@@ -35,7 +35,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dic_a1_spark.config import DUCKDB_WS_REGEX, duckdb_tokens_sql
+from dic_a1_spark.config import DUCKDB_WS_REGEX, duckdb_lower_sql, duckdb_tokens_sql
+
+# Java-casefold-mirrored lower(text) for the whitespace-only tokenizer
+# oracles below (the Spark twins use F.lower, i.e. Java full casing —
+# see config.duckdb_lower_sql for the İ / final-sigma forks this guards).
+_LOWER_TEXT = duckdb_lower_sql("text")
 from dic_a1_spark.functions.sweeps import sweep_agg_columns, sweep_sql_columns
 from dic_a1_spark.functions.text import tokenize
 from dic_a1_spark.operators.dedup import SHINGLE_WIDTH, _with_shingle_arrays
@@ -622,7 +627,7 @@ ORACLES: dict[str, str] = {
     "doc_chunk_windows": f"""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(regexp_split_to_array(lower(text),
+                   list_filter(regexp_split_to_array({_LOWER_TEXT},
                                '{DUCKDB_WS_REGEX}'), w -> w <> '') AS a
             FROM documents
         ),
@@ -651,7 +656,7 @@ ORACLES: dict[str, str] = {
 ORACLES["doc_pack_bins"] = f"""
     WITH toks AS (
         SELECT doc_id,
-               len(list_filter(regexp_split_to_array(lower(text),
+               len(list_filter(regexp_split_to_array({_LOWER_TEXT},
                                '{DUCKDB_WS_REGEX}'), w -> w <> '')) AS n_tokens
         FROM documents
     ),
@@ -680,7 +685,7 @@ def _pipeline_oracle() -> str:
     return f"""
         WITH base AS (
             SELECT doc_id, lang, source,
-                   list_filter(regexp_split_to_array(lower(text),
+                   list_filter(regexp_split_to_array({_LOWER_TEXT},
                                '{DUCKDB_WS_REGEX}'), w -> w <> '') AS a
             FROM documents
         ),
@@ -714,7 +719,7 @@ ORACLES["curation_pipeline"] = _pipeline_oracle()
 ORACLES["text_repetition_ratio"] = f"""
     WITH toks AS (
         SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text),
+               list_filter(regexp_split_to_array({_LOWER_TEXT},
                            '{DUCKDB_WS_REGEX}'), w -> w <> '') AS a
         FROM documents
     ),

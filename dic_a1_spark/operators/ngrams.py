@@ -30,8 +30,12 @@ from dic_a1_spark.sources.readers import load_table
 # semantics agree between Java regex (Spark) and RE2 (DuckDB): runs of
 # letters, runs of digits, or runs of other non-space symbols, each with
 # an optional leading space. Alternation is leftmost-first in both.
+# ONE class divergence needs patching: Java's \s is [ \t\n\x0B\f\r] while
+# RE2's \s is [\t\n\f\r ] — NO vertical tab — so without the explicit
+# \x0B the oracle emits a symbol token for every VT the Spark side skips
+# (found by the r11 unicode hostile corpus, doc "l1\x85l2\x0bl3...").
 _BPE_JAVA = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
-_BPE_RE2 = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+_BPE_RE2 = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s\x0B]+"
 
 TOPK_BIGRAMS = 25
 

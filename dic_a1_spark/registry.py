@@ -54,6 +54,15 @@ from pyspark.sql import DataFrame, SparkSession
 # provenance, diversity, bm25, chisq), then r8/r9 (sql_surface,
 # tpch_extra, relational, postings, attribution, similarity, pq,
 # embdecontam, repselect, postcompress), then the r10/r11-fresh tail.
+#
+# r11-LATE ORACLE EDITS (no re-fronting needed — all VERIFIED value-
+# neutral on the driver corpora): the unicode hostile sweep routed every
+# tokenizer oracle through config.duckdb_lower_sql (Java-casefold mirror
+# — İ / final-sigma; driver testdata has zero such codepoints, checked
+# at all three SFs) and fixed the BPE pre-tokenizer oracle's RE2 \s
+# class (no \x0B in RE2; driver testdata has zero VT chars). Affected
+# modules: config-helper consumers, chisq, curation, ngrams. The r12
+# window will re-grade curation + chisq per the schedule above anyway.
 _MODULES = (
     # (h) EDITED in r11 — deterministic Lloyd's kmeans (first driver
     # grade of the new oracle) + the sampled minhash certification

@@ -759,3 +759,211 @@ def test_skew_embedding_block_is_whole_corpus(spark, skew_dir):
     rows = SQ["embedding_neardup_groups"](spark, skew_dir).collect()
     assert len(rows) == 60
     assert len({r["group_id"] for r in rows}) == 1
+
+
+# ---------------------------------------------------------------------------
+# SEVENTH hostile shape (r11): ADVERSARIAL UNICODE. A real web corpus is
+# not ASCII: it carries Turkish dotted-İ, Greek final-sigma contexts,
+# sharp-s and ligature casings, astral-plane math/emoji (surrogate pairs
+# in the JVM's UTF-16), NFC/NFD spelling twins, zero-width and bidi
+# controls, full-width digits (NOT in the tokenizer's ASCII translate
+# set — they must SURVIVE), every Unicode whitespace flavor, CRLF/NEL
+# line endings, and CJK text with no spaces at all. Each of these is a
+# cross-engine semantics minefield — Java full casing vs utf8proc
+# per-codepoint casing is where lower('İstanbul') forks (config.
+# duckdb_lower_sql is the mirror this corpus exists to police), and
+# \s/\p{Zs} class differences are where tokenization forks. Every
+# oracle-gated query must stay hash-green over this corpus.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("unicode_sf")
+    for t in TABLES:
+        if t == "documents":
+            continue
+        shutil.copy(Path(SF_SMOKE) / f"{t}.parquet", Path(out) / f"{t}.parquet")
+
+    docs = [
+        # --- casefold minefield -------------------------------------
+        ("İstanbul DİYARBAKIR izmir Iı iİ sonunda", "tr", "case—fold"),
+        ("ΟΔΥΣΣΕΥΣ ΚΑΙ Ο ΣΟΦΟΣ ΣΥΝ ΤΟΙΣ ΘΕΟΙΣ", "el", "case—fold"),
+        ("Σοφός ΕΥΣ. οδυσσεύΣ ΑΣΣΣ Σ μόνος", "el", "case—fold"),
+        ("ΑΣ ΒΣ ΓΣ τέλος ΤΕΛΟΣ", "el", "case—fold"),
+        ("STRASSE straße größer ẞ WEIẞ weiß", "de", "case—fold"),
+        ("ﬁle oﬃce ﬂow ǅungla Ǆ ǆ ǈ", "de", "case—fold"),
+        ("kapı KAPI kapi açık AÇIK", "tr", "case—fold"),
+        # --- astral plane / emoji (UTF-16 surrogate pairs) ----------
+        ("𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝕥𝕖𝕩𝕥 𐍈𐍉 𝛼𝛽𝛾 gothic math", "en", "web"),
+        ("👩‍👩‍👧‍👦 rocket🚀launch 🇦🇹🇩🇪 flags ☕️ done", "en", "web"),
+        ("🚀🚀🚀 😀😀 🎉", "en", "web"),
+        ("emoji💡inside and🔥word boundaries", "en", "web"),
+        # --- normalization twins (neither engine normalizes) --------
+        ("café café nñino niño twins", "en", "web"),
+        ("a" + "́" * 40 + " base combining run", "en", "web"),
+        # --- full-width forms survive the ASCII translate table -----
+        ("１２３ ＡＢＣ ｈｅｌｌｏ ，．！？ ４５６", "中文", "web"),
+        # --- every whitespace flavor (tokenizer split class) --------
+        ("alpha beta gamma delta　eps zeta eta", "en", "ws"),
+        ("l1\x85l2\x0bl3\x0cl4 nel vt ff", "en", "ws"),
+        ("a\x1cb\x1dc\x1ed\x1fe file separators", "en", "ws"),
+        ("win\r\nline\rmac\nunix endings", "en", "ws"),
+        # --- zero-width & bidi controls stay INSIDE tokens ----------
+        ("ze​ro wi‌dth jo‍iner wo﻿rd", "en", "ctrl"),
+        ("‮mirrored‬ plain ‏RTL‎ done", "ar", "ctrl"),
+        # --- RTL scripts ---------------------------------------------
+        ("مرحبا بالعالم هذا نص عربي طويل", "ar", "данные"),
+        ("שלום עולם טקסט עברי כאן", "he", "данные"),
+        # --- CJK: no spaces, ideographic space, CJK punctuation -----
+        ("这是一个没有空格的中文句子日本語のテキスト한국어텍스트", "中文", "web"),
+        ("中文　句子。日本語　テキスト。完了", "中文", "web"),
+        # --- punctuation outside the translate set survives ---------
+        ("“quoted” ‘single’ —emdash… «guillemets» ¡inverted! ¿question?", "en", "src—π"),
+        ("price ₹100 ¥5 £3 ≠ ≤ ∑ ∞ µm units", "en", "src—π"),
+        # --- translate-set-only doc: zero tokens after normalize ----
+        ("€€§§ 12345 ()[]{} .,;:!?", "en", "src—π"),
+        # --- URLs / PII with non-ASCII around them -------------------
+        ("see https://xn--mller-kva.example.com/path?q=1 and http://example.com/ok page", "en", "web"),
+        ("contact ü.müller@example.com or +43 660 1234567 now", "de", "web"),
+        # --- sentences with CJK stops and U+2028 ---------------------
+        ("First sentence. Second! Third? 中文句。Fourth fifth.", "en", "web"),
+        # --- mixed-script single token -------------------------------
+        ("αβγabcабв漢字 mixed script token", "en", "web"),
+        # --- casefold-equivalent near-dups (dedup families) ----------
+        ("The Quick Brown Fox Jumps Over It", "en", "dup"),
+        ("the quick brown fox jumps over it", "en", "dup"),
+        ("THE QUICK BROWN FOX JUMPS OVER IT", "en", "dup"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array([d[0] for d in docs], pa.string()),
+            "lang": pa.array([d[1] for d in docs], pa.string()),
+            "source": pa.array([d[2] for d in docs], pa.string()),
+            "n_chars": pa.array([len(d[0]) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, Path(out) / "documents.parquet")
+    return str(out)
+
+
+@pytest.mark.parametrize("name", _SWEEP)
+def test_registry_survives_unicode_corpus(spark, unicode_dir, name):
+    fn = _QUERIES[name]
+    if name in _ORACLES:
+        compare(spark, _ORACLES[name], fn, unicode_dir, name)
+    else:
+        fn(spark, unicode_dir).count()  # rows-only: must materialize
+
+
+def test_duckdb_lower_mirror_matches_spark(spark):
+    """config.duckdb_lower_sql is pinned char-for-char against Spark's
+    lower() (Java root-locale full casing) on the two known fork classes
+    — U+0130 dotted-İ expansion and the Final_Sigma context rule — plus
+    mark-transparency, punctuation/digit/EOL boundaries, mixed scripts,
+    and inputs already carrying ς/σ/i̇."""
+    import duckdb
+
+    from dic_a1_spark.config import duckdb_lower_sql
+    from pyspark.sql import functions as F
+
+    battery = [
+        "İstanbul DİYARBAKIR Iı iİ", "ΟΔΥΣΣΕΥΣ ΚΑΙ Ο ΣΟΦΟΣ", "Σ", "ΑΣ ΑΣ",
+        "ΑΣΣΣ", "Σοφός", "οδυσσεύΣ", "ΕΥΣ.", "ςΣς σΣσ", "ΑΣ,ΒΣ;ΓΣ",
+        "STRASSE straße ẞ", "ﬁle oﬃce", "café café", "ΠΡΟΣ ΤΗΝ ΠΟΛΙΝ ΕΙΣ",
+        "ÁΣ", "Σ1Σ aΣb", "İ.İ İΣ", "ΟΣ ΤΕΛΟΣ", "моСКВА ΣΕΛΛΑΣ",
+        "ΑΣ̇", "ΆΣ", "éΣ fin", "ΑΣ̇Β", "i̇ already", "Σ\nΣ",
+    ]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(battery)], "i long, t string"
+    )
+    srows = {r["i"]: r["lo"] for r in sdf.select("i", F.lower("t").alias("lo")).collect()}
+    con = duckdb.connect()
+    expr = duckdb_lower_sql("$tx")
+    forks = []
+    for i, t in enumerate(battery):
+        dlo = con.execute(f"select {expr}", {"tx": t}).fetchone()[0]
+        if srows[i] != dlo:
+            forks.append((t, srows[i], dlo))
+    con.close()
+    assert not forks, f"casefold mirror forks: {forks[:5]}"
+
+
+# ---------------------------------------------------------------------------
+# EIGHTH hostile shape (r11): GIANT DOCUMENTS. 100 TB web corpora carry
+# multi-MB outliers: a quarter-megabyte page, a single unbroken 30K-char
+# token (minified JS / base64 blobs), one boilerplate line repeated
+# thousands of times, and a 40K-token doc that is ONE word over and over.
+# These are the per-ROW extremes — they stress everything that is linear
+# (or worse) in document length inside a single row: char-window hashing
+# (substr/winnow/cdc), per-doc pair censuses (colloc/bpe), shingle
+# explosion fan-out, Arrow batch sizing in the pandas-UDF paths (batches
+# are sized in ROWS, so one huge row must not OOM a batch), and the
+# DuckDB oracle's own regex tokenization of quarter-MB strings. Sizes
+# here are scaled to test-suite budget; the SHAPE (orders of magnitude
+# above the corpus median) is what matters.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def giant_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("giant_sf")
+    for t in TABLES:
+        if t == "documents":
+            continue
+        shutil.copy(Path(SF_SMOKE) / f"{t}.parquet", Path(out) / f"{t}.parquet")
+
+    # Sizes: a full-size probe (26K/30K/4K/40K — tools session, r11) ran
+    # the ENTIRE registry green at 13 GB peak oracle RSS after the colloc
+    # lateral-unnest fix; the standing fixture uses ~60% of that so the
+    # suite's six-corpus budget stays sane while every cost stays orders
+    # of magnitude above the corpus median (a quadratic regression still
+    # blows any of these budgets instantly).
+    # A: ~16K diverse tokens (~210 KB) — coprime moduli keep bigrams and
+    # shingles varied so nothing collapses by accident.
+    big_diverse = " ".join(
+        f"w{i % 997}x{i % 491} t{i % 211}" for i in range(8000)
+    )
+    # B: one unbroken 20K-char token — no whitespace anywhere.
+    big_token = "x" * 20_000
+    # C: one 10-char line repeated 2500 times (hot boilerplate line).
+    hot_lines = "repeat me\n" * 2500
+    # D: ONE word 25K times — maximal repetition, minimal diversity.
+    one_word = "spam " * 25_000
+    docs = [
+        (big_diverse, "en", "bulk"),
+        (big_token, "en", "bulk"),
+        (hot_lines, "en", "bulk"),
+        (one_word, "en", "bulk"),
+    ]
+    # a normal-sized tail so corpus-level stats keep healthy shapes
+    for i in range(20):
+        docs.append(
+            (
+                f"ordinary document number {chr(97 + i)} with a few plain "
+                f"tokens alpha{i % 5} beta{i % 3} gamma",
+                "en" if i % 3 else "de",
+                "web",
+            )
+        )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array([d[0] for d in docs], pa.string()),
+            "lang": pa.array([d[1] for d in docs], pa.string()),
+            "source": pa.array([d[2] for d in docs], pa.string()),
+            "n_chars": pa.array([len(d[0]) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, Path(out) / "documents.parquet")
+    return str(out)
+
+
+@pytest.mark.parametrize("name", _SWEEP)
+def test_registry_survives_giant_corpus(spark, giant_dir, name):
+    fn = _QUERIES[name]
+    if name in _ORACLES:
+        compare(spark, _ORACLES[name], fn, giant_dir, name)
+    else:
+        fn(spark, giant_dir).count()  # rows-only: must materialize

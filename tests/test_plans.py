@@ -247,3 +247,40 @@ def test_kmeans_final_assignment_plan_shape(spark):
     a = _audit(spark, "ml_kmeans_clusters")
     assert a["broadcast_join"], "K-row centroid state must broadcast"
     assert a["exchanges"] == 1  # the vec_id argmin window partitioning
+
+
+def test_dedup_family_exchange_budgets(spark):
+    """r11: exact exchange pins for the dedup family at SF_CORRECT — the
+    plan-shape side of the 100 TB claims in dedup.py / linededup.py.
+    These do NOT pin the join STRATEGY (at this SF the banded (band,
+    hash) equi-joins broadcast; at TB scale AQE picks a shuffle join —
+    both are the designed shape): they pin the stage COUNT, so an
+    accidental `.distinct()` after pair generation (the pre-r4 shape the
+    map-side first-band dedup removed), a corpus-wide sort, or an
+    all-pairs self-join regression shows up here as extra exchanges
+    long before a cluster run finds it.
+
+    - minhash/simhash pairs+groups: everything below the band join is
+      map-side; zero exchanges at this SF.
+    - exact/tokenset groups: exactly the ONE census aggregation their
+      docstrings promise.
+    - decontam_ngram_overlap_fast: the zero-exchange broadcast-probe
+      contract (benchmark hashes collected + broadcast, corpus map-only).
+    - line_dedup_kept: census + kept-join + rebuild = 3.
+    """
+    pins = {
+        "dedup_minhash_pairs": 0,
+        "dedup_minhash_groups": 0,
+        "dedup_simhash_pairs": 0,
+        "dedup_simhash_groups": 0,
+        "dedup_exact_groups": 1,
+        "dedup_tokenset_groups": 1,
+        "decontam_ngram_overlap_fast": 0,
+        "line_dedup_kept": 3,
+    }
+    for name, pin in pins.items():
+        a = _audit(spark, name)
+        assert a["exchanges"] == pin, (
+            f"{name}: {a['exchanges']} exchanges vs the designed {pin} — "
+            f"if intentional, update this pin and PLANS.md together"
+        )
