@@ -25,6 +25,20 @@ _CHARSET = (
 def _corpus() -> list[str]:
     rng = random.Random(20250813)
     docs = ["", " ", "\t\t", "a", "<>", "don't", "€5 §2 (2024)"]
+    # r11: the casefold fork strings. Python's str.lower() implements the
+    # SAME full Unicode casing as Java (İ -> i + combining dot, the
+    # Final_Sigma context rule), so the plain-Python reference is the
+    # right arbiter for Spark's F.lower here too — these pin that the
+    # JVM tokenizer tracks the reference on exactly the strings where
+    # utf8proc-style per-codepoint casing would fork (the DuckDB side
+    # has its own mirror, config.duckdb_lower_sql, pinned elsewhere).
+    docs += [
+        "İstanbul DİYARBAKIR Iı iİ",
+        "ΟΔΥΣΣΕΥΣ ΚΑΙ Ο ΣΟΦΟΣ",
+        "ΑΣ ΑΣΣΣ Σ οδυσσεύΣ ΕΥΣ.",
+        "STRASSE straße ẞ WEIẞ",
+        "ﬁle oﬃce ǅungla Ǆ ǆ",
+    ]
     for _ in range(400):
         n = rng.randint(0, 80)
         docs.append("".join(rng.choice(_CHARSET) for _ in range(n)))
