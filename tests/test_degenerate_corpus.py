@@ -967,3 +967,71 @@ def test_registry_survives_giant_corpus(spark, giant_dir, name):
         compare(spark, _ORACLES[name], fn, giant_dir, name)
     else:
         fn(spark, giant_dir).count()  # rows-only: must materialize
+
+
+# ---------------------------------------------------------------------------
+# NINTH hostile shape (r11): SKEWKEY TPC-H. The relational complement of
+# the SKEW corpus: every foreign key is maximally HOT — one customer owns
+# every order, one order/part/supplier carries every lineitem, one nation
+# holds every customer and supplier. At cluster scale this is the
+# shuffle-key distribution that melts a sort-merge join task (one reducer
+# gets the whole fact table) unless AQE skew-join splitting handles it;
+# at oracle scale it is also where top-k/min-per-group queries silently
+# rely on tiebreaks (every group now TIES on the former discriminator).
+# Every q-series / join / window / SQL-surface entry must stay hash-green
+# and complete. Corpus tables are copied intact — the corpus families run
+# as consistency re-checks, same stance as empty_tpch_dir.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewkey_tpch_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("skewkey_tpch_sf")
+    for t in TABLES:
+        if t in ("orders", "lineitem", "customer", "supplier"):
+            continue
+        shutil.copy(Path(SF_SMOKE) / f"{t}.parquet", Path(out) / f"{t}.parquet")
+
+    src = Path(SF_SMOKE)
+
+    def rewrite(table: str, hot: dict[str, object]) -> None:
+        tbl = pq.read_table(src / f"{table}.parquet")
+        n = tbl.num_rows
+        for col, val in hot.items():
+            idx = tbl.schema.get_field_index(col)
+            typ = tbl.schema.field(idx).type
+            tbl = tbl.set_column(idx, col, pa.array([val] * n, typ))
+        pq.write_table(tbl, Path(out) / f"{table}.parquet")
+
+    con_keys = pq.read_table(src / "orders.parquet", columns=["o_orderkey"])
+    hot_order = con_keys["o_orderkey"][0].as_py()
+    hot_cust = pq.read_table(src / "customer.parquet", columns=["c_custkey"])[
+        "c_custkey"
+    ][0].as_py()
+    hot_part = pq.read_table(src / "part.parquet", columns=["p_partkey"])[
+        "p_partkey"
+    ][0].as_py()
+    hot_supp = pq.read_table(src / "supplier.parquet", columns=["s_suppkey"])[
+        "s_suppkey"
+    ][0].as_py()
+    hot_nation = pq.read_table(src / "nation.parquet", columns=["n_nationkey"])[
+        "n_nationkey"
+    ][0].as_py()
+
+    rewrite("orders", {"o_custkey": hot_cust})
+    rewrite(
+        "lineitem",
+        {"l_orderkey": hot_order, "l_partkey": hot_part, "l_suppkey": hot_supp},
+    )
+    rewrite("customer", {"c_nationkey": hot_nation})
+    rewrite("supplier", {"s_nationkey": hot_nation})
+    return str(out)
+
+
+@pytest.mark.parametrize("name", _SWEEP)
+def test_registry_survives_skewkey_tpch(spark, skewkey_tpch_dir, name):
+    fn = _QUERIES[name]
+    if name in _ORACLES:
+        compare(spark, _ORACLES[name], fn, skewkey_tpch_dir, name)
+    else:
+        fn(spark, skewkey_tpch_dir).count()  # rows-only: must materialize
