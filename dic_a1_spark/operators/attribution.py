@@ -41,13 +41,21 @@ from dic_a1_spark.sources.readers import load_table
 ATTR_WINDOW_S = 3600
 DIRECT = "direct"
 
-# Sortable encoding widths: epoch micros < 10^16 for this millennium,
-# event_id < 10^12 at any SF this repo sees. The widths are ENFORCED,
-# not assumed: lpad silently truncates a wider value (corrupting the
+# Sortable encoding widths: the ts field is epoch-micros BIASED by
+# +10^18 so pre-1970 rows (negative epochs — real in any 100 TB log
+# after enough ingestion bugs; the r11 time-extremes corpus) stay
+# lexicographically ordered: an unbiased negative would both sort '-'
+# below digits and reverse order among negatives. The bias covers
+# timestamps back to ~29000 BCE and forward to year ~262000 (int64
+# headroom), i.e. every timestamp either engine can represent in
+# practice; biased values are < 10^19, fitting _TS_W = 20. event_id
+# < 10^12 at any SF this repo sees. The widths are ENFORCED, not
+# assumed: lpad silently truncates a wider value (corrupting the
 # running-max order identically in both engines, so parity would stay
 # green while the answer is wrong — the ADVICE finding), so the enc
 # expression asserts both fields fit and fails the job loudly instead.
 _TS_W = 20
+_TS_BIAS = 10**18
 _ID_W = 12
 # Type field starts right after "<ts>|<id>|" — a FIXED offset, so the
 # decode never counts pipes (an event_type containing '|' decodes
@@ -72,16 +80,22 @@ def _attributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     width_ok = F.assert_true(
         (F.col("event_id") >= 0)
         & (F.col("event_id") < F.lit(10**_ID_W).cast("bigint"))
-        & (F.expr(_EPOCH_US_SQL) >= 0),
+        & (F.expr(_EPOCH_US_SQL) >= F.lit(-_TS_BIAS).cast("bigint"))
+        & (F.expr(_EPOCH_US_SQL) <= F.lit(8 * 10**18).cast("bigint")),
         F.lit(
             f"attribution enc overflow: event_id must be in"
-            f" [0, 10^{_ID_W}) and ts must be >= epoch"
+            f" [0, 10^{_ID_W}) and biased epoch-micros must fit"
+            f" {_TS_W} digits"
         ),
     )
     enc = F.when(
         (F.col("event_type") != "purchase") & width_ok.isNull(),
         F.concat(
-            F.lpad(F.expr(_EPOCH_US_SQL).cast("string"), _TS_W, "0"),
+            F.lpad(
+                F.expr(f"({_EPOCH_US_SQL}) + {_TS_BIAS}").cast("string"),
+                _TS_W,
+                "0",
+            ),
             F.lit("|"),
             F.lpad(F.col("event_id").cast("string"), _ID_W, "0"),
             F.lit("|"),
@@ -97,9 +111,10 @@ def _attributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "event_type", "value", enc.alias("enc")
     ).withColumn("last_enc", F.max("enc").over(w))
     purchases = flagged.where(F.col("event_type") == "purchase")
-    last_ts_us = F.substring("last_enc", 1, _TS_W).cast("bigint")
+    # Both sides of the gap are biased, so the bias cancels exactly.
     gap_s = F.expr(
-        f"({_EPOCH_US_SQL} - CAST(substring(last_enc, 1, {_TS_W})"
+        f"(({_EPOCH_US_SQL}) + {_TS_BIAS}"
+        f" - CAST(substring(last_enc, 1, {_TS_W})"
         f" AS BIGINT)) div 1000000"
     )
     in_window = F.col("last_enc").isNotNull() & (
@@ -185,7 +200,8 @@ _ATTR_CTE = f"""
     flagged AS (
         SELECT event_id, user_id, ts, event_type, value,
                max(CASE WHEN event_type <> 'purchase'
-                   THEN lpad(CAST(epoch_us(ts) AS VARCHAR), {_TS_W}, '0')
+                   THEN lpad(CAST(epoch_us(ts) + {_TS_BIAS} AS VARCHAR),
+                             {_TS_W}, '0')
                         || '|' || lpad(CAST(event_id AS VARCHAR),
                                        {_ID_W}, '0')
                         || '|' || event_type
@@ -200,14 +216,14 @@ _ATTR_CTE = f"""
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
                value,
                CASE WHEN last_enc IS NOT NULL
-                         AND (epoch_us(ts)
+                         AND (epoch_us(ts) + {_TS_BIAS}
                               - CAST(substring(last_enc, 1, {_TS_W})
                                      AS BIGINT)) // 1000000
                              <= {ATTR_WINDOW_S}
                     THEN substring(last_enc, {_TYPE_POS})
                     ELSE '{DIRECT}' END AS attributed_type,
                CASE WHEN last_enc IS NOT NULL
-                         AND (epoch_us(ts)
+                         AND (epoch_us(ts) + {_TS_BIAS}
                               - CAST(substring(last_enc, 1, {_TS_W})
                                      AS BIGINT)) // 1000000
                              <= {ATTR_WINDOW_S}
@@ -215,11 +231,11 @@ _ATTR_CTE = f"""
                               AS BIGINT)
                     ELSE NULL END AS attributed_event_id,
                CASE WHEN last_enc IS NOT NULL
-                         AND (epoch_us(ts)
+                         AND (epoch_us(ts) + {_TS_BIAS}
                               - CAST(substring(last_enc, 1, {_TS_W})
                                      AS BIGINT)) // 1000000
                              <= {ATTR_WINDOW_S}
-                    THEN (epoch_us(ts)
+                    THEN (epoch_us(ts) + {_TS_BIAS}
                           - CAST(substring(last_enc, 1, {_TS_W})
                                  AS BIGINT)) // 1000000
                     ELSE NULL END AS gap_s

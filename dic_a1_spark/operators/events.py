@@ -241,19 +241,34 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The sketch values themselves are engine-specific, so instead of
     emitting them we emit per-group booleans asserting the error bands —
     HLL++ (rsd=2%) within 3 sigma (6%) of the exact distinct count, and
-    percentile_approx (accuracy=10000) landing inside the exact p45..p55
-    rank corridor — both computed in the same aggregation pass. The DuckDB
-    oracle emits TRUE for each band, so a hash match certifies the sketch
-    error bounds instead of the old no_oracle rows-only check."""
+    percentile_approx (accuracy=10000) landing inside the DISCRETE
+    p45..p55 rank corridor (the sorted non-null values between 1-based
+    ranks ceil(0.45 n) and ceil(0.55 n)) — both computed in the same
+    aggregation pass. The corridor must be DISCRETE because the sketch
+    always returns an order statistic: against an INTERPOLATED p45..p55
+    the claim is simply false for small wide-spread groups (n=2 values
+    {1.0, 5.5}: every order statistic is outside the interpolated
+    [3.025, 3.475] — found by the r11 time-extremes corpus). The rank
+    guarantee is |rank - 0.5 n| <= n/accuracy, inside the corridor for
+    all n (verified empirically: small-n returns exactly rank
+    ceil(0.5 n)). The sorted collect is certification-only buffering —
+    the exact percentile() it replaces buffered the group identically.
+    The DuckDB oracle emits TRUE for each band, so a hash match
+    certifies the sketch error bounds instead of the old no_oracle
+    rows-only check."""
     e = load_table(spark, sf_dir, "events")
     agg = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
         F.countDistinct("user_id").alias("exact_users"),
-        F.expr("percentile(value, 0.45)").alias("p45"),
-        F.expr("percentile(value, 0.55)").alias("p55"),
+        F.sort_array(F.collect_list("value")).alias("vals"),
         F.count("*").alias("n_events"),
     )
+    nv = F.size("vals")
+    # F.get is 0-based and returns NULL out-of-range (never an ANSI
+    # error), so the empty-group case degrades to NULL -> vacuous truth.
+    lo = F.get("vals", F.ceil(nv.cast("double") * 0.45).cast("int") - 1)
+    hi = F.get("vals", F.ceil(nv.cast("double") * 0.55).cast("int") - 1)
     return agg.select(
         "event_type",
         "n_events",
@@ -261,13 +276,12 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("approx_users") - F.col("exact_users"))
             <= F.col("exact_users").cast("double") * 0.06
         ).alias("users_in_band"),
-        # Vacuous truth for an all-NULL value group: every percentile is
+        # Vacuous truth for an all-NULL value group: the corridor is
         # NULL, the comparison is NULL, and the oracle's literal TRUE
         # would hash-mismatch (r9 NULL-corpus sweep). An empty error band
         # is not a violated error band.
         F.coalesce(
-            (F.col("approx_median") >= F.col("p45"))
-            & (F.col("approx_median") <= F.col("p55")),
+            (F.col("approx_median") >= lo) & (F.col("approx_median") <= hi),
             F.lit(True),
         ).alias("median_in_band"),
     )

@@ -63,6 +63,12 @@ from pyspark.sql import DataFrame, SparkSession
 # class (no \x0B in RE2; driver testdata has zero VT chars). Affected
 # modules: config-helper consumers, chisq, curation, ngrams. The r12
 # window will re-grade curation + chisq per the schedule above anyway.
+# The time-extremes corpus additionally fixed attribution (epoch-micros
+# enc now biased +10^18 so pre-1970 rows order lexicographically; the
+# bias cancels in every emitted value — driver results identical) and
+# events_approx_stats (the median error band is now the DISCRETE rank
+# corridor; all booleans stay TRUE on driver data). r12 should front
+# attribution + the events approx entry for a fresh grade anyway.
 _MODULES = (
     # (h) EDITED in r11 — deterministic Lloyd's kmeans (first driver
     # grade of the new oracle) + the sampled minhash certification

@@ -1035,3 +1035,76 @@ def test_registry_survives_skewkey_tpch(spark, skewkey_tpch_dir, name):
         compare(spark, _ORACLES[name], fn, skewkey_tpch_dir, name)
     else:
         fn(spark, skewkey_tpch_dir).count()  # rows-only: must materialize
+
+
+# ---------------------------------------------------------------------------
+# TENTH hostile shape (r11): TIME EXTREMES. Event-time operators meet the
+# timestamps a 100 TB log actually contains after enough ingestion bugs:
+# pre-1970 rows (NEGATIVE epochs — where truncate-toward-zero epoch
+# arithmetic forks from floor-based window bucketing, and naive
+# `epoch_days % 7` day-of-week goes negative), epoch exactly 0, the
+# 2038 32-bit boundary, far-future placeholder dates, exact hour/window
+# boundaries (inclusive-start/exclusive-end discipline), and
+# microsecond-identical ties (ordering tiebreaks in sessionization,
+# as-of joins, first-per-user). Every events entry must stay
+# oracle-matched; corpus tables are copied intact.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def time_extremes_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("time_extremes_sf")
+    for t in TABLES:
+        if t == "events":
+            continue
+        shutil.copy(Path(SF_SMOKE) / f"{t}.parquet", Path(out) / f"{t}.parquet")
+
+    rows = [
+        # --- negative epochs ------------------------------------------
+        (datetime(1969, 7, 20, 20, 17, 0), 1, "click", 1.25),
+        (datetime(1969, 7, 20, 20, 59, 59, 999999), 1, "purchase", 2.5),
+        (datetime(1969, 12, 31, 23, 30, 0), 2, "click", 0.75),
+        (datetime(1969, 12, 31, 23, 59, 59, 999999), 2, "error", 1.0),
+        # --- epoch zero and the first hour after ----------------------
+        (datetime(1970, 1, 1, 0, 0, 0), 2, "purchase", 3.25),
+        (datetime(1970, 1, 1, 0, 59, 59), 3, "click", 0.5),
+        (datetime(1970, 1, 1, 1, 0, 0), 3, "click", 0.5),   # exact bucket edge
+        # --- deep past (proleptic Gregorian both engines) -------------
+        (datetime(1582, 10, 15, 12, 0, 0), 4, "click", 4.0),
+        # --- microsecond-identical ties (ordering tiebreaks) ----------
+        (datetime(2024, 3, 1, 9, 0, 0, 123456), 5, "click", 1.0),
+        (datetime(2024, 3, 1, 9, 0, 0, 123456), 5, "purchase", 2.0),
+        (datetime(2024, 3, 1, 9, 0, 0, 123456), 6, "click", 3.0),
+        # --- 2038 boundary and far future ------------------------------
+        (datetime(2038, 1, 19, 3, 14, 7), 6, "purchase", 5.0),
+        (datetime(2038, 1, 19, 3, 14, 8), 6, "error", 5.5),
+        (datetime(2200, 6, 15, 18, 30, 0), 7, "click", 6.0),
+        # --- a healthy modern cluster so windows/sessions have meat ----
+        (datetime(2024, 5, 1, 10, 0, 0), 8, "click", 1.5),
+        (datetime(2024, 5, 1, 10, 10, 0), 8, "click", 1.5),
+        (datetime(2024, 5, 1, 10, 20, 0), 8, "purchase", 7.5),
+        (datetime(2024, 5, 1, 11, 45, 0), 8, "click", 1.5),
+        (datetime(2024, 5, 2, 10, 0, 0), 9, "click", 2.25),
+        (datetime(2024, 5, 8, 10, 0, 0), 9, "click", 2.25),  # retention week 2
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, Path(out) / "events.parquet")
+    return str(out)
+
+
+@pytest.mark.parametrize("name", _SWEEP)
+def test_registry_survives_time_extremes(spark, time_extremes_dir, name):
+    fn = _QUERIES[name]
+    if name in _ORACLES:
+        compare(spark, _ORACLES[name], fn, time_extremes_dir, name)
+    else:
+        fn(spark, time_extremes_dir).count()  # rows-only: must materialize
