@@ -771,3 +771,113 @@ def test_watermark_drops_late_join_sides(spark, wm_stream_dir):
     # kept matches only: purchase 3 <- click 2, purchase 7 <- click 4;
     # the late u3 pair (6 <- 5) must be dropped on BOTH sides.
     assert got == [(3, 2), (7, 4)]
+
+
+# --- time extremes: negative epochs through the watermarked twins ----------
+#
+# The r11 TIME-EXTREMES batch corpus (tests/test_degenerate_corpus.py)
+# replayed through the streaming twins. The load-bearing question is the
+# watermark's INITIAL value: Spark seeds the event-time watermark at
+# epoch 0 ms, but the LATE-ROW filter of micro-batch N uses the eviction
+# watermark of batch N-1 (the lag pinned by the watermark-drop suite
+# below), so a single-batch availableNow replay admits every pre-1970
+# row — batch/stream parity holds even for 1582. These tests pin that:
+# a regression that filters against the CURRENT batch's watermark would
+# silently drop every pre-1970 event here and fork from the batch twin.
+
+
+@pytest.fixture(scope="module")
+def time_extremes_stream_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("stream_time_extremes_sf")
+    for t in TABLES:
+        if t == "events":
+            continue
+        shutil.copy(Path(SF_SMOKE) / f"{t}.parquet", Path(out) / f"{t}.parquet")
+    rows = [
+        (datetime(1969, 7, 20, 20, 17, 0), 1, "click", 1.25),
+        (datetime(1969, 7, 20, 20, 59, 59, 999999), 1, "purchase", 2.5),
+        (datetime(1969, 12, 31, 23, 30, 0), 2, "click", 0.75),
+        (datetime(1969, 12, 31, 23, 59, 59, 999999), 2, "error", 1.0),
+        (datetime(1970, 1, 1, 0, 0, 0), 2, "purchase", 3.25),
+        (datetime(1970, 1, 1, 0, 59, 59), 3, "click", 0.5),
+        (datetime(1970, 1, 1, 1, 0, 0), 3, "click", 0.5),
+        (datetime(1582, 10, 15, 12, 0, 0), 4, "click", 4.0),
+        (datetime(2024, 3, 1, 9, 0, 0, 123456), 5, "click", 1.0),
+        (datetime(2024, 3, 1, 9, 0, 0, 123456), 5, "purchase", 2.0),
+        (datetime(2024, 3, 1, 9, 0, 0, 123456), 6, "click", 3.0),
+        (datetime(2038, 1, 19, 3, 14, 7), 6, "purchase", 5.0),
+        (datetime(2038, 1, 19, 3, 14, 8), 6, "error", 5.5),
+        (datetime(2200, 6, 15, 18, 30, 0), 7, "click", 6.0),
+        (datetime(2024, 5, 1, 10, 0, 0), 8, "click", 1.5),
+        (datetime(2024, 5, 1, 10, 10, 0), 8, "click", 1.5),
+        (datetime(2024, 5, 1, 10, 20, 0), 8, "purchase", 7.5),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, Path(out) / "events.parquet")
+    return str(out)
+
+
+def test_time_extremes_tumbling_matches_batch(spark, time_extremes_stream_dir):
+    stream = jobs.read_events_stream(spark, time_extremes_stream_dir)
+    jobs.run_to_memory(jobs.tumbling_counts(stream), "te_tumbling")
+    got = spark.table("te_tumbling")
+    want = batch_events.events_tumbling_hour(spark, time_extremes_stream_dir)
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_time_extremes_sessions_drop_pre_epoch_closers(
+    spark, time_extremes_stream_dir
+):
+    """Pinned Spark ASYMMETRY (do not 'fix' the twin to mask it): the
+    session-window operator applies its late filter against the initial
+    epoch-0 watermark in the very first micro-batch, so any session that
+    CLOSES before 1970-01-01 is silently dropped — while the tumbling
+    window aggregation (test above) admits the same rows. A session
+    STRADDLING the epoch survives (this corpus: user 2's 23:59:59.999999
+    event merges with the epoch-0 purchase via a 1-microsecond gap).
+    Operationally at 100 TB: pre-1970 garbage timestamps must be
+    filtered or clamped at ingestion BEFORE a streaming sessionization,
+    or the stream silently diverges from its batch twin."""
+    from pyspark.sql import functions as F
+
+    stream = jobs.read_events_stream(spark, time_extremes_stream_dir)
+    jobs.run_to_memory(jobs.session_counts(stream), "te_sessions")
+    got = spark.table("te_sessions")
+    want = batch_events.events_session_windows(
+        spark, time_extremes_stream_dir
+    ).where(F.col("session_end") >= "1970-01-01 00:00:00")
+    cols = ["user_id", "session_start", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # the filter is load-bearing: batch has 4 pre-epoch-closing sessions
+    full = batch_events.events_session_windows(spark, time_extremes_stream_dir)
+    assert full.count() - want.count() == 4
+
+
+def test_time_extremes_dedup_drops_at_or_before_epoch(
+    spark, time_extremes_stream_dir
+):
+    """Pinned Spark ASYMMETRY #2: dropDuplicatesWithinWatermark applies a
+    ROW-level late filter against the initial epoch-0 watermark in the
+    first micro-batch — every row with ts <= 1970-01-01 00:00:00 is
+    silently dropped (including the row AT exactly the epoch), while the
+    complete-mode tumbling aggregation admits the same rows (parity test
+    above). Survivors here: the post-epoch uniques — events 5 (00:59:59),
+    8-13, 14, 16; event 6 is a true (user,type) duplicate of 5 and
+    events 15 is a duplicate of 14. Same 100 TB moral as the session
+    pin: clamp or filter pre-epoch timestamps BEFORE streaming dedup."""
+    stream = jobs.read_events_stream(spark, time_extremes_stream_dir)
+    jobs.run_to_memory(
+        jobs.dedup_within_watermark(stream), "te_dedup", output_mode="append"
+    )
+    got = {r["event_id"] for r in spark.table("te_dedup").collect()}
+    assert got == {5, 8, 9, 10, 11, 12, 13, 14, 16}
