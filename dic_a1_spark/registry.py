@@ -75,6 +75,15 @@ _MODULES = (
     "dic_a1_spark.operators.ml_ops",
     # (h2) NEW in r11 — real container-header parsing; siblings r4-stale
     "dic_a1_spark.operators.multimodal",
+    # (h3) EDITED r11-late by the time-extremes corpus: the biased
+    # attribution encoding and the rank-discrete approx error band —
+    # semantics changed, so these three grade fresh THIS round (their
+    # modules' bare entries below pick up the rest on schedule).
+    (
+        "dic_a1_spark.operators.attribution",
+        ("events_attribution", "events_attribution_rollup"),
+    ),
+    ("dic_a1_spark.operators.events", ("events_approx_stats",)),
     # (f) r4 tranche, resuming after the r10 edge (text_token_freq_items)
     "dic_a1_spark.operators.ngrams",
     "dic_a1_spark.operators.lexical",
