@@ -150,7 +150,12 @@ def _kmeans_dist(xq: F.Column, s: F.Column, n: F.Column, c2n2: F.Column) -> F.Co
     in the Arrow-batched _dot_seq_batch (bit-identical IEEE sequence,
     ~100x the interpreted HOF fold — this is the K x n hot path); the
     centroid self-term dot(s,s)/n^2 depends only on the K-row state, so
-    it is computed ONCE per centroid (c2n2) and joined in."""
+    it is computed ONCE per centroid (c2n2) and joined in. (r12 note: a
+    64-wide unrolled JVM dot was measured here and REJECTED — it removes
+    the ArrowEvalPython node but its ~520-node expression tree adds
+    ~2 s of Catalyst planning per round plan, x4 round plans per run:
+    ml_kmeans_clusters 5.9 s -> 13.7 s end-to-end. similarity._dot_fixed
+    docstring has the full measurement.)"""
     from dic_a1_spark.operators.similarity import _dot_seq_batch
 
     dot1 = _dot_seq_batch(xq.cast("array<double>"), s.cast("array<double>"))

@@ -82,8 +82,14 @@ def _l2sq(a: Column, b: Column) -> Column:
     """|a|^2 + |b|^2 - 2*dot(a,b) — three sequential folds combined with
     the exact association the oracle restates (never an elementwise
     difference fold, which DuckDB cannot reproduce without
-    list_reduce)."""
-    return _dot(a, a) + _dot(b, b) - F.lit(2.0) * _dot(a, b)
+    list_reduce). The dots take the SUBDIM-unrolled codegen branch
+    (similarity._dot dim=PQ_SUBDIM; r12 — the interpreted HOF folds on
+    4-wide slices dominated the N x M x K assignment stage)."""
+    return (
+        _dot(a, a, dim=PQ_SUBDIM)
+        + _dot(b, b, dim=PQ_SUBDIM)
+        - F.lit(2.0) * _dot(a, b, dim=PQ_SUBDIM)
+    )
 
 
 def _codebook(spark: SparkSession, sf_dir: str) -> DataFrame:

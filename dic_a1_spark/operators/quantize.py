@@ -70,7 +70,11 @@ def _with_quantized(e: DataFrame) -> DataFrame:
 
 def _int_dot(a: Column, b: Column) -> Column:
     """Integer dot product — exact, so accumulation order is irrelevant
-    (unlike the float folds in operators/similarity.py)."""
+    (unlike the float folds in operators/similarity.py). (r12 note: a
+    64-term unrolled JVM sum was measured here and REJECTED for the same
+    reason as similarity._dot_fixed at dim 64 — the ~400-node tree costs
+    more in per-query Catalyst planning than it saves at the executor for
+    this query's pair volume.)"""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
         F.lit(0).cast("long"),

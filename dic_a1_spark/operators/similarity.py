@@ -32,13 +32,62 @@ IVF_K = 8            # first IVF_K vectors double as coarse centroids
 IVF_NPROBE = 2
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Sequential fold dot-product over double-cast elements."""
+#: Embedding width per the corpus contract (TESTDATA.md).
+EMBED_DIM = 64
+
+
+def _dot_fold(a: Column, b: Column) -> Column:
+    """Sequential fold dot-product over double-cast elements — the
+    length-generic form. Higher-order functions are CodegenFallback
+    (interpreted), so this costs ~6 us per 64-dim pair; per-PAIR hot
+    paths use the Arrow batch twin (_dot_seq_batch) or, for short fixed
+    widths, the unrolled hybrid (dim= below)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Unrolled fixed-width dot: lit(0.0) + a1*b1 + a2*b2 + ... with
+    left-associated addition — per element the EXACT IEEE-754 operation
+    sequence of the _dot_fold accumulate ((0 + x0*y0) + x1*y1) + ..., so
+    results are BIT-IDENTICAL (verified: 0 differing bit patterns over
+    100K sf0.1 pairs), and the whole chain lives inside whole-stage
+    codegen — no interpreted lambda per element, no Python boundary
+    (guide §4.1). Callers must guard size(a) == size(b) == dim:
+    element_at past the end throws under ANSI.
+
+    r12 measurement note — WHY ONLY SHORT WIDTHS USE THIS: the unroll
+    costs ~8 Catalyst nodes per term, and optimizer rule sweeps are
+    linear in plan nodes, so a 64-wide unroll added 0.5-2.3 s of
+    per-query PLANNING (measured: ivf_assignments executedPlan 0.51 s
+    -> 2.8 s; ml_kmeans_clusters 4.1 s -> 11.8 s across its 4 round
+    plans) while saving only ~2.5 us/pair at the executor — a net loss
+    at any realistic pair volume per plan. At dim<=8 the tree is ~50
+    nodes and the unroll is a pure win (embedding_pq_codes isolated
+    median 5.97 s -> 3.10 s, the N x M x K assignment stage)."""
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + (
+            F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+        )
+    return acc
+
+
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential-order dot product. With `dim` (opt-in, short widths
+    only — see _dot_fixed): unrolled codegen when both sides are exactly
+    `dim` wide, interpreted fold otherwise (the branch predicate makes
+    the hybrid total: NULL or odd-length arrays fall through to the fold
+    and produce the value they always produced). Without `dim`: the
+    length-generic interpreted fold, unchanged since r2."""
+    if dim is None:
+        return _dot_fold(a, b)
+    return F.when(
+        (F.size(a) == dim) & (F.size(b) == dim), _dot_fixed(a, b, dim)
+    ).otherwise(_dot_fold(a, b))
 
 
 # DoubleType() instance, not the "double" DDL string: the string form is
@@ -106,7 +155,12 @@ def _cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
     sequential fold, just evaluated once. The dot itself is the
     Arrow-batched _dot_seq_batch (same accumulation order, ~100x faster
     than the interpreted HOF fold). Division via _null_div: a zero-norm
-    side yields NULL, matching DuckDB and the numpy fast twins."""
+    side yields NULL, matching DuckDB and the numpy fast twins. (r12
+    note: a 64-wide unrolled JVM dot was measured here and REJECTED —
+    faster at the executor (~2.0 s vs 4.6 s over 2M pairs) but its
+    ~520-node tree adds 0.5-2.3 s of Catalyst planning per query, a net
+    loss for every registered caller; _dot_fixed docstring has the
+    numbers.)"""
     return _null_div(_dot_seq_batch(a, b), na * nb)
 
 
