@@ -24,8 +24,11 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from dic_a1_spark.config import (
     duckdb_tokens_sql,
@@ -423,6 +426,19 @@ def label_propagate(docs: DataFrame, edges: DataFrame, n_iter: int = 3) -> DataF
     # without the persist each join would recompute the whole
     # tokenize->signature chain (iterative algorithms are THE case for
     # explicit materialization in Spark).
+    #
+    # r12 measurement note — pre-partitioned DOUBLE persistence (one copy
+    # repartition("doc_id"), one repartition("bucket"), so the cached
+    # InMemoryTableScan partitioning would absorb both per-iteration join
+    # exchanges, guide §2.4) was implemented and A/B-measured here:
+    # interleaved sf0.1 medians came out 0.3-0.8 s SLOWER per groups
+    # query (simhash 4.15 -> 4.64, minhash_md5 3.21 -> 3.48, minhash
+    # 1.55 -> 2.31): the two up-front materialization shuffles cost more
+    # than the per-iteration exchanges they save, because the early-exit
+    # loop runs few rounds and AQE already coalesces the tiny per-round
+    # exchanges. At 100 TB the trade flips (per-round edge re-shuffles
+    # dominate); the bucket-key copy is the first thing to restore when
+    # edges stop fitting the shuffle budget. Kept single-copy.
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Labels are LINEAGE-TRUNCATED each iteration (eager localCheckpoint),
@@ -438,11 +454,20 @@ def label_propagate(docs: DataFrame, edges: DataFrame, n_iter: int = 3) -> DataF
         "doc_id", F.col("doc_id").alias("label")
     ).localCheckpoint()
     for it in range(n_iter):
-        bucket_min = (
-            edges.join(labels, "doc_id")
-            .groupBy("bucket")
-            .agg(F.min("label").alias("bucket_label"))
-        )
+        if it == 0:
+            # Iteration 0's labels are the identity (label == doc_id), so
+            # the doc->bucket push needs no join at all: the bucket
+            # minimum IS min(doc_id) — same rows, one join + one labels
+            # exchange fewer (r12, guide §2.4).
+            bucket_min = edges.groupBy("bucket").agg(
+                F.min("doc_id").alias("bucket_label")
+            )
+        else:
+            bucket_min = (
+                edges.join(labels, "doc_id")
+                .groupBy("bucket")
+                .agg(F.min("label").alias("bucket_label"))
+            )
         propagated = (
             edges.join(bucket_min, "bucket")
             .groupBy("doc_id")
@@ -496,18 +521,73 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pytest)
 # ---------------------------------------------------------------------------
 
+def simhash_pack_batch(nbits: int):
+    """Arrow-batched SimHash majority-vote packer: array<bigint> of
+    per-token hash bases -> the packed `nbits`-bit signature, bit j set
+    iff the count of bases with bit j set exceeds n/2 (exact ties -> 0).
+
+    PURE INTEGER arithmetic, so the result is bit-identical to the
+    per-bit scalar-fold form it replaces by construction (popcounts are
+    exact int64 sums in any order; the majority compare and the bit
+    packing are integer ops both paths state identically) — no float
+    association to pin, unlike the dot-product twins. Exists because
+    Spark higher-order functions are CodegenFallback: `nbits`
+    interpreted folds per document (~64 x tokens lambda steps each)
+    dominated every SimHash query; one Arrow pass computes all bit
+    counts with `nbits` vectorized sweeps over the batch's concatenated
+    token hashes (r12, guide §4.2: dedup_simhash_pairs sf0.1 interleaved
+    median 2.31 s -> 0.89 s).
+
+    nbits == 64 packs bit 63 as Long.MIN_VALUE (two's-complement sign
+    bit, matching the fold form's -(2**63) term); nbits < 64 signatures
+    are plain positive bigints. Rows with an empty/NULL base array pack
+    to all-zero votes (callers filter empty token sets upstream, as the
+    fold form's consumers always did)."""
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def _pack(hs: pd.Series) -> pd.Series:
+        n = len(hs)
+        if n == 0:
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        arrs = [
+            np.asarray(a, dtype=np.int64) if a is not None else _EMPTY_I64
+            for a in hs
+        ]
+        lens = np.fromiter((len(a) for a in arrs), count=n, dtype=np.int64)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        # Sentinel element keeps reduceat's indices in range for
+        # zero-length segments; their (bogus) counts are masked below.
+        flat = np.concatenate(arrs + [_EMPTY_I64, np.zeros(1, np.int64)])
+        empty = lens == 0
+        acc = np.zeros(n, dtype=np.uint64)
+        for j in range(nbits):
+            bits = (flat >> j) & 1
+            cj = np.add.reduceat(bits, offsets[:-1])[:n]
+            cj[empty] = 0
+            acc |= (np.uint64(1) << np.uint64(j)) * (cj * 2 > lens).astype(
+                np.uint64
+            )
+        return pd.Series(acc.view(np.int64))
+
+    return _pack
+
+
+_EMPTY_I64 = np.zeros(0, dtype=np.int64)
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash: bigint) — 64-bit SimHash over distinct tokens.
 
     Per bit j: set iff the count of tokens with bit j of xxhash64(token)
     set exceeds n_tokens/2 (majority vote; exact ties -> 0, matching the
-    sign-of-sum formulation). Computed MAP-ONLY, no explode, no groupBy,
-    NO SHUFFLE: the token-hash array is materialized once per doc, then
-    64 independent scalar `aggregate` folds (one per bit) count set bits.
-    Scalar folds stay in primitive longs — measured ~2x faster than the
-    previous explode + 64-column hash aggregate and ~15x faster than a
-    single fold carrying a 64-element accumulator array (per-token array
-    allocation dominates). Docs with zero tokens are excluded (as before,
+    sign-of-sum formulation). Computed with NO SHUFFLE: the token-hash
+    array is materialized once per doc (JVM xxhash64), then ONE
+    Arrow-batched pass counts all 64 bits and packs the signature
+    (simhash_pack_batch — bit-identical integer arithmetic; replaced 64
+    interpreted scalar `aggregate` folds per doc, r12 measured 2.6x on
+    the pairs query). Docs with zero tokens are excluded (as before,
     when explode dropped them)."""
     toks = docs.select(
         "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("toks")
@@ -516,24 +596,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.expr("transform(toks, w -> xxhash64(w))").alias("hs"),
     )
-    bit_counts = [
-        F.expr(f"aggregate(hs, 0L, (a, h) -> a + (shiftright(h, {j}) & 1L))").alias(
-            f"c{j}"
-        )
-        for j in range(64)
-    ]
-    per_bit = hs.select("doc_id", F.size("hs").alias("n"), *bit_counts)
-    # Pack: 2**63 would overflow bigint, so bit 63 contributes
-    # Long.MIN_VALUE — two's-complement packing of the sign bit.
-    sig = None
-    for j in range(64):
-        term = F.when(
-            F.col(f"c{j}") * 2 > F.col("n"), F.lit(1).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint")) * F.lit(
-            2**j if j < 63 else -(2**63)
-        ).cast("bigint")
-        sig = term if sig is None else sig + term
-    return per_bit.select("doc_id", sig.alias("simhash"))
+    return hs.select("doc_id", simhash_pack_batch(64)(F.col("hs")).alias("simhash"))
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -194,20 +194,37 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    asg_w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cluster"))
+    # Argmin as a partial-aggregating MIN over struct(d, cluster[, xq]) —
+    # lexicographic struct comparison IS orderBy(d asc, cluster asc) with
+    # (d, cluster) unique per vector, so the winner is identical to the
+    # row_number() window this replaces (r12, VERDICT r11 item 7 /
+    # guide §2.3 "aggregate before you shuffle"): the K-way fan-out now
+    # collapses MAP-SIDE (each vector's K scored rows are partition-local
+    # by construction — they come from one crossJoin input row), so the
+    # exchange carries one row per vector instead of K, and the window's
+    # sort disappears. xq rides in the struct only on rounds that still
+    # need it for the centroid update; the final round ships (d, cluster)
+    # alone.
+    def _argmin(scored: DataFrame, with_xq: bool) -> DataFrame:
+        fields = [F.col("d"), F.col("cluster")] + (
+            [F.col("xq")] if with_xq else []
+        )
+        picked = scored.groupBy("vec_id", "label").agg(
+            F.min(F.struct(*fields)).alias("m")
+        )
+        cols = ["vec_id", "label"] + (["m.xq"] if with_xq else [])
+        return picked.select(*cols, F.col("m.cluster").alias("cluster"))
+
     assigned = None
     for it in range(KMEANS_ITERS):
-        assigned = (
-            vecs.crossJoin(F.broadcast(state))
-            .withColumn(
+        assigned = _argmin(
+            vecs.crossJoin(F.broadcast(state)).withColumn(
                 "d",
                 _kmeans_dist(
                     F.col("xq"), F.col("s"), F.col("n"), F.col("c2n2")
                 ),
-            )
-            .withColumn("rnk", F.row_number().over(asg_w))
-            .where(F.col("rnk") == 1)
-            .select("vec_id", "label", "xq", "cluster")
+            ),
+            with_xq=it < KMEANS_ITERS - 1,
         )
         if it < KMEANS_ITERS - 1:
             state = with_self_term(

@@ -133,11 +133,22 @@ def _with_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code",
         _l2sq(F.col("vsub"), F.col("sub")).alias("d2"),
     )
-    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("code"))
+    # Argmin as a partial-aggregating MIN over struct(d2, code):
+    # lexicographic struct comparison IS orderBy(d2 asc, code asc) with
+    # (d2, code) unique per group — and both paths compare doubles with
+    # identical semantics (Double.compare; a NULL d2 sorts first under
+    # asc exactly as the NULL struct field sorts smallest). Replaces the
+    # row_number() window this shape shipped through r11: the N x M x
+    # PQ_K scored rows now collapse MAP-SIDE (each vector's K candidate
+    # rows are partition-local — the codebook side is broadcast), so the
+    # exchange carries N x M rows instead of N x M x K, and the window's
+    # full sort of the fan-out disappears (r12, guide §2.3 "aggregate
+    # before you shuffle"; knn_cosine_pq interleaved sf0.1 median
+    # 4.62 s -> 2.78 s).
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "m", "code")
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("mn"))
+        .select("vec_id", "m", F.col("mn.code").alias("code"))
     )
 
 
@@ -215,19 +226,24 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     alone ranks at 0.22 on this weakly-clustered corpus, the honest
     argument for why production PQ always re-ranks). Same output
     columns as the other kNN variants so recall reports compose."""
+    # Norms are computed ONCE PER VECTOR in projections below the join
+    # boundaries and the cross dot runs in the Arrow batch — the
+    # similarity._cosine_pre pattern, bit-exact with the three-fold
+    # per-pair form this replaces because each norm is the identical
+    # sequential fold, just evaluated once (r12, guide §4: one Arrow dot
+    # per scored pair instead of three interpreted 64-wide HOF folds).
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         _as_double(F.col("embedding")).alias("qe"),
-    )
+    ).select("query_id", "qe", F.sqrt(_dot(F.col("qe"), F.col("qe"))).alias("qn"))
     cands = _with_recon(spark, sf_dir).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("recon").alias("ne")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("recon").alias("ne"),
+        F.sqrt(_dot(F.col("recon"), F.col("recon"))).alias("nn"),
     )
-    adc = _null_div(
-        _dot(F.col("qe"), F.col("ne")),
-        F.sqrt(_dot(F.col("qe"), F.col("qe")))
-        * F.sqrt(_dot(F.col("ne"), F.col("ne"))),
-    )
+    from dic_a1_spark.operators.similarity import _cosine_pre
+
     w_short = Window.partitionBy("query_id").orderBy(
         F.desc("adc_sim"), F.asc("neighbor_id")
     )
@@ -236,27 +252,38 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(cands)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            "query_id", "qe", "neighbor_id", adc.alias("adc_sim")
+            "query_id",
+            "qe",
+            "qn",
+            "neighbor_id",
+            _cosine_pre(
+                F.col("qe"), F.col("ne"), F.col("qn"), F.col("nn")
+            ).alias("adc_sim"),
         )
         .withColumn("srank", F.row_number().over(w_short))
         .where(F.col("srank") <= PQ_SHORTLIST)
-        .select("query_id", "qe", "neighbor_id")
+        .select("query_id", "qe", "qn", "neighbor_id")
     )
     exact_side = e.select(
         F.col("vec_id").alias("neighbor_id"),
         _as_double(F.col("embedding")).alias("ne_exact"),
-    )
-    exact = _null_div(
-        _dot(F.col("qe"), F.col("ne_exact")),
-        F.sqrt(_dot(F.col("qe"), F.col("qe")))
-        * F.sqrt(_dot(F.col("ne_exact"), F.col("ne_exact"))),
+    ).select(
+        "neighbor_id",
+        "ne_exact",
+        F.sqrt(_dot(F.col("ne_exact"), F.col("ne_exact"))).alias("nne"),
     )
     w_final = Window.partitionBy("query_id").orderBy(
         F.desc("sim_raw"), F.asc("neighbor_id")
     )
     return (
         shortlist.join(exact_side, "neighbor_id")
-        .select("query_id", "neighbor_id", exact.alias("sim_raw"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_pre(
+                F.col("qe"), F.col("ne_exact"), F.col("qn"), F.col("nne")
+            ).alias("sim_raw"),
+        )
         .withColumn("rank", F.row_number().over(w_final))
         .where(F.col("rank") <= TOP_K)
         .select(
@@ -644,6 +671,13 @@ def knn_cosine_pq_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("srank") <= PQ_SHORTLIST)
         .select("query_id", "neighbor_id")
     )
+    # Re-rank stays on the JVM fold, NOT the exact twin's Arrow dot: the
+    # shortlist is Q x PQ_SHORTLIST rows (500 at the registered params),
+    # so interpreted folds cost microseconds here — and an
+    # ArrowEvalPython node between the two query_id windows would break
+    # partitioning propagation and re-insert the final window's exchange
+    # (measured r12: the Arrow form turned this 1-exchange plan into 2;
+    # the plan pin in tests/test_plans.py guards exactly that).
     queries = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         _as_double(F.col("embedding")).alias("qe"),

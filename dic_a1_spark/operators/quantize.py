@@ -32,8 +32,12 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
 
 from dic_a1_spark.operators.similarity import N_QUERIES, TOP_K
 from dic_a1_spark.sources.readers import load_table
@@ -80,6 +84,36 @@ def _int_dot(a: Column, b: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+@pandas_udf(LongType())
+def _int_dot_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched twin of _int_dot for the PER-PAIR hot path (r12,
+    guide §4.2). Integer accumulation is EXACT, so any summation order
+    gives the fold's value bit-for-bit — no association pinning needed,
+    and numpy may sum however it likes (max |element| is 127^2 x 64 «
+    2^63, no overflow). Mirrors the fold's NULL semantics: a NULL array
+    or length mismatch yields NULL (zip_with pads with NULL, poisoning
+    the fold's accumulator)."""
+    n = len(a)
+    if n == 0:
+        return pd.Series(np.zeros(0, dtype=np.int64))
+    try:
+        A = np.stack(a.to_numpy()).astype(np.int64)
+        B = np.stack(b.to_numpy()).astype(np.int64)
+        return pd.Series((A * B).sum(axis=1))
+    except (ValueError, TypeError):
+        # Ragged / NULL-bearing batch (hostile corpora): row-wise with
+        # the fold's NULL-on-mismatch semantics.
+        out = []
+        for x, y in zip(a, b):
+            if x is None or y is None or len(x) != len(y):
+                out.append(None)
+            else:
+                xa = np.asarray(x, dtype=np.int64)
+                ya = np.asarray(y, dtype=np.int64)
+                out.append(int((xa * ya).sum()))
+        return pd.Series(out, dtype="object")
 
 
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,7 +202,9 @@ def knn_cosine_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            _int_dot(F.col("qa"), F.col("qb")).alias("dot"),
+            # Arrow-batched exact integer dot on the Q x N pair path
+            # (r12): value-identical to the fold, ~interpreted-HOF-free.
+            _int_dot_batch(F.col("qa"), F.col("qb")).alias("dot"),
             "na",
             "nb",
         )

@@ -237,11 +237,31 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("sim"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    # Argmax as a partial-aggregating MAX over struct(sim, -centroid_id):
+    # lexicographic struct comparison IS orderBy(sim desc, centroid_id
+    # asc) — sims compare via the same Double.compare semantics the
+    # window sort used (a NULL sim loses under max exactly as desc's
+    # default NULLS LAST ranked it; the id tiebreak negates the INTEGER
+    # id, never the double, so +-0.0 sims keep their window ordering).
+    # The K-way centroid fan-out collapses map-side before the exchange
+    # and the window's sort disappears (r12, guide §2.3; see
+    # pq._with_codes for the measured twin of this rewrite).
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") == 1)
-        .select("vec_id", "centroid_id", F.col("sim").alias("centroid_sim"))
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim"),
+                    (-F.col("centroid_id")).alias("neg_cid"),
+                    F.col("centroid_id"),
+                )
+            ).alias("mx")
+        )
+        .select(
+            "vec_id",
+            F.col("mx.centroid_id").alias("centroid_id"),
+            F.col("mx.sim").alias("centroid_sim"),
+        )
     )
 
 
