@@ -425,18 +425,52 @@ def embedding_neardup_blocked(
     nprobe: int = NEARDUP_NPROBE,
     threshold: float = NEARDUP_SIM,
 ) -> DataFrame:
-    """Scale-safe semantic dedup: IVF-blocked near-duplicate pairs.
+    """Scale-safe semantic dedup: IVF-blocked near-duplicate pairs at the
+    fixed IVF_K codebook the oracle states.
+
+    r12: now executes through the SAME block-local batch scorer as the
+    data-sized-codebook twin (embedding_neardup_blocked_fast) — the
+    guide-§8 shape that ships each vector to its blocks ONCE instead of
+    shipping both vectors for every candidate pair through the Arrow
+    boundary. The per-pair join form this replaces shipped ~2 x 64
+    floats x ~4.5M joined rows per run (measured: the single most
+    expensive bench query, 10-27 s at sf0.1 with GC-driven variance vs
+    ~1.5 s for the batch twin); its JVM-expression implementation
+    survives UNREGISTERED as embedding_neardup_blocked_exact, still
+    pinned pair-for-pair against this query in tests/test_similarity.py
+    (the certification the _fast twin always carried, now pointed at
+    the exact form explicitly). Output is bit-identical by the pinned
+    parity devices: dimension-fold sims, margin emission with Spark-side
+    round(.,4) >= threshold, NULL/NaN rows excluded identically in both
+    engines. Recall vs the all-pairs ground truth stays pinned >= 0.9
+    in tests/test_similarity.py."""
+    return embedding_neardup_blocked_fast(
+        spark, sf_dir, ivf_k=ivf_k, nprobe=nprobe, threshold=threshold
+    )
+
+
+def embedding_neardup_blocked_exact(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    ivf_k: int = IVF_K,
+    nprobe: int = NEARDUP_NPROBE,
+    threshold: float = NEARDUP_SIM,
+) -> DataFrame:
+    """TEST-ONLY certification twin: the pair-per-row JVM-expression form
+    of the blocked near-dup query (every candidate pair scored by one
+    _cosine_pre expression after an equi-join on the block key). NOT
+    registered since r12 — the registered query runs the block-local
+    batch scorer (see embedding_neardup_blocked) — but kept as the
+    independent implementation the parity pin in tests/test_similarity.py
+    compares against, exactly as embedding_neardup_pairs stays as the
+    unregistered all-pairs ground truth for the recall pin.
 
     Pairs are enumerated ONLY within shared centroid blocks (equi-join on
     centroid_id), then verified with exact cosine >= threshold. A pair
     sharing several blocks is kept only in its LOWEST shared block
     (checked map-side against the carried assignment sets) — exactly-once
-    output with no post-join distinct shuffle. At cluster scale the block
-    key is the shuffle partition key and per-block work stays bounded by
-    growing `ivf_k` with the corpus (tools/scale_bench.py sizes it for a
-    target block size; the registered query keeps the IVF_K codebook the
-    oracle states). Recall vs the exact all-pairs ground truth is pinned
-    >= 0.9 in tests/test_similarity.py."""
+    output with no post-join distinct shuffle."""
     e = load_table(spark, sf_dir, "embeddings")
     asg = _ivf_multi_assign(e, nprobe, ivf_k=ivf_k)
     # Deterministic bucket salt: side B lands in exactly one of

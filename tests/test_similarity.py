@@ -83,11 +83,11 @@ def test_ivf_assignments_fast_matches_exact(spark, sf_dir):
 
 def test_neardup_fast_registered_query_runs_with_data_sized_codebook(spark):
     """The registered fast near-dup sizes K from the corpus; at sf0.001
-    that floors to IVF_K, so its pair set must equal the exact blocked
-    query's."""
+    that floors to IVF_K, so its pair set must equal the exact
+    (pair-per-row JVM certification) blocked form's."""
     slow = {
         (r["id1"], r["id2"])
-        for r in similarity.QUERIES["embedding_neardup_blocked"](
+        for r in similarity.embedding_neardup_blocked_exact(
             spark, SF_SMOKE
         ).collect()
     }
@@ -119,14 +119,15 @@ def test_neardup_groups_cover_pairs_one_row_per_vector(spark):
 
 
 def test_neardup_blocked_fast_matches_exact_path(spark):
-    """The batch-linear-algebra scale variant must emit the same pair set
-    as the registered pair-at-a-time query when run with the same codebook
+    """The batch-linear-algebra variant (the registered execution shape
+    since r12) must emit the same pair set as the UNREGISTERED
+    pair-per-row certification form when run with the same codebook
     (K=IVF_K): identical blocking decisions, identical >= threshold
-    verdicts (sims differ only in BLAS-vs-fold ULPs, rounded away at
+    verdicts (sims differ only in batch-vs-fold ULPs, rounded away at
     4dp)."""
     slow = {
         (r["id1"], r["id2"]): r["sim"]
-        for r in similarity.QUERIES["embedding_neardup_blocked"](
+        for r in similarity.embedding_neardup_blocked_exact(
             spark, SF_SMOKE
         ).collect()
     }
