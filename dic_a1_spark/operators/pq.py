@@ -262,28 +262,31 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("srank", F.row_number().over(w_short))
         .where(F.col("srank") <= PQ_SHORTLIST)
-        .select("query_id", "qe", "qn", "neighbor_id")
+        .select("query_id", "qe", "neighbor_id")
     )
+    # Re-rank stays on the JVM fold (the knn_cosine_pq_fast stance): the
+    # shortlist is Q x PQ_SHORTLIST rows (500 at the registered params),
+    # so interpreted folds cost microseconds — and an ArrowEvalPython
+    # node here would break partitioning propagation between the two
+    # query_id windows and re-insert the final window's exchange
+    # (measured r12: the Arrow re-rank made this a 16-exchange-node
+    # formatted plan vs 14). The ADC stage above keeps the Arrow dot:
+    # its pair volume is Q x N.
     exact_side = e.select(
         F.col("vec_id").alias("neighbor_id"),
         _as_double(F.col("embedding")).alias("ne_exact"),
-    ).select(
-        "neighbor_id",
-        "ne_exact",
-        F.sqrt(_dot(F.col("ne_exact"), F.col("ne_exact"))).alias("nne"),
+    )
+    exact = _null_div(
+        _dot(F.col("qe"), F.col("ne_exact")),
+        F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot(F.col("ne_exact"), F.col("ne_exact"))),
     )
     w_final = Window.partitionBy("query_id").orderBy(
         F.desc("sim_raw"), F.asc("neighbor_id")
     )
     return (
         shortlist.join(exact_side, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            _cosine_pre(
-                F.col("qe"), F.col("ne_exact"), F.col("qn"), F.col("nne")
-            ).alias("sim_raw"),
-        )
+        .select("query_id", "neighbor_id", exact.alias("sim_raw"))
         .withColumn("rank", F.row_number().over(w_final))
         .where(F.col("rank") <= TOP_K)
         .select(
