@@ -185,6 +185,28 @@ HEADLINE = [
     # The r10 edits cost nothing (the id map is one vectorized numpy
     # fancy-index; the guards are plan-build-time); the whole r10 tail
     # was in-bench scheduling noise, same class as every prior round's.
+    # r12 POST-BENCH_r11 drift rows (VERDICT r11 item 1 — the flagship
+    # chisq drop and the 16-query r11 tail, NONE coinciding with a
+    # Spark-side edit): the r12 session's own fresh full bench (idle
+    # machine, post-optimization) recovered the flagship in the bench
+    # run itself — chisq amplified 118,926 docs/s (r11: 109,636; r10:
+    # 141,812 on a faster machine), cold sf0.1 rate 3,980 (r11: 2,734)
+    # — and tools/drift_check.py then ran 5 cold-cache isolated repeats
+    # per suspect AFTER that bench (drift_r12.out). Medians:
+    # chisq_top75 1.042, colloc_pmi_topk 1.814 (vs r11 in-bench 2.806),
+    # index_compression 0.590 (vs 0.722), repselect_best_of_group 1.030
+    # (vs 1.195), events_attribution 0.289, events_attribution_rollup
+    # 0.701 (vs 0.826) — every r11-tail suspect at or below its r10
+    # steady state on a machine measured 1.3-1.9x SLOWER than the r11
+    # bench host. The r11 chisq drop was session contention (the class
+    # SCALING.md:999-1004 documents), not a code regression: the chisq
+    # Spark path is byte-identical since r9. The same file also pins
+    # this session's OWN in-bench outliers (dedup_repeated_ngrams
+    # in-bench 1.530 vs isolated med 0.986 ~= r11's 0.938; cdc_stats
+    # 1.414 vs 0.928; text_unigram_surprisal 0.917 vs 0.677;
+    # corpus_hygiene_pipeline 2.302 vs 1.893; knn_cosine_quantized_fast
+    # in-bench 2.355 vs isolated med 1.494 — steady state for this
+    # host) — in-bench scheduling noise, same class as r9/r10/r11.
     # r8->r9 note: diversity_simpson was the one r8 shared-set
     # regression >1.3x (0.5695 -> 0.818 s, module untouched). Isolated
     # re-run in the r9 session (tools/drift_check.py, 6 cold-cache
