@@ -77,42 +77,78 @@ def duckdb_token_char_class() -> str:
     return "[" + "".join(out) + "]"
 
 
-# Private-use sentinel for the final-sigma mirror below. Not a \p{L}
-# letter, unaffected by lower(), and never present in corpus text (the
-# driver corpora and every hostile fixture are ASCII/natural-language).
-_SIGMA_SENTINEL = ""
+# Sentinel for the final-sigma mirror below. Not a letter, unaffected by
+# lower(), and — unlike the private-use U+E000 it replaces (ADVICE r11:
+# private-use characters DO occur in real web scrapes, and the mirror
+# would have silently rewritten them to σ/ς) — U+FDD0 is a Unicode
+# NONCHARACTER, permanently reserved for internal use and excluded from
+# conformant interchange, so corpus text cannot legitimately carry it.
+_SIGMA_SENTINEL = "\ufdd0"
+
+# RE2 character-class bodies mirroring the two predicates of the JDK/ICU
+# Final_Sigma walk (pinned empirically against Spark's lower(), see
+# duckdb_lower_sql). Kept as raw "'"-bearing strings; SQL-escaped at use.
+#
+# Case_Ignorable ~= gc in {Mn, Me, Cf, Lm, Sk} + Word_Break MidLetter
+# (: U+00B7 U+0387 U+055F U+05F4 U+2027 U+FE13 U+FE55 U+FF1A) + MidNumLet
+# (. U+2018 U+2019 U+2024 U+FE52 U+FF07 U+FF0E) + Single_Quote (').
+# Note Mc (spacing marks) is deliberately NOT here: Java treats Mc as a
+# walk-stopping non-cased character (probe 'ΑऻΣ' -> 'αऻσ').
+_CASE_IGNORABLE_CC = (
+    "\\p{Mn}\\p{Me}\\p{Cf}\\p{Lm}\\p{Sk}"
+    ":\\x{00B7}\\x{0387}\\x{055F}\\x{05F4}\\x{2027}\\x{FE13}\\x{FE55}\\x{FF1A}"
+    ".\\x{2018}\\x{2019}\\x{2024}\\x{FE52}\\x{FF07}\\x{FF0E}'"
+)
+# Cased ~= gc in {Lu, Ll, Lt} + Other_Uppercase + Other_Lowercase, MINUS
+# anything already Case_Ignorable (the walk checks ignorable FIRST, so
+# e.g. U+02B0 MODIFIER SMALL H — Lm and Other_Lowercase — is skipped,
+# never a decider). The non-Lu/Ll/Lt, non-ignorable cased ranges are
+# U+00AA/U+00BA ordinals, Roman numerals U+2160-217F, circled letters
+# U+24B6-24E9, squared/negative-circled Latin capitals U+1F130-1F189.
+_CASED_CC = (
+    "\\p{Lu}\\p{Ll}\\p{Lt}"
+    "\\x{00AA}\\x{00BA}\\x{2160}-\\x{217F}\\x{24B6}-\\x{24E9}"
+    "\\x{1F130}-\\x{1F149}\\x{1F150}-\\x{1F169}\\x{1F170}-\\x{1F189}"
+    + _SIGMA_SENTINEL
+)
 
 
 def duckdb_lower_sql(col: str) -> str:
-    """DuckDB expression matching Spark's ``lower()`` (Java
-    ``String.toLowerCase``, root locale, full Unicode casing) on the
-    inputs where utf8proc's per-codepoint mapping forks from it:
+    """DuckDB expression matching Spark's ``lower()`` (Java/ICU full
+    Unicode casing) on the inputs where utf8proc's per-codepoint mapping
+    forks from it:
 
     - U+0130 LATIN CAPITAL I WITH DOT ABOVE lowercases to ``i`` +
       U+0307 combining dot in Java (TWO code points); DuckDB's utf8proc
       gives bare ``i``. Mirrored by substituting the expansion BEFORE
       lower (the expansion is a lower() fixed point).
-    - Greek capital sigma: Java applies the Unicode Final_Sigma rule
-      (``Σ`` at a word's final cased position → ``ς``, else ``σ``);
+    - Greek capital sigma: Java applies the Unicode Final_Sigma rule;
       utf8proc maps every ``Σ`` → ``σ``. Mirrored by swapping ``Σ`` for
-      a private-use sentinel pre-lower, then resolving each sentinel
-      positionally: preceded by a cased letter (letter or sentinel, with
-      combining marks transparent per the rule's case-ignorable skip)
-      and NOT followed by one → ``ς``, otherwise ``σ``. ``\\p{L}`` plus
-      ``\\p{M}``-skipping stands in for "cased + case-ignorable" — exact
-      on text without non-mark case-ignorables (e.g. ``'``) at word
-      boundaries.
+      a noncharacter sentinel pre-lower, then resolving each sentinel
+      positionally with the rule's REAL contexts (ADVICE r11 — the old
+      ``\\p{L}``/``\\p{M}`` stand-ins forked on ``漢Σ``/``אΣ``/``ΑΣ'Β``):
+      ``ς`` iff preceded by [cased][case-ignorable]* and followed by
+      [case-ignorable]*(end | non-cased-non-ignorable), else ``σ``, with
+      the class bodies above (``_CASED_CC`` / ``_CASE_IGNORABLE_CC``)
+      mirroring the JDK/ICU predicates: ignorable is checked BEFORE
+      cased, Mc marks stop the walk, and digits / Lo letters (Hebrew,
+      CJK, kana) stop the walk as non-cased.
 
     Everything else in Unicode SpecialCasing.txt is an UPPER/TITLE
     expansion (ß→SS, ﬁ→FI, …) or locale-specific (tr/az/lt) and does not
     affect root-locale lower(). Pinned empirically against Spark over an
-    adversarial battery in tests/test_degenerate_corpus.py."""
+    adversarial battery in tests/test_degenerate_corpus.py plus an
+    8K-string fuzz over every context class (Mn/Mc/Me/Cf/Lm/Sk,
+    MidLetter/MidNumLet/quotes, other-cased ordinals/Roman/circled, Lo
+    scripts, digits) — zero forks (r12 session)."""
+    ign = _CASE_IGNORABLE_CC.replace("'", "''")
+    cased = _CASED_CC
     s = f"replace(replace({col}, 'İ', 'i̇'), 'Σ', '{_SIGMA_SENTINEL}')"
     s = f"lower({s})"
     s = (
         f"regexp_replace({s}, "
-        f"'([\\p{{L}}{_SIGMA_SENTINEL}]\\p{{M}}*){_SIGMA_SENTINEL}"
-        f"(\\p{{M}}*(?:$|[^\\p{{L}}\\p{{M}}{_SIGMA_SENTINEL}]))', '\\1ς\\2', 'g')"
+        f"'([{cased}][{ign}]*){_SIGMA_SENTINEL}"
+        f"([{ign}]*(?:$|[^{cased}{ign}]))', '\\1ς\\2', 'g')"
     )
     return f"replace({s}, '{_SIGMA_SENTINEL}', 'σ')"
 

@@ -36,15 +36,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dic_a1_spark.config import DUCKDB_WS_REGEX, duckdb_lower_sql, duckdb_tokens_sql
+from dic_a1_spark.functions.sweeps import sweep_agg_columns, sweep_sql_columns
+from dic_a1_spark.functions.text import tokenize
+from dic_a1_spark.operators.dedup import SHINGLE_WIDTH, _with_shingle_arrays
+from dic_a1_spark.sources.readers import load_table
 
 # Java-casefold-mirrored lower(text) for the whitespace-only tokenizer
 # oracles below (the Spark twins use F.lower, i.e. Java full casing —
 # see config.duckdb_lower_sql for the İ / final-sigma forks this guards).
 _LOWER_TEXT = duckdb_lower_sql("text")
-from dic_a1_spark.functions.sweeps import sweep_agg_columns, sweep_sql_columns
-from dic_a1_spark.functions.text import tokenize
-from dic_a1_spark.operators.dedup import SHINGLE_WIDTH, _with_shingle_arrays
-from dic_a1_spark.sources.readers import load_table
 
 # Stand-in evaluation set: the first BENCH_DOCS documents. In production
 # this is a separate table of benchmark prompts/answers; the query shape

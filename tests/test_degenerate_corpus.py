@@ -794,6 +794,19 @@ def unicode_dir(tmp_path_factory):
         ("STRASSE straße größer ẞ WEIẞ weiß", "de", "case—fold"),
         ("ﬁle oﬃce ﬂow ǅungla Ǆ ǆ ǈ", "de", "case—fold"),
         ("kapı KAPI kapi açık AÇIK", "tr", "case—fold"),
+        # --- Final_Sigma context forks (ADVICE r11): uncased letters
+        # (CJK/Hebrew), non-mark case-ignorables (apostrophe, ZWJ,
+        # middle dot), Mc marks, digits and other-cased chars adjacent
+        # to capital sigma — exactly where the old \p{L}/\p{M} mirror
+        # forked from Java's walk ------------------------------------
+        ("漢Σ αΣ漢 ΑΣ漢Β 漢字ΣΕ", "el", "case—fold"),
+        ("אΣ ΑאΣ ΑΣא עברΣ", "el", "case—fold"),
+        ("ΑΣ'Β ΕΥΣ'Α Α'Σ ΑΣ' ΑΣ’Β ΑΣ’", "el", "case—fold"),
+        ("ΑΣ‍Β Α‍Σ ΑΣ­Β Α­Σ", "el", "case—fold"),
+        ("ΑΣ·Β ΑΣ:Β ΑΣ.Β ΟΣ·ΔΕ", "el", "case—fold"),
+        ("Α1Σ Σ1Σ ΑΣ1Β Α12Σ", "el", "case—fold"),
+        ("ªΣ ⅣΣ ⓈΣ ΑΣⅣ ʰΣ ΑʰΣ ΑΣʰ", "el", "case—fold"),
+        ("ΑΣऻΒ ΑऻΣ ΑΣ́Β ΑΣ́", "el", "case—fold"),
         # --- astral plane / emoji (UTF-16 surrogate pairs) ----------
         ("𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝕥𝕖𝕩𝕥 𐍈𐍉 𝛼𝛽𝛾 gothic math", "en", "web"),
         ("👩‍👩‍👧‍👦 rocket🚀launch 🇦🇹🇩🇪 flags ☕️ done", "en", "web"),
@@ -874,6 +887,13 @@ def test_duckdb_lower_mirror_matches_spark(spark):
         "STRASSE straße ẞ", "ﬁle oﬃce", "café café", "ΠΡΟΣ ΤΗΝ ΠΟΛΙΝ ΕΙΣ",
         "ÁΣ", "Σ1Σ aΣb", "İ.İ İΣ", "ΟΣ ΤΕΛΟΣ", "моСКВА ΣΕΛΛΑΣ",
         "ΑΣ̇", "ΆΣ", "éΣ fin", "ΑΣ̇Β", "i̇ already", "Σ\nΣ",
+        # ADVICE r11 fork shapes: uncased-letter / case-ignorable /
+        # Mc / digit / other-cased contexts around capital sigma.
+        "漢Σ", "אΣ", "ΑΣ漢", "ΑΣ漢Β", "ΑאΣ", "ΑΣא", "ΑΣ'Β", "Α'Σ",
+        "ΑΣ'", "ΑΣ’Β", "Α’Σ", "ΑΣ‍Β", "Α‍Σ", "ΑΣ­Β", "Α­Σ",
+        "ΑΣ·Β", "ΑΣ:Β", "ΑΣ.Β", "Α1Σ", "Σ1Σ", "ΑΣ1Β", "ªΣ", "ⅣΣ",
+        "ⒶΣ", "ΑΣⅣ", "ʰΣ", "ΑʰΣ", "ΑΣʰ", "ΑΣऻΒ", "ΑऻΣ", "ΑΣ´Β",
+        "Α`Σ", "ΑΣˀΒ", "ΑˀΣ", "アΣ", "ΑΣア", "ΑアΣ", "اΣ", "ΑΣا",
     ]
     sdf = spark.createDataFrame(
         [(i, t) for i, t in enumerate(battery)], "i long, t string"
