@@ -232,35 +232,115 @@ def _with_hashed_shingles(
     )
 
 
-def minhash_signatures(
-    docs: DataFrame,
-    shingle_arrays: DataFrame | None = None,
-    hashed_shingles: DataFrame | None = None,
-) -> DataFrame:
-    """(doc_id, sig: array<bigint>) — MINHASH_HASHES independent min-hashes.
+def min_sig_batch(transforms):
+    """Arrow-batched min-signature packer: array<bigint> of per-shingle
+    base values -> array<bigint> signature [min over the array of t_j(h)
+    for each transform t_j]. Shared by the production xxhash64 MinHash
+    family (minhash_signatures) and the md5-affine certification family
+    (lsh._md5_minhash_signatures).
 
-    Hash family: h_i(s) = xxhash64(i, xxhash64(s)). Computed MAP-ONLY with
-    higher-order array functions (array_min over a transform of the
-    per-doc shingle array) — no explode, no groupBy, NO SHUFFLE. At 100 TB
-    signature computation is embarrassingly parallel; the first exchange
-    in the whole LSH pipeline is the band-bucket join itself. Docs with no
-    shingles (fewer than SHINGLE_WIDTH tokens) are excluded, matching the
-    previous grouped form."""
-    if hashed_shingles is None:
-        hashed_shingles = _with_hashed_shingles(docs, shingle_arrays)
-    # Integer mixing beats the previous seed-prefixed-string family: 16
-    # string concats + string hashes per shingle meant string allocation
-    # dominated the whole LSH pipeline (56.6s of the 250K-doc signature
-    # pass; this form cuts signatures to ~1.4s). hs is a PROJECTED column
-    # so the per-hash folds reference a bound attribute, never
-    # re-evaluating the string hashing (Catalyst will not collapse a
-    # non-cheap projection that is referenced 16 times).
-    #
-    # SQL-text lambdas, NOT F.transform(col, python_lambda): with multiple
-    # Python-lambda HOFs in one projection, PySpark 4.1 cross-wires the
-    # lambda variables (h0 silently returns another column's hash, and the
-    # wiring varies run to run). SQL-parsed lambdas scope their variables
-    # correctly. Regression-pinned by test_minhash_signatures_deterministic.
+    Each transform is a numpy callable over the batch's CONCATENATED
+    int64 base values; per-doc minima come from one minimum.reduceat per
+    transform. PURE INTEGER arithmetic throughout, so the result is
+    bit-identical to the interpreted array_min(transform(hs, ...)) folds
+    it replaces by construction: the transforms are wraparound uint64 /
+    bounded int64 ops stated identically in both forms (no float
+    association to pin), and min over int64 is order-free. Exists
+    because Spark higher-order functions are CodegenFallback:
+    MINHASH_HASHES interpreted folds x ~45 shingles/doc cost ~1.4 s per
+    evaluation at 250K amplified docs, and the pairs queries evaluate
+    the signature chain on BOTH sides of their band self-join (r12,
+    guide §4.2 — same device as simhash_pack_batch).
+
+    NULL/empty base arrays pack to a signature of NULL elements, exactly
+    like array_min over an empty/NULL array (callers exclude shingle-less
+    docs upstream, as the fold form's consumers always did)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_t = len(transforms)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(hs: pd.Series) -> pd.Series:
+        n = len(hs)
+        if n == 0:
+            return pd.Series(np.zeros(0, dtype=object))
+        arrs = [
+            np.asarray(a, dtype=np.int64) if a is not None else _EMPTY_I64
+            for a in hs
+        ]
+        lens = np.fromiter((len(a) for a in arrs), count=n, dtype=np.int64)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        # Sentinel element keeps reduceat's indices in range for
+        # zero-length segments; their (bogus) minima are replaced below.
+        # ALL n+1 offsets are passed so the last real segment ends at
+        # offsets[n] instead of running to the end of the array (min,
+        # unlike simhash_pack_batch's add, is corrupted by the sentinel).
+        flat = np.concatenate(arrs + [_EMPTY_I64, np.zeros(1, np.int64)])
+        empty = lens == 0
+        sigs = np.empty((n, n_t), dtype=np.int64)
+        for j, t in enumerate(transforms):
+            sigs[:, j] = np.minimum.reduceat(t(flat), offsets)[:n]
+        out = list(sigs)
+        if empty.any():
+            nulls = [None] * n_t
+            out = [nulls if e else row for row, e in zip(out, empty)]
+        return pd.Series(out, dtype=object)
+
+    return _sig
+
+
+def _xxh64_long_transform(seed: int):
+    """Vectorized Spark xxhash64 over one BIGINT with a fixed seed — the
+    numpy statement of functions/xxh64_sql.py's py_xxh64_long (uint64
+    wraparound multiply/rotate/xor + the avalanche, bit-for-bit)."""
+    from dic_a1_spark.functions.xxh64_sql import _MASK, _P1, _P2, _P3, _P4, _P5
+
+    h0 = np.uint64((seed + _P5 + 8) & _MASK)
+    p1, p2, p3, p4 = (np.uint64(p) for p in (_P1, _P2, _P3, _P4))
+    s27, s29, s31, s32, s33, s37 = (
+        np.uint64(s) for s in (27, 29, 31, 32, 33, 37)
+    )
+
+    def t(flat: np.ndarray) -> np.ndarray:
+        v = flat.view(np.uint64)
+        k = v * p2
+        k = (k << s31) | (k >> s33)
+        h = h0 ^ (k * p1)
+        h = ((h << s27) | (h >> s37)) * p1 + p4
+        h ^= h >> s33
+        h *= p2
+        h ^= h >> s29
+        h *= p3
+        h ^= h >> s32
+        return h.view(np.int64)
+
+    return t
+
+
+def _minhash_transforms():
+    """The production family h_i(h) = xxhash64(i, h), decomposed exactly
+    as the generated DuckDB oracle states it (_xxh_minhash_common_ctes):
+    an INT-literal first field folds to a constant seed, so
+    xxhash64(i, h) == xxh64_long(h, seed=xxh64_int(i, 42))."""
+    from dic_a1_spark.functions.xxh64_sql import py_xxh64_int
+
+    return [
+        _xxh64_long_transform(py_xxh64_int(i, 42))
+        for i in range(MINHASH_HASHES)
+    ]
+
+
+def _minhash_signatures_fold(hashed_shingles: DataFrame) -> DataFrame:
+    """The interpreted 16-fold form of minhash_signatures — UNREGISTERED
+    parity twin kept for the bit-equality pin in tests/test_dedup.py
+    (the Arrow packer must match it exactly on every corpus).
+
+    SQL-text lambdas, NOT F.transform(col, python_lambda): with multiple
+    Python-lambda HOFs in one projection, PySpark 4.1 cross-wires the
+    lambda variables (h0 silently returns another column's hash, and the
+    wiring varies run to run). SQL-parsed lambdas scope their variables
+    correctly. Regression-pinned by test_minhash_signatures_deterministic."""
     hashes = [
         F.expr(f"array_min(transform(hs, h -> xxhash64({i}, h)))").alias(f"h{i}")
         for i in range(MINHASH_HASHES)
@@ -271,6 +351,34 @@ def minhash_signatures(
             "doc_id",
             F.array(*[f"h{i}" for i in range(MINHASH_HASHES)]).alias("sig"),
         )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    shingle_arrays: DataFrame | None = None,
+    hashed_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — MINHASH_HASHES independent min-hashes.
+
+    Hash family: h_i(s) = xxhash64(i, xxhash64(s)). Computed MAP-ONLY —
+    no explode, no groupBy, NO SHUFFLE. At 100 TB signature computation
+    is embarrassingly parallel; the first exchange in the whole LSH
+    pipeline is the band-bucket join itself. Docs with no shingles
+    (fewer than SHINGLE_WIDTH tokens) are excluded, matching the
+    previous grouped form.
+
+    Integer mixing beats the previous seed-prefixed-string family: 16
+    string concats + string hashes per shingle meant string allocation
+    dominated the whole LSH pipeline (56.6s of the 250K-doc signature
+    pass). The 16 per-hash minima run as ONE Arrow pass over the bound
+    hs column (min_sig_batch — bit-identical integer arithmetic; the
+    interpreted fold twin survives as _minhash_signatures_fold under a
+    pinned equality test, r12 guide §4.2)."""
+    if hashed_shingles is None:
+        hashed_shingles = _with_hashed_shingles(docs, shingle_arrays)
+    return hashed_shingles.select(
+        "doc_id", min_sig_batch(_minhash_transforms())(F.col("hs")).alias("sig")
     )
 
 

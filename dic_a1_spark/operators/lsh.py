@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -87,12 +88,23 @@ def _md5_hashed_shingles(shingle_arrays: DataFrame) -> DataFrame:
     )
 
 
-def _md5_minhash_signatures(hashed_shingles: DataFrame) -> DataFrame:
-    """(doc_id, sig: array<bigint>) — MINHASH_HASHES min-hashes of the
-    md5-affine family, computed MAP-ONLY over the per-doc base array (no
-    explode, no shuffle; same shape as dedup.minhash_signatures). `hs` is
-    a bound column, so the 16 per-hash folds never re-run the md5
-    transform (the expression-inlining trap, SCALING.md §text)."""
+def _affine_transform(a: int, b: int, m: int):
+    """Vectorized (a*h + b) % m on int64 — exact: the md5 base values are
+    40-bit (conv of 10 hex digits) and a < 2^21, so a*h + b < 2^62 never
+    overflows int64, and numpy's % matches Spark's signed BIGINT % on
+    these all-positive operands."""
+    aa, bb, mm = np.int64(a), np.int64(b), np.int64(m)
+
+    def t(flat: np.ndarray) -> np.ndarray:
+        return (flat * aa + bb) % mm
+
+    return t
+
+
+def _md5_minhash_signatures_fold(hashed_shingles: DataFrame) -> DataFrame:
+    """The interpreted 16-fold form — UNREGISTERED parity twin kept for
+    the bit-equality pin in tests/test_lsh.py (the Arrow packer must
+    match it exactly on every corpus)."""
     hashes = [
         F.expr(f"array_min(transform(hs, h -> ({_A[i]}L * h + {_B[i]}L) % {_M}L))").alias(
             f"h{i}"
@@ -105,6 +117,26 @@ def _md5_minhash_signatures(hashed_shingles: DataFrame) -> DataFrame:
             "doc_id",
             F.array(*[f"h{i}" for i in range(MINHASH_HASHES)]).alias("sig"),
         )
+    )
+
+
+def _md5_minhash_signatures(hashed_shingles: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — MINHASH_HASHES min-hashes of the
+    md5-affine family, computed MAP-ONLY over the per-doc base array (no
+    explode, no shuffle; same shape as dedup.minhash_signatures). `hs` is
+    a bound column, so the signature pass never re-runs the md5
+    transform (the expression-inlining trap, SCALING.md §text). The 16
+    per-hash minima run as ONE Arrow pass (dedup.min_sig_batch —
+    bit-identical integer arithmetic; the interpreted fold twin survives
+    as _md5_minhash_signatures_fold under a pinned equality test, r12
+    guide §4.2)."""
+    from dic_a1_spark.operators.dedup import min_sig_batch
+
+    transforms = [
+        _affine_transform(_A[i], _B[i], _M) for i in range(MINHASH_HASHES)
+    ]
+    return hashed_shingles.select(
+        "doc_id", min_sig_batch(transforms)(F.col("hs")).alias("sig")
     )
 
 

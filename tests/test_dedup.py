@@ -190,3 +190,41 @@ def test_hot_shingle_ceiling_bounds_pairs(spark):
     base = dedup.jaccard_pairs_from_index(sh, threshold=0.5)
     base_pairs = {(r["doc1"], r["doc2"]) for r in base.collect()}
     assert (1000, 1001) in base_pairs
+
+
+def test_minhash_sig_batch_matches_fold_form(spark):
+    """r12 optimization pin: the Arrow min-signature packer
+    (min_sig_batch over the numpy xxh64_long transforms) must be
+    bit-identical to the interpreted 16-fold form it replaced
+    (_minhash_signatures_fold) — on a real corpus AND on the hostile
+    shapes the corpus never exercises (empty array, NULL array, the
+    zero base value that exposed the reduceat sentinel-segment bug, and
+    int64 extremes)."""
+    from pyspark.sql import types as T
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    hs = dedup._with_hashed_shingles(docs)
+    pack = {r["doc_id"]: tuple(r["sig"]) for r in dedup.minhash_signatures(docs).collect()}
+    fold = {r["doc_id"]: tuple(r["sig"]) for r in dedup._minhash_signatures_fold(hs).collect()}
+    assert pack == fold
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("hs", T.ArrayType(T.LongType())),
+        ]
+    )
+    hostile = spark.createDataFrame(
+        [
+            (1, [0]),  # the sentinel-bug witness: min must be t(0), not t(sentinel)
+            (2, []),  # array_min(empty) = NULL per element
+            (3, None),  # transform(NULL) = NULL per element
+            (4, [2**63 - 1, -(2**63), -1, 1]),
+            (5, [7] * 200),
+        ],
+        schema,
+    )
+    sig = dedup.min_sig_batch(dedup._minhash_transforms())
+    got = {r["doc_id"]: r["sig"] for r in hostile.select("doc_id", sig("hs").alias("sig")).collect()}
+    exp = {r["doc_id"]: r["sig"] for r in dedup._minhash_signatures_fold(hostile).collect()}
+    assert got == exp

@@ -208,3 +208,17 @@ def test_simhash_md5_signature_fuzz_matches_python_reference(spark):
     a, b = base("a"), base("b")
     expect_ab = a & b  # tie (2*1 == 2) -> 0 unless both bases share the bit
     assert got[1] == expect_ab
+
+
+def test_md5_minhash_sig_batch_matches_fold_form(spark):
+    """r12 optimization pin: the shared Arrow packer under the md5-affine
+    transforms must be bit-identical to the interpreted fold twin — this
+    family's all-positive 40-bit base values are exactly the shape that
+    caught the reduceat sentinel-segment bug (a spurious 0 in the last
+    doc's segment wins the min)."""
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    arrs = lsh._with_shingle_arrays(docs)
+    hs = lsh._md5_hashed_shingles(arrs)
+    pack = {r["doc_id"]: tuple(r["sig"]) for r in lsh._md5_minhash_signatures(hs).collect()}
+    fold = {r["doc_id"]: tuple(r["sig"]) for r in lsh._md5_minhash_signatures_fold(hs).collect()}
+    assert pack == fold
