@@ -590,13 +590,17 @@ def label_propagate(docs: DataFrame, edges: DataFrame, n_iter: int = 3) -> DataF
                 ),
                 F.col("label").alias("_old"),
             )
-            .localCheckpoint()  # eager: materializes + truncates lineage
+            # Lazy checkpoint (r13, guide §2.4): the convergence count
+            # below is the single action that materializes AND truncates
+            # the lineage — one job per round instead of the former
+            # eager-checkpoint + count pair. On the final round no count
+            # runs and the caller's own action materializes the
+            # checkpoint; truncation still happens then.
+            .localCheckpoint(eager=False)
         )
         # Convergence check: exact duplicates collapse in one pass (they
         # share every bucket), so most corpora stop after iteration 1+check
-        # instead of running the full n_iter budget. The checkpoint above
-        # already materialized the frame, so the count here scans executor-
-        # local blocks — cheap.
+        # instead of running the full n_iter budget.
         if it < n_iter - 1:
             changed = new_labels.where(F.col("label") != F.col("_old")).count()
         else:

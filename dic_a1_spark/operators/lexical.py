@@ -115,6 +115,21 @@ def docsim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (corpus-proportional — 27K rows at sf0.1, far larger at 100 TB).
     # AQE broadcasts it while it fits and falls back to a shuffle join
     # when it doesn't; a hard hint would pin the unscalable plan.
+    #
+    # r13 restructure (guide §2.3 "aggregate before you shuffle" / §3.3):
+    # the pair census used to SELF-JOIN the weighted posting list on the
+    # term STRING (both sides shuffled by a ~30-byte word-3-gram key,
+    # then C(df,2) joined rows per term). Instead, group the postings
+    # once per term — sorted doc-id ARRAY plus the term's weight — and
+    # generate each term's doc pairs locally from the array. The posting
+    # stream crosses the wire ONCE (and at 100 TB, where df_tbl joins as
+    # sort-merge, the groupBy reuses that join's term partitioning —
+    # zero extra exchanges); the term string never enters the pair
+    # stream. Bounded by construction: collect_set runs AFTER the df
+    # ceiling, so an array holds <= DOCSIM_DF_CEILING ids (the two-pass
+    # viral-term guard is unchanged). Pair values are identical: sorted
+    # ascending ids make doc1 < doc2 by construction, and dot is the
+    # same exact integer sum over the same (term, pair) hits.
     weighted = (
         terms.join(df_tbl, "term")
         .where(F.col("df") <= DOCSIM_DF_CEILING)
@@ -124,20 +139,33 @@ def docsim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w", F.length(F.bin(F.floor(F.lit(n_docs) / F.col("df"))))
         )
         .select("doc_id", "term", (F.col("w") * F.col("w")).cast("long").alias("w2"))
+    )
+    postings = (
+        weighted.groupBy("term")
+        .agg(
+            F.sort_array(F.collect_set("doc_id")).alias("ds"),
+            F.first("w2").alias("w2"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    norms = weighted.groupBy("doc_id").agg(F.sum("w2").alias("sum_w2"))
-    a = weighted.select(
-        F.col("doc_id").alias("doc1"), "term", F.col("w2").alias("w2a")
-    )
-    b = weighted.select(
-        F.col("doc_id").alias("doc2"), "term", F.col("w2").alias("w2b")
+    norms = (
+        postings.select(F.explode("ds").alias("doc_id"), "w2")
+        .groupBy("doc_id")
+        .agg(F.sum("w2").alias("sum_w2"))
     )
     shared = (
-        a.join(b, "term")
-        .where(F.col("doc1") < F.col("doc2"))
-        .groupBy("doc1", "doc2")
-        .agg(F.sum("w2a").alias("dot"))
+        postings.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)),"
+                    " y -> named_struct('doc1', x, 'doc2', y))))"
+                )
+            ).alias("p"),
+            "w2",
+        )
+        .groupBy(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
+        .agg(F.sum("w2").alias("dot"))
     )
     # Norms are |docs|-sized (corpus-proportional), so — like df_tbl
     # above — NO broadcast hint: a hard hint would pin a plan that OOMs

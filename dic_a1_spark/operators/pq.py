@@ -216,8 +216,8 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
       1. ADC shortlist: exact fp32 queries scored against PQ
          reconstructions (asymmetric distance), per-query top
-         PQ_SHORTLIST by a window — the cheap pass whose candidate
-         payload is M code bytes instead of 256 fp32 bytes;
+         PQ_SHORTLIST — the cheap pass whose candidate payload is M code
+         bytes instead of 256 fp32 bytes;
       2. exact re-rank: the shortlist joins back to the TRUE embeddings
          and the final top-K uses exact cosine.
 
@@ -225,7 +225,26 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals shortlist recall (0.96 at sf0.01 with L=50 — measured; PQ
     alone ranks at 0.22 on this weakly-clustered corpus, the honest
     argument for why production PQ always re-ranks). Same output
-    columns as the other kNN variants so recall reports compose."""
+    columns as the other kNN variants so recall reports compose.
+
+    r13 (VERDICT r12 item 7, the embedding_neardup_blocked pattern):
+    the registered entry now EXECUTES through the batch ADC scorer
+    (knn_cosine_pq_fast — one Arrow pass assigns codes, gathers
+    reconstructions from the driver-broadcast codebook, and scores ADC
+    per batch), which is bit-identical by the certified float recipe
+    below. The JVM-expression pipeline (subspace fan-out join,
+    min-struct assignment, recon collect, crossJoin ADC window)
+    survives UNREGISTERED as knn_cosine_pq_exact, pinned row-for-row
+    against this entry in tests/test_pq.py; the DuckDB oracle hash
+    gates both."""
+    return knn_cosine_pq_fast(spark, sf_dir)
+
+
+def knn_cosine_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM-expression form of knn_cosine_pq — UNREGISTERED
+    certification twin (see knn_cosine_pq). Kept executable: the
+    row-for-row pin in tests/test_pq.py runs it against the registered
+    batch path on every suite run."""
     # Norms are computed ONCE PER VECTOR in projections below the join
     # boundaries and the cross dot runs in the Arrow batch — the
     # similarity._cosine_pre pattern, bit-exact with the three-fold

@@ -73,9 +73,19 @@ def _source_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kept(ss: DataFrame) -> DataFrame:
-    """Ceiling-filtered (source, shingle), persisted — read by the set
-    sizes and BOTH self-join sides."""
+def _kept_sets(ss: DataFrame) -> DataFrame:
+    """Ceiling-surviving shingles GROUPED to their sorted source array
+    (shingle, srcs), persisted — read by the set sizes and the pair
+    census. r13 restructure (guide §2.3 "aggregate before you shuffle"):
+    the pair census used to SELF-JOIN the ceiling-filtered
+    (source, shingle) frame on the shingle STRING — both sides shuffled
+    by a ~30-byte key. Grouping once and generating each shingle's
+    source pairs locally ships the posting stream across the wire ONCE,
+    and the groupBy reuses the ceiling join's shingle partitioning
+    wherever that join runs as sort-merge (at 100 TB), so no extra
+    exchange appears. The collect runs AFTER the nsrc ceiling, so an
+    array holds <= PROV_MAX_SOURCES entries (the two-pass viral-shingle
+    guard is unchanged)."""
     from pyspark import StorageLevel
 
     sf_tbl = ss.groupBy("shingle").agg(
@@ -83,7 +93,8 @@ def _kept(ss: DataFrame) -> DataFrame:
     )
     return (
         ss.join(sf_tbl.where(F.col("nsrc") <= PROV_MAX_SOURCES), "shingle")
-        .select("source", "shingle")
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
@@ -94,16 +105,26 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceiling. Jaccard uses the CEILING-FILTERED sets on both sides, so
     the ratio is internally consistent (stated, not hidden)."""
     ss = _source_shingles(spark, sf_dir)
-    kept = _kept(ss)
-    sizes = kept.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_set")
+    kept = _kept_sets(ss)
+    sizes = (
+        kept.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_set"))
     )
-    a = kept.withColumnRenamed("source", "src1")
-    b = kept.withColumnRenamed("source", "src2")
+    # Each shingle's source pairs, generated locally from the sorted
+    # array: src1 < src2 by construction, same (shingle, pair) hits as
+    # the former self-join, exact integer count.
     pairs = (
-        a.join(b, "shingle")
-        .where(F.col("src1") < F.col("src2"))
-        .groupBy("src1", "src2")
+        kept.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (x, i) ->"
+                    " transform(slice(srcs, i + 2, size(srcs)),"
+                    " y -> named_struct('src1', x, 'src2', y))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.src1").alias("src1"), F.col("p.src2").alias("src2"))
         .agg(F.count("*").cast("bigint").alias("n_shared"))
     )
     return (

@@ -1051,40 +1051,51 @@ def embedding_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .distinct()
     )
+    # Both directions; persisted once self-loops are attached below (sym
+    # itself has a single consumer now, so the persist lives on symx).
     sym = bucket_edges.unionByName(
         bucket_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    # Min-label propagation on the contracted graph, to convergence
-    # (bounded; each iteration is two shuffles LINEAR in |bucket edges|).
-    # Initial label = the bucket's root, i.e. its block-local min doc id.
-    labels = (
-        edges.select("bucket")
-        .distinct()
-        .select("bucket", F.col("bucket.root").alias("label"))
-        .localCheckpoint()
     )
+
+    # Min-label propagation on the contracted graph, to convergence.
+    # r13 restructure (guide §2.4): the adjacency carries an explicit
+    # SELF-LOOP per bucket, so one round is a single join + groupBy —
+    # min over the CLOSED neighborhood IS least(own label, neighbor min),
+    # the exact per-round values of the former nbr-min + left-join form,
+    # with the second join and the `_old` bookkeeping gone. Convergence
+    # is detected from the label sum (exact decimal — labels are doc ids,
+    # non-increasing per round, and at least one strictly decreases in
+    # any non-converged round, so sum-unchanged <=> no label changed),
+    # which rides the SAME action that materializes the round's lazy
+    # checkpoint: one job per round instead of the former two.
+    # (Pointer jumping / path compression was also implemented and
+    # simulated on the real sf0.1 contracted graph: convergence stayed at
+    # 8 rounds — the slow tail is scattered 1-2-bucket updates, not one
+    # long pointer chain — while its extra groupBy+join slowed every
+    # round. Rejected by measurement.)
+    buckets = edges.select("bucket").distinct()
+    symx = sym.unionByName(
+        buckets.select(F.col("bucket").alias("src"), F.col("bucket").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = buckets.select(
+        "bucket", F.col("bucket.root").alias("label")
+    ).localCheckpoint()
+    prev_sum = None
     for _ in range(50):
-        nbr = (
-            sym.join(labels, sym.src == labels.bucket)
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_label"))
-        )
         new_labels = (
-            labels.join(nbr, labels.bucket == nbr.dst, "left")
-            .select(
-                "bucket",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                    "label"
-                ),
-                F.col("label").alias("_old"),
-            )
-            .localCheckpoint()  # eager: truncates the iterative lineage
+            symx.join(labels, symx.src == labels.bucket)
+            .groupBy("dst")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("dst").alias("bucket"), "label")
+            .localCheckpoint(eager=False)  # materialized by the agg below
         )
-        changed = new_labels.where(F.col("label") != F.col("_old")).count()
-        labels = new_labels.drop("_old")
-        if changed == 0:
+        cur_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+        labels = new_labels
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
 
     doc_group = (
         edges.join(labels, "bucket")

@@ -67,10 +67,13 @@ def test_pq_codes_fast_twin_is_bit_identical(spark):
 
 
 def test_knn_pq_fast_twin_is_bit_identical(spark):
-    """The ADC batch twin must reproduce knn_cosine_pq row-for-row —
-    same shortlist (bit-equal ADC sims), same exact re-rank."""
-    exact = sorted(map(tuple, pq.knn_cosine_pq(spark, SF_CORRECT).collect()))
-    fast = sorted(
-        map(tuple, pq.knn_cosine_pq_fast(spark, SF_CORRECT).collect())
+    """The registered batch path must reproduce the UNREGISTERED
+    JVM-expression twin row-for-row — same shortlist (bit-equal ADC
+    sims), same exact re-rank. r13: the registered knn_cosine_pq now
+    executes the batch scorer, so the expression pipeline survives as
+    knn_cosine_pq_exact and this pin is the certification seam."""
+    exact = sorted(
+        map(tuple, pq.knn_cosine_pq_exact(spark, SF_CORRECT).collect())
     )
+    fast = sorted(map(tuple, pq.knn_cosine_pq(spark, SF_CORRECT).collect()))
     assert exact == fast
