@@ -175,7 +175,17 @@ def _rounds(
     (no exchange reuse across broadcast boundaries — measured 21 s at
     sf0.01 for 6 rounds of 31-row frames; 3.5 s with the checkpoints).
     The checkpoint job for round 1 also materializes the seqs0
-    persist, so the corpus is scanned exactly once."""
+    persist, so the corpus is scanned exactly once.
+
+    r13 measured rejection (VERDICT r12 item 6): replacing the
+    checkpoint + broadcast-join pair with a bounded top-1 collect()
+    and a LITERAL replace per round (fewer plan nodes, merge-exhaustion
+    short-circuit for free) was implemented and interleave-A/B'd at
+    sf0.1 — the collect form came out consistently SLOWER (bpe_merges
+    med 4.20 s vs 3.54 s over 4 interleaved reps; the CollectLimit
+    round-trip costs more per round than the checkpoint job + broadcast
+    build it replaces). Reverted; the exhaustion short-circuit is not
+    worth a per-round penalty that every normal corpus pays."""
     seqs = _seqs0(spark, sf_dir)
     tops: list[DataFrame] = []
     for r in range(1, n_rounds + 1):

@@ -394,10 +394,19 @@ def minhash_candidate_pairs(
     A pair agreeing on m bands is emitted m times by the join; dedup is
     map-side (keep only the row from the FIRST matching band, checked
     against the carried per-doc band-hash array) instead of a .distinct()
-    shuffle over the whole join output."""
+    shuffle over the whole join output.
+
+    The signature frame is PERSISTED (r13, guide §2.4): the self-join
+    plans BOTH band sides as separate subtrees, so without the persist
+    the Arrow min-signature pass (and the band hashing above it) runs
+    twice per query — the lsh.dedup_simhash_md5_pairs stance, measured
+    ~10% off the warm sf0.1 query here and one full Arrow stage off the
+    first materialization."""
+    from pyspark import StorageLevel
+
     sig = minhash_signatures(
         docs, shingle_arrays=shingle_arrays, hashed_shingles=hashed_shingles
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bhs = F.array(
         *[
             F.xxhash64(

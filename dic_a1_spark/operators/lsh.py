@@ -217,7 +217,11 @@ def dedup_minhash_md5_pairs(
         arrs = _md5_hashed_shingles(
             _with_shingle_arrays(load_table(spark, sf_dir, "documents"))
         ).persist(StorageLevel.MEMORY_AND_DISK)
-    bands = _md5_band_frame(_md5_minhash_signatures(arrs))
+    # Signatures persisted (r13): the band self-join plans both sides as
+    # separate subtrees, so the Arrow affine-min pass would otherwise
+    # run twice per query (the dedup_simhash_md5_pairs stance).
+    sig = _md5_minhash_signatures(arrs).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = _md5_band_frame(sig)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -274,10 +278,18 @@ def dedup_minhash_md5_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's typed value-hash certifies the label-propagation logic that
     the whole groups ladder shares. Docs that never paired keep their own
     label (singleton groups), one row per document."""
+    from pyspark import StorageLevel
+
     from dic_a1_spark.operators.dedup import label_propagate
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup_minhash_md5_pairs(spark, sf_dir)
+    # Verified pairs persisted (r13, guide §2.4): the edge union reads
+    # the pair frame TWICE (doc1 side + doc2 side), so without the
+    # persist the whole band-join + Jaccard-verification chain runs
+    # twice before label propagation even starts.
+    pairs = dedup_minhash_md5_pairs(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bucket = F.struct(F.col("doc1"), F.col("doc2"))
     edges = pairs.select(
         F.col("doc1").alias("doc_id"), bucket.alias("bucket")
@@ -533,10 +545,16 @@ def dedup_simhash_md5_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-iteration oracle device) as dedup_minhash_md5_groups, so the
     driver gate certifies label propagation over BOTH sketch families'
     edges."""
+    from pyspark import StorageLevel
+
     from dic_a1_spark.operators.dedup import label_propagate
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup_simhash_md5_pairs(spark, sf_dir)
+    # Verified pairs persisted (r13): the edge union reads the pair
+    # frame twice — see dedup_minhash_md5_groups.
+    pairs = dedup_simhash_md5_pairs(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bucket = F.struct(F.col("doc1"), F.col("doc2"))
     edges = pairs.select(
         F.col("doc1").alias("doc_id"), bucket.alias("bucket")
