@@ -254,7 +254,15 @@ def min_sig_batch(transforms):
 
     NULL/empty base arrays pack to a signature of NULL elements, exactly
     like array_min over an empty/NULL array (callers exclude shingle-less
-    docs upstream, as the fold form's consumers always did)."""
+    docs upstream, as the fold form's consumers always did).
+
+    PRECONDITION (ADVICE r12): array ELEMENTS must be non-null. The
+    fold form's array_min skips null elements; this packer instead
+    raises in the worker (np.asarray over an object array with None).
+    Unreachable from current callers — `hs` is always transform(...)
+    over non-null inputs — but stated here because the helper is
+    shared/exported: a new caller with nullable elements must mask them
+    before packing."""
     from pyspark.sql.types import ArrayType, LongType
 
     n_t = len(transforms)

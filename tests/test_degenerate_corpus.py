@@ -32,6 +32,7 @@ shard would kill the whole job.
 from __future__ import annotations
 
 import importlib
+import os
 import shutil
 from datetime import datetime, timedelta
 from pathlib import Path
@@ -193,10 +194,67 @@ _QUERIES, _ORACLES = _registry()
 # and ignore sf_dir entirely — re-running them once per hostile corpus is
 # vacuous coverage at nontrivial repeated cost (ADVICE r10). They keep their
 # own dedicated parity gate in tests/test_golden_parity.py.
-_SWEEP = sorted(n for n in _QUERIES if not n.startswith("goldens_"))
+_SWEEP_FULL = sorted(n for n in _QUERIES if not n.startswith("goldens_"))
 
 
-@pytest.mark.parametrize("name", _SWEEP)
+def _representative(names: list[str]) -> list[str]:
+    """Deterministic per-family subset: for every family prefix (the
+    name's first '_'-separated token, e.g. dedup/embedding/events) keep
+    the alphabetically-first query AND the first `_fast` twin if the
+    family has one (the driver-side collected-statistics twins are where
+    the r10 empty-corpus probe found its np.stack crashes), plus every
+    query a past hostile-corpus incident implicated."""
+    by_family: dict[str, str] = {}
+    by_family_fast: dict[str, str] = {}
+    for n in names:
+        fam = n.split("_", 1)[0]
+        by_family.setdefault(fam, n)
+        if n.endswith("_fast"):
+            by_family_fast.setdefault(fam, n)
+    picked = set(by_family.values()) | set(by_family_fast.values())
+    # Past incident queries (r9 zero-norm ANSI throw, r10 empty-corpus
+    # probe: np.stack crashes, KMeans/vocabulary refusals, hll NULL-vs-0
+    # rollup, dsir stats 1-row fabrication).
+    incidents = {
+        "embedding_neardup_blocked",
+        "embedding_neardup_groups",
+        "embdecontam_flagged",
+        "events_approx_stats",
+        "ml_kmeans_clusters",
+        "dsir_selected",
+        "bpe_segmented_vocab",
+        "quality_outlier_zscore",
+    }
+    picked |= incidents & set(names)
+    return sorted(picked)
+
+
+# r13 (VERDICT r12 item 3): the FULL cross-engine sweep — every
+# registered query x every hostile corpus, ~2,400 cases — measures
+# ~1 h 45 m and blew past the round driver's pytest window every round.
+# Default: each corpus runs a deterministic QUARTER of the representative
+# per-family subset above (rotation keyed on the corpus tag, so every
+# family crosses several hostile shapes per run and the assignment
+# never moves between runs); SPARK_GRAFT_HOSTILE=1 restores the full
+# registry sweep for every corpus. The full sweep remains the standing
+# gate after any operator edit touching divisions, driver-side
+# collects, unrolled iterations, or NULL paths (see
+# .claude/skills/verify/SKILL.md), and is run once per round.
+_HOSTILE_FULL = os.environ.get("SPARK_GRAFT_HOSTILE") == "1"
+_REPR = _representative(_SWEEP_FULL)
+_CORPUS_TAGS = [
+    "degen", "nulls", "empty", "empty_tpch", "onerow",
+    "skew", "skewkey", "time_extremes", "unicode", "giant",
+]
+
+
+def _sweep_for(tag: str) -> list[str]:
+    if _HOSTILE_FULL:
+        return _SWEEP_FULL
+    return _REPR[_CORPUS_TAGS.index(tag) % 4 :: 4]
+
+
+@pytest.mark.parametrize("name", _sweep_for("degen"))
 def test_registry_survives_degenerate_corpus(spark, degen_dir, name):
     fn = _QUERIES[name]
     if name in _ORACLES:
@@ -205,7 +263,7 @@ def test_registry_survives_degenerate_corpus(spark, degen_dir, name):
         fn(spark, degen_dir).count()  # rows-only: must materialize
 
 
-@pytest.mark.parametrize("name", _SWEEP)
+@pytest.mark.parametrize("name", _sweep_for("nulls"))
 def test_registry_survives_null_corpus(spark, nulls_dir, name):
     fn = _QUERIES[name]
     if name in _ORACLES:
@@ -268,7 +326,7 @@ def empty_dir(tmp_path_factory):
     return str(out)
 
 
-@pytest.mark.parametrize("name", _SWEEP)
+@pytest.mark.parametrize("name", _sweep_for("empty"))
 def test_registry_survives_empty_corpus(spark, empty_dir, name):
     fn = _QUERIES[name]
     if name in _ORACLES:
@@ -296,7 +354,7 @@ def empty_tpch_dir(tmp_path_factory):
     return str(out)
 
 
-@pytest.mark.parametrize("name", _SWEEP)
+@pytest.mark.parametrize("name", _sweep_for("empty_tpch"))
 def test_registry_survives_empty_tpch(spark, empty_tpch_dir, name):
     fn = _QUERIES[name]
     if name in _ORACLES:
@@ -361,7 +419,7 @@ def onerow_dir(tmp_path_factory):
     return str(out)
 
 
-@pytest.mark.parametrize("name", _SWEEP)
+@pytest.mark.parametrize("name", _sweep_for("onerow"))
 def test_registry_survives_onerow_corpus(spark, onerow_dir, name):
     fn = _QUERIES[name]
     if name in _ORACLES:
@@ -729,7 +787,7 @@ def skew_dir(tmp_path_factory):
     return str(out)
 
 
-@pytest.mark.parametrize("name", _SWEEP)
+@pytest.mark.parametrize("name", _sweep_for("skew"))
 def test_registry_survives_skew_corpus(spark, skew_dir, name):
     fn = _QUERIES[name]
     if name in _ORACLES:
@@ -861,7 +919,7 @@ def unicode_dir(tmp_path_factory):
     return str(out)
 
 
-@pytest.mark.parametrize("name", _SWEEP)
+@pytest.mark.parametrize("name", _sweep_for("unicode"))
 def test_registry_survives_unicode_corpus(spark, unicode_dir, name):
     fn = _QUERIES[name]
     if name in _ORACLES:
@@ -980,7 +1038,7 @@ def giant_dir(tmp_path_factory):
     return str(out)
 
 
-@pytest.mark.parametrize("name", _SWEEP)
+@pytest.mark.parametrize("name", _sweep_for("giant"))
 def test_registry_survives_giant_corpus(spark, giant_dir, name):
     fn = _QUERIES[name]
     if name in _ORACLES:
@@ -1048,7 +1106,7 @@ def skewkey_tpch_dir(tmp_path_factory):
     return str(out)
 
 
-@pytest.mark.parametrize("name", _SWEEP)
+@pytest.mark.parametrize("name", _sweep_for("skewkey"))
 def test_registry_survives_skewkey_tpch(spark, skewkey_tpch_dir, name):
     fn = _QUERIES[name]
     if name in _ORACLES:
@@ -1121,7 +1179,7 @@ def time_extremes_dir(tmp_path_factory):
     return str(out)
 
 
-@pytest.mark.parametrize("name", _SWEEP)
+@pytest.mark.parametrize("name", _sweep_for("time_extremes"))
 def test_registry_survives_time_extremes(spark, time_extremes_dir, name):
     fn = _QUERIES[name]
     if name in _ORACLES:
